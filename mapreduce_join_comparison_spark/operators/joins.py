@@ -1,0 +1,165 @@
+"""Equi-joins with explicit physical-strategy control — the heart of
+the reference (SURVEY.md §2.3).
+
+Reference mapping:
+  * J1 repartition (reduce-side) join  — ``RepartitionJoin.java:21-178``
+    → ``hint("shuffle_hash")``  (ShuffledHashJoinExec: hash-partition
+    both sides on the key, build a hash table per partition). The
+    reference's secondary-sort trick (buffer only the left side,
+    ``RepartitionJoin.java:68-85``) is what SortMergeJoinExec does
+    natively; ShuffledHashJoin is the closer analog of its hash variant.
+  * J2 broadcast (map-side) join       — ``BroadcastJoin.java:24-157``
+    → ``broadcast(small)`` (BroadcastHashJoinExec). No shuffle — unlike
+    the reference, whose accidental identity reduce shuffles anyway
+    (quirk Q2, ``BroadcastJoin.java:54``). We implement the *intended*
+    semantics. Quirk Q1 (duplicate keys in the broadcast table silently
+    dropped, ``BroadcastJoin.java:84``) is a reference bug we do NOT
+    replicate: standard full cross-product semantics.
+  * J3 sort-merge join                 — ``MergeJoin.java:34-292``
+    → ``hint("merge")`` (SortMergeJoinExec). The reference's 5-job
+    pipeline (key-extract ×2, total-order sort ×2, zip-merge) is what
+    one SortMergeJoinExec does in a single stage pair: shuffle =
+    range/hash partition + per-partition sort, then streaming merge.
+    Its pre-sorted no-shuffle variant maps to co-bucketed tables — see
+    ``sources.io.write_bucketed`` and tests/test_bucketed_join.py.
+
+All three produce identical results (the strongest invariant in the
+reference's design); tests cross-check them against each other and the
+DuckDB oracle.
+
+Scale notes (100 TB posture):
+  * broadcast only under an explicit size budget — we check an estimate
+    against a byte budget and refuse, mirroring the reference's OOM
+    cliff at 3.8 GB (thesis ch. 6.3) but failing fast instead of GC
+    death.
+  * skew: AQE skew-join splitting replaces the reference's manual
+    partition-count cap (``JoinSimulation.java:203-204``); for extreme
+    single-key skew beyond AQE, ``salted_join`` explicitly salts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STRATEGIES = ("repartition", "broadcast", "merge", "auto")
+
+_HINTS = {
+    "repartition": "shuffle_hash",
+    "merge": "merge",
+}
+
+
+def _resolve_on(
+    left: DataFrame, right: DataFrame, left_on: str, right_on: str
+) -> Column:
+    return left[left_on] == right[right_on]
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    strategy: str = "auto",
+    broadcast_side: str = "right",
+) -> DataFrame:
+    """Binary equi-join with caller-chosen physical strategy.
+
+    The reference signature is ``JoinConfig(inputs, indices, output,
+    numReducers)`` (``JoinConfig.java:11-16``) + one of three Join
+    classes; here the strategy is an argument and the shuffle width is
+    ``spark.sql.shuffle.partitions`` (the numReducers analog).
+
+    Unlike the reference (inner-only), all Spark join types are
+    supported via ``how``.
+    """
+    right_on = right_on or left_on
+    if strategy not in STRATEGIES:
+        raise ValueError(f"strategy must be one of {STRATEGIES}, got {strategy!r}")
+    on = _resolve_on(left, right, left_on, right_on)
+    if strategy == "broadcast":
+        if broadcast_side == "right":
+            return left.join(F.broadcast(right), on, how)
+        return F.broadcast(left).join(right, on, how)
+    if strategy in _HINTS:
+        # hint() attaches to the left side's logical subtree; Catalyst
+        # applies it to the join above it.
+        return left.hint(_HINTS[strategy]).join(right, on, how)
+    return left.join(right, on, how)
+
+
+def join_reference_style(
+    left: DataFrame,
+    right: DataFrame,
+    left_index: int,
+    right_index: int,
+    strategy: str = "repartition",
+) -> DataFrame:
+    """The reference's exact logical query: inner equi-join of two
+    positional-column tables on one column index each, output =
+    ``key, left_row, right_row`` where each row is the comma-joined
+    original line (output format at ``RepartitionJoin.java:61``:
+    ``key TAB left,right``).
+
+    Expects DataFrames from ``read_positional_csv`` (columns _c0.._cN).
+    """
+    lcols = [c for c in left.columns if c.startswith("_c")]
+    rcols = [c for c in right.columns if c.startswith("_c")]
+    l = left.select(
+        F.col(f"_c{left_index}").alias("k"),
+        F.concat_ws(",", *[F.col(c) for c in lcols]).alias("left_row"),
+    )
+    r = right.select(
+        F.col(f"_c{right_index}").alias("k"),
+        F.concat_ws(",", *[F.col(c) for c in rcols]).alias("right_row"),
+    )
+    joined = equi_join(l, r, "k", "k", "inner", strategy)
+    return joined.select(l["k"].alias("k"), "left_row", "right_row")
+
+
+def broadcast_budget_check(
+    df: DataFrame, budget_bytes: int = 512 * 1024 * 1024
+) -> int:
+    """Fail fast if a to-be-broadcast side exceeds the byte budget.
+
+    The reference discovers this limit by GC death at ~3.8 GB cached
+    table (thesis ch. 6.3); we check Catalyst's size estimate up front.
+    Returns the estimated size in bytes.
+    """
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+    )
+    if est > budget_bytes:
+        raise ValueError(
+            f"broadcast side estimated at {est} bytes exceeds budget "
+            f"{budget_bytes}; use strategy='repartition' or 'merge'"
+        )
+    return est
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant shuffle join: salt the skewed (left/fact) side's
+    key into ``salt`` sub-keys and explode the right (dim) side to
+    match, so one hot key spreads over ``salt`` reducers.
+
+    The reference's answer to skew was capping the partition count so
+    the heaviest key fits one split (``JoinSimulation.java:203-204``) —
+    which *serializes* the hot key. Salting parallelizes it instead.
+    AQE's skew-join split usually suffices; this is the explicit tool
+    for when it doesn't (e.g. a single key > one executor's memory).
+    """
+    right_on = right_on or left_on
+    lsalt = left.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    rsalt = right.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    on = (lsalt[left_on] == rsalt[right_on]) & (lsalt["_salt"] == rsalt["_salt"])
+    return lsalt.join(rsalt, on, "inner").drop("_salt")

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-conscious defaults.
+
+The reference picks its join algorithm manually per run
+(``JoinSimulation.java:154-210``); we mirror that by disabling
+auto-broadcast when the caller wants hint-driven strategy selection,
+while keeping AQE on so skew joins and partition coalescing re-plan at
+runtime — the Spark-native replacement for the reference's manual skew
+guard (``JoinSimulation.java:203-204``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mapreduce_join_comparison_spark",
+    shuffle_partitions: int | None = None,
+    manual_join_strategy: bool = False,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    manual_join_strategy=True sets autoBroadcastJoinThreshold=-1 so only
+    explicit hints pick a join algorithm — faithful to the reference's
+    caller-chosen strategy. Leave False for production plans: Catalyst's
+    size-estimate-driven choice is usually right at scale.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata uses parquet TIMESTAMP(NANOS); Spark 4 rejects it
+        # unless read as long — sources.io.load_table converts back to
+        # timestamp (µs) transparently.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    if manual_join_strategy:
+        builder = builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,148 @@
+"""Sources and sinks.
+
+Reference mapping (SURVEY.md §2.1): the reference's "table" is a
+headerless CSV file-or-directory with positional columns split on ','
+(``RepartitionJoin.java:28,37``, ``BroadcastJoin.java:83,110``);
+intermediates are SequenceFiles (``MergeJoin.java:118``). Spark-first we
+standardize on parquet (columnar scan + predicate pushdown + column
+pruning — things the reference cannot do at all), and keep a
+positional-CSV reader for reference-style inputs.
+
+At 100 TB the scan is the dominant cost: every loader here goes through
+``spark.read`` so Catalyst can push filters and prune columns down to
+the parquet footers; never collect, never driver-side parse.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Driver-provided tables (TESTDATA.md). One parquet file each.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (Spark 4 reads them as
+    long only, under spark.sql.legacy.parquet.nanosAsLong)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one named table from a scale-factor directory.
+
+    TIMESTAMP(NANOS) columns come back as LongType under
+    ``nanosAsLong``; convert to real timestamps (µs precision,
+    truncated like DuckDB does) so downstream date logic works.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        # runtime-settable; required even on sessions we didn't build
+        # (the driver passes its own SparkSession to entry()/queries()).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver table; also registers each as a temp view so
+    ``spark.sql`` can reference them by name."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_positional_csv(
+    spark: SparkSession,
+    path: str,
+    n_cols: int | None = None,
+    key_index: int | None = None,
+    key_type: str = "string",
+    sep: str = ",",
+) -> DataFrame:
+    """Reference-style scan: headerless delimited text, positional
+    columns ``_c0.._cN`` (SURVEY.md S1/S2). If ``key_index`` is given,
+    adds a typed ``k`` column — the analog of the reference's key
+    extraction (``KeyExtractor.java:20-26`` parses the key to long;
+    string keys stay strings per ``KeyExtractor.java:12-18``).
+
+    All columns are read as strings (the reference is untyped); pass
+    ``key_type='long'`` for the merge-join-style numeric key.
+    """
+    reader = spark.read.option("header", "false").option("sep", sep)
+    if n_cols is not None:
+        schema = T.StructType(
+            [T.StructField(f"_c{i}", T.StringType()) for i in range(n_cols)]
+        )
+        df = reader.schema(schema).csv(path)
+    else:
+        df = reader.csv(path)
+    if key_index is not None:
+        df = df.withColumn("k", F.col(f"_c{key_index}").cast(key_type))
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Sink (SURVEY.md S6/S7). Parquet by default; ``fmt='csv'`` mirrors
+    the reference's text sink (``FileOutputFormat`` at
+    ``RepartitionJoin.java:117``)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("header", "false").csv(path)
+    else:
+        writer.format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a bucketed+sorted table — the Spark analog of the
+    reference's pre-sorted co-partitioned merge-join inputs
+    (``merge_join_tables/t1/part-r-0000..2``; ``MergeJoin.java:221-240``
+    zips equal-numbered partitions). Joining two tables bucketed the
+    same way produces a SortMergeJoin with no Exchange — the no-shuffle
+    merge path, which is the reference's one genuinely distinct
+    capability (SURVEY.md §7.3)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table_name)

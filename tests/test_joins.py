@@ -1,0 +1,123 @@
+"""Join strategy correctness: all three physical strategies produce the
+same result (the reference's core invariant), plan assertions prove the
+intended physical operator ran, and golden fixtures from the reference's
+``simulation/simple_tables/`` are reproduced relationally (FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_join_comparison_spark.operators.joins import (
+    STRATEGIES,
+    equi_join,
+    salted_join,
+)
+from mapreduce_join_comparison_spark.plans.explain import (
+    JOIN_EXEC,
+    assert_no_exchange,
+    physical_plan,
+)
+
+from conftest import rows_set
+
+# FIXTURES.md F1 — the reference's golden smoke pair, as literal rows.
+# t1: unique-ish keys; t2: duplicate keys up to 5x, non-matching 90/91.
+T1 = [(0, "a0"), (1, "a1"), (2, "a2"), (3, "a3"), (4, "a4"), (5, "a5"),
+      (6, "a6"), (7, "a7"), (8, "ü"), (11, "a11"), (92, "a92"), (93, "a93")]
+T1_NONUNIQUE = [(0, "a0"), (1, "a1"), (2, "a2"), (3, "a3"), (4, "a4"),
+                (5, "a5"), (6, "a6x"), (6, "a6y"), (6, "a6z"),
+                (7, "a7x"), (7, "a7y"), (7, "a7z")]
+T2 = ([(0, "b0"), (1, "b1"), (2, "b2"), (3, "b3"), (4, "b4"), (5, "b5")]
+      + [(6, f"b6_{i}") for i in range(3)]
+      + [(7, f"b7_{i}") for i in range(5)]
+      + [(90, "b90"), (91, "b91")]
+      + [(1, "b1_dup"), (2, "b2_dup"), (3, "b3_dup")]
+      + [(8, "ä"), (9, "b9"), (10, "b10")])
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    t1 = spark.createDataFrame(T1, "k bigint, a string")
+    t1n = spark.createDataFrame(T1_NONUNIQUE, "k bigint, a string")
+    t2 = spark.createDataFrame(T2, "k2 bigint, b string")
+    return t1, t1n, t2
+
+
+def expected_inner(left, right):
+    """Relational oracle in plain Python: full per-key cross product."""
+    out = []
+    for lk, lv in left:
+        for rk, rv in right:
+            if lk == rk:
+                out.append((lk, lv, rk, rv))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("strategy", ["repartition", "broadcast", "merge", "auto"])
+def test_strategies_agree_on_fixture(spark, fixture_tables, strategy):
+    t1, _, t2 = fixture_tables
+    result = equi_join(t1, t2, "k", "k2", "inner", strategy)
+    assert rows_set(result) == expected_inner(T1, T2)
+
+
+@pytest.mark.parametrize("strategy", ["repartition", "broadcast", "merge"])
+def test_duplicate_both_sides_cross_product(spark, fixture_tables, strategy):
+    # Quirk Q1 (reference broadcast join drops duplicate build rows) must
+    # NOT reproduce: all strategies give the full cross product.
+    _, t1n, t2 = fixture_tables
+    result = equi_join(t1n, t2, "k", "k2", "inner", strategy)
+    expected = expected_inner(T1_NONUNIQUE, T2)
+    assert rows_set(result) == expected
+    # key 7: 3 left x 5 right = 15 pairs
+    assert sum(1 for r in expected if r[0] == 7) == 15
+
+
+@pytest.mark.parametrize("strategy", ["repartition", "broadcast", "merge"])
+def test_physical_operator_matches_strategy(spark, fixture_tables, strategy):
+    t1, _, t2 = fixture_tables
+    result = equi_join(t1, t2, "k", "k2", "inner", strategy)
+    assert JOIN_EXEC[strategy] in physical_plan(result)
+
+
+def test_broadcast_has_no_shuffle(spark, fixture_tables):
+    # Reference quirk Q2: its broadcast join shuffled anyway
+    # (BroadcastJoin.java:54). Ours must not.
+    t1, _, t2 = fixture_tables
+    result = equi_join(t1, t2, "k", "k2", "inner", "broadcast")
+    assert_no_exchange(result)
+
+
+@pytest.mark.parametrize("how", ["left", "right", "full", "left_semi", "left_anti"])
+def test_extended_join_types(spark, fixture_tables, how):
+    # Beyond the reference (inner-only): all join types supported.
+    t1, _, t2 = fixture_tables
+    result = equi_join(t1, t2, "k", "k2", how)
+    matched_left = {k for k, _ in T1} & {k for k, _ in T2}
+    if how == "left_semi":
+        assert result.count() == len([1 for k, _ in T1 if k in matched_left])
+    elif how == "left_anti":
+        assert result.count() == len([1 for k, _ in T1 if k not in matched_left])
+    elif how == "left":
+        inner = len(expected_inner(T1, T2))
+        unmatched = len([1 for k, _ in T1 if k not in matched_left])
+        assert result.count() == inner + unmatched
+
+
+def test_strategies_agree_on_testdata(spark, tables):
+    dfs = {
+        s: equi_join(tables["customer"], tables["orders"], "c_custkey",
+                     "o_custkey", "inner", s)
+        for s in STRATEGIES
+    }
+    counts = {s: df.count() for s, df in dfs.items()}
+    assert len(set(counts.values())) == 1, counts
+    assert counts["auto"] > 0
+
+
+def test_salted_join_matches_plain(spark, tables):
+    plain = equi_join(tables["orders"], tables["customer"], "o_custkey",
+                      "c_custkey").count()
+    salted = salted_join(tables["orders"], tables["customer"], "o_custkey",
+                         "c_custkey", salt=8).count()
+    assert plain == salted
