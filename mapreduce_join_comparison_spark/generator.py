@@ -1,0 +1,208 @@
+"""Skewed-pair data generator — the reference's ``DataGenerator``
+surface (SURVEY.md §2.11 G1-G4) re-expressed as distributed, lazy,
+seed-deterministic DataFrame construction.
+
+Reference semantics preserved:
+  * G1 uniform pair   — key = ``i % unique_values``, both tables
+    identical (``DataGenerator.java:102-123``).
+  * G2 Zipf pair      — dim = every key 0..N-1 exactly once
+    (reference shuffles the order — irrelevant relationally); fact key
+    = ``zipf_inverse_cdf(i/nRows, s, N)`` for i = 0..nRows-1 —
+    *deterministic* inverse-CDF over an equi-spaced probability grid,
+    not random draws (``DataGenerator.java:150``).
+  * G3 parallel write — free: ``df.write`` parallelism replaces the
+    reference's thread-per-file writer (which was accidentally
+    sequential — ``.run()`` not ``.start()``, ``DataGenerator.java:230``).
+  * G4 double-skew    — both tables Zipf (``DataGenerator.java:240-259``).
+  * Attributes        — 3 random strings of lengths 20/100/80, each
+    drawn from a pool of 100 pre-generated strings
+    (``DataGenerator.java:13-48``, ``JoinSimulation.java:91-93``). We
+    build the pools driver-side with a seeded RNG and pick JVM-side via
+    ``xxhash64 % pool`` — no Python in the per-row hot path.
+
+The Zipf inverse CDF is the Newton-iteration approximation from the
+public article the reference cites (medium.com/@jasoncrease/zipf,
+``DataGenerator.java:300-336``), vectorized over numpy arrays and run
+as an Arrow-batched pandas UDF — the one place Python-side compute is
+warranted (SURVEY.md §2.10).
+
+Scale posture: everything derives from ``spark.range`` (a parallel,
+partitioned source); nothing is collected; a 10-billion-row fact table
+generates in parallel across all executors with O(pool) driver memory.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALPHABET = string.ascii_uppercase + string.ascii_lowercase + "123456789"
+POOL_SIZE = 100
+DEFAULT_ATTR_LENGTHS = (20, 100, 80)  # JoinSimulation.java:91-93
+
+
+def generalized_harmonic(n: int, m: float) -> float:
+    """H(n, m) = sum_{k=1..n} 1/k^m  (DataGenerator.java:94-100)."""
+    k = np.arange(1, n + 1, dtype=np.float64)
+    return float(np.sum(1.0 / np.power(k, m)))
+
+
+def max_zipf_repeats(n_unique: int, s: float, count: int) -> float:
+    """Expected occurrences of the hottest key: count / H(N, s)
+    (DataGenerator.java:72-80). Used by the bench harness to size
+    skew-aware partitioning, as the reference's JoinSimulation.java:203
+    did."""
+    return count / generalized_harmonic(n_unique, s)
+
+
+def zipf_inverse_cdf(p: np.ndarray, s: float, n: float) -> np.ndarray:
+    """Vectorized approximate inverse CDF of Zipf(s, N) over p∈[0,1).
+
+    Newton iteration on the integral approximation of the generalized
+    harmonic sum (public derivation: medium.com/@jasoncrease/zipf;
+    reference port at DataGenerator.java:314-336). s must not equal 1.
+    """
+    if s == 1.0:
+        raise ValueError("s=1 is a pole of the approximation; use s=1.01")
+    p = np.asarray(p, dtype=np.float64)
+    if np.any((p < 0) | (p > 1)):
+        raise ValueError("p must be within [0, 1]")
+    tol = 0.01
+    x = np.full(p.shape, n / 2.0, dtype=np.float64)
+    d = p * (
+        12.0 * (n ** (1.0 - s) - 1.0) / (1.0 - s)
+        + 6.0
+        - 6.0 * n ** (-s)
+        + s
+        - n ** (-1.0 - s) * s
+    )
+    active = np.ones(p.shape, dtype=bool)
+    # Newton converges in a handful of steps; hard-cap for safety.
+    for _ in range(200):
+        xa = x[active]
+        m = xa ** (-2.0 - s)
+        mx = m * xa
+        mxx = mx * xa
+        mxxx = mxx * xa
+        a = 12.0 * (mxxx - 1.0) / (1.0 - s) + 6.0 * (1.0 - mxx) + (s - mx * s) - d[active]
+        b = 12.0 * mxx + 6.0 * (s * mx) + (m * s * (s + 1.0))
+        newx = np.maximum(1.0, xa - a / b)
+        still = np.abs(newx - xa) > tol
+        x[active] = newx
+        nxt = active.copy()
+        nxt[active] = still
+        if not nxt.any():
+            break
+        active = nxt
+    return x.astype(np.int64)
+
+
+def _string_pool(length: int, rng: random.Random) -> list[str]:
+    """Pool of POOL_SIZE fixed-length random strings
+    (DataGenerator.java:36-46)."""
+    return [
+        "".join(rng.choice(ALPHABET) for _ in range(length))
+        for _ in range(POOL_SIZE)
+    ]
+
+
+def _attr_columns(
+    seed: int, attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS
+) -> list[Column]:
+    """One column expr per attribute: deterministic JVM-side pool pick
+    ``pool[xxhash64(id, attr_idx, seed) % POOL_SIZE]``."""
+    rng = random.Random(seed)
+    cols = []
+    for idx, length in enumerate(attr_lengths):
+        pool = F.array(*[F.lit(s) for s in _string_pool(length, rng)])
+        pick = F.pmod(
+            F.xxhash64(F.col("id"), F.lit(idx), F.lit(seed)), F.lit(POOL_SIZE)
+        ).cast("int")
+        cols.append(F.element_at(pool, pick + 1).alias(f"a{idx + 1}"))
+    return cols
+
+
+def generate_uniform_pair(
+    spark: SparkSession,
+    n_rows: int,
+    unique_values: int,
+    seed: int = 42,
+    attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """G1: both tables identical, key = i % unique_values."""
+    base = spark.range(0, n_rows, numPartitions=num_partitions)
+    df = base.select(
+        (F.col("id") % unique_values).alias("k"), *_attr_columns(seed, attr_lengths)
+    )
+    return df, df
+
+
+def generate_zipf_fact(
+    spark: SparkSession,
+    n_rows: int,
+    unique_values: int,
+    s: float,
+    seed: int = 42,
+    attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fact side of G2/G4: k = zipf_inverse_cdf(i/nRows, s, N) —
+    deterministic equi-spaced grid (DataGenerator.java:150)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = float(unique_values)
+    nr = float(n_rows)
+
+    @pandas_udf("long")
+    def zipf_key(i: pd.Series) -> pd.Series:
+        return pd.Series(zipf_inverse_cdf(i.to_numpy() / nr, s, n))
+
+    base = spark.range(0, n_rows, numPartitions=num_partitions)
+    return base.select(
+        zipf_key(F.col("id")).alias("k"), *_attr_columns(seed, attr_lengths)
+    )
+
+
+def generate_dim(
+    spark: SparkSession,
+    unique_values: int,
+    seed: int = 42,
+    attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS,
+    shuffle_order: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dim side of G2: every key 0..N-1 exactly once. The reference
+    shuffles the write order (DataGenerator.java:129-135) — relationally
+    a no-op; pass shuffle_order=True to reproduce the file layout."""
+    base = spark.range(0, unique_values, numPartitions=num_partitions)
+    df = base.select(F.col("id").alias("k"), *_attr_columns(seed + 1, attr_lengths))
+    if shuffle_order:
+        df = df.orderBy(F.rand(seed))
+    return df
+
+
+def generate_zipf_pair(
+    spark: SparkSession,
+    n_rows: int,
+    unique_values: int,
+    s: float,
+    seed: int = 42,
+    double_skew: bool = False,
+    attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """G2 (dim ⋈ fact) or G4 (double_skew: both Zipf)."""
+    fact = generate_zipf_fact(
+        spark, n_rows, unique_values, s, seed, attr_lengths, num_partitions
+    )
+    if double_skew:
+        return fact, fact
+    dim = generate_dim(spark, unique_values, seed, attr_lengths,
+                       num_partitions=num_partitions)
+    return dim, fact

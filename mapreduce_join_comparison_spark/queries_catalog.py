@@ -178,6 +178,303 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "o_totalprice")
 
 
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.4), sorts/top-k (§2.6), set ops (§2.7),
+# windows (§2.5 — absent in the reference, first-class here).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_summary_stats",
+    """
+    SELECT CAST(COUNT(l_quantity) AS BIGINT) AS n,
+           ROUND(AVG(l_quantity), 4) AS mean,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max
+    FROM lineitem
+    """,
+)
+def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the reference's mean/median/max task-time stats
+    (JoinSimulation.java:34-70) as distributed aggregates; median is the
+    exact continuous percentile."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.count("l_quantity").cast("bigint").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("mean"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median"),
+        F.min("l_quantity").cast("double").alias("min"),
+        F.max("l_quantity").cast("double").alias("max"),
+    )
+
+
+@register(
+    "agg_groupby",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate: map-side partial agg, one shuffle
+    on the (low-cardinality) group keys — the shape that survives 100 TB."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import rollup_agg
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    return rollup_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ],
+    )
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import distinct_count
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return distinct_count(lineitem, ["l_returnflag", "l_linestatus"])
+
+
+@register(
+    "sort_total_order",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    """,
+)
+def sort_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — the reference's sampled range-partition total-order sort
+    (MergeJoin.java:146-215) ≡ Spark SortExec. Values identical to the
+    unsorted oracle (driver compare is order-insensitive); global order
+    is asserted in tests/test_sorts_aggs.py."""
+    from .operators.sorts import total_order_sort
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return total_order_sort(
+        lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_extendedprice"],
+        num_partitions=16,
+    )
+
+
+@register(
+    "top_k",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+)
+def top_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k without a global sort (TakeOrderedAndProject). Tie-broken
+    on the full key so the result set is deterministic."""
+    from pyspark.sql import functions as F
+
+    from .operators.sorts import top_k
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return top_k(
+        lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_extendedprice"],
+        100,
+    ).orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    ).limit(100)
+
+
+@register(
+    "top_k_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top_k_per_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+    )
+
+
+@register(
+    "window_functions",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK() OVER w AS rnk,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total,
+           LAG(o_orderkey) OVER w AS prev_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — absent in the reference; rank / running total / lag in one
+    window pass (single shuffle on the partition key)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wall = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.round(F.sum("o_totalprice").over(wall), 2).alias("cust_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _load(spark, sf_dir, "customer", "supplier")
+    return customer.select(
+        customer.c_nationkey.alias("nationkey")
+    ).intersect(supplier.select(supplier.s_nationkey.alias("nationkey")))
+
+
+@register(
+    "set_except_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    UNION ALL
+    SELECT n_nationkey AS nationkey FROM nation WHERE n_nationkey < 0
+    """,
+)
+def set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics: subtract) chained with UNION ALL; filters
+    pushed below the set op. Non-empty at sf0.01."""
+    customer, supplier, nation = _load(spark, sf_dir, "customer", "supplier", "nation")
+    ex = customer.filter("c_acctbal > 9000").select(
+        customer.c_nationkey.alias("nationkey")
+    ).subtract(
+        supplier.filter("s_acctbal > 5000").select(
+            supplier.s_nationkey.alias("nationkey")
+        )
+    )
+    empty = nation.filter("n_nationkey < 0").select(
+        nation.n_nationkey.alias("nationkey")
+    )
+    return ex.unionAll(empty)
+
+
+@register(
+    "filter_predicates",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_returnflag <> 'A'
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General predicates (absent in the reference, §2.2) — pushed to
+    the parquet scan (PushedFilters in the plan; asserted in tests)."""
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        "l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08 "
+        "AND l_returnflag <> 'A'"
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# Generator (SURVEY.md §2.11 G1-G4) — rows-only checks: the Zipf Newton
+# iteration is not SQL-expressible. Distribution properties are
+# asserted in tests/test_generator.py.
+# --------------------------------------------------------------------------
+
+
+@register("generator_uniform", None)
+def generator_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .generator import generate_uniform_pair
+
+    t1, _ = generate_uniform_pair(spark, 10000, 1000, seed=42)
+    return t1
+
+
+@register("generator_zipf_pair_join", None)
+def generator_zipf_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 + the reference's core workload: dim ⋈ zipf-fact, per-key
+    counts — B1's data-then-join loop (JoinSimulation.java:87-228) as
+    one lazy plan."""
+    from pyspark.sql import functions as F
+
+    from .generator import generate_zipf_pair
+    from .operators.joins import equi_join
+
+    dim, fact = generate_zipf_pair(spark, 20000, 2000, s=0.8, seed=42)
+    j = equi_join(fact, dim.select(F.col("k").alias("dk")), "k", "dk",
+                  "inner", "broadcast")
+    return j.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n"))
+
+
 @register(
     "projection_key_extract",
     """

@@ -40,11 +40,14 @@ def tables(spark, sf_dir):
 
 
 def rows_set(df, ndigits: int = 6):
-    """Order-insensitive, float-rounded comparable form of a DataFrame."""
+    """Order-insensitive, float-rounded comparable form of a DataFrame.
+    Sort key is repr-based so rows containing None still sort."""
 
     def norm(v):
         if isinstance(v, float):
             return round(v, ndigits)
         return v
 
-    return sorted(tuple(norm(v) for v in row) for row in df.collect())
+    return sorted(
+        (tuple(norm(v) for v in row) for row in df.collect()), key=repr
+    )

@@ -49,7 +49,8 @@ def normalize(value):
 def spark_rows(df):
     cols = sorted(df.columns)
     return cols, sorted(
-        tuple(normalize(row[c]) for c in cols) for row in df.collect()
+        (tuple(normalize(row[c]) for c in cols) for row in df.collect()),
+        key=repr,
     )
 
 
@@ -59,7 +60,8 @@ def duck_rows(con, sql):
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
     rows = sorted(
-        tuple(normalize(r[i]) for i in order) for r in res.fetchall()
+        (tuple(normalize(r[i]) for i in order) for r in res.fetchall()),
+        key=repr,
     )
     return cols, rows
 

@@ -1,0 +1,81 @@
+"""Sorts / aggregates / plan-quality checks: global order actually
+holds across partitions, filters reach the parquet scan, top-k avoids a
+global sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.operators.aggregates import (
+    approx_distinct,
+    summary_stats,
+)
+from mapreduce_join_comparison_spark.operators.sorts import (
+    top_k,
+    top_k_per_group,
+    total_order_sort,
+)
+from mapreduce_join_comparison_spark.plans.explain import physical_plan
+
+
+def test_total_order_sort_is_globally_ordered(spark, tables):
+    df = total_order_sort(
+        tables["lineitem"].select("l_extendedprice"), ["l_extendedprice"],
+        num_partitions=8,
+    )
+    vals = [r[0] for r in df.collect()]
+    assert vals == sorted(vals)
+    # and partition files are range-disjoint: max(part i) <= min(part i+1)
+    bounds = (
+        df.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .orderBy("p")
+        .collect()
+    )
+    for a, b in zip(bounds, bounds[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_top_k_no_global_sort(spark, tables):
+    df = top_k(tables["lineitem"], ["l_extendedprice"], 10)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    top = [r["l_extendedprice"] for r in df.collect()]
+    all_sorted = sorted(
+        (r[0] for r in tables["lineitem"].select("l_extendedprice").collect()),
+        reverse=True,
+    )
+    assert top == all_sorted[:10]
+
+
+def test_top_k_per_group(spark, tables):
+    df = top_k_per_group(tables["orders"], ["o_custkey"], "o_totalprice", 2)
+    counts = df.groupBy("o_custkey").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_summary_stats_matches_python(spark, tables):
+    import statistics
+
+    row = summary_stats(tables["orders"], "o_totalprice").collect()[0]
+    vals = [r[0] for r in tables["orders"].select("o_totalprice").collect()]
+    assert row["n"] == len(vals)
+    assert abs(row["mean"] - statistics.fmean(vals)) < 1e-6
+    assert abs(row["median"] - statistics.median(vals)) < 1e-6
+    assert row["min"] == min(vals) and row["max"] == max(vals)
+
+
+def test_approx_distinct_close_to_exact(spark, tables):
+    exact = tables["orders"].select("o_custkey").distinct().count()
+    approx = approx_distinct(tables["orders"], "o_custkey").collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_filter_pushed_to_parquet_scan(spark, tables):
+    df = tables["lineitem"].filter("l_quantity > 30").select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only the 2 needed columns
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
