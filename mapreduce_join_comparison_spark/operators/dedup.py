@@ -1,0 +1,303 @@
+"""Deduplication operators for training-data pipelines (scale
+extension): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Scale design notes (the 100 TB story):
+  * exact dedup = one shuffle on the fingerprint (map-side partial agg
+    first — identical fingerprints collapse before the shuffle).
+  * n-gram Jaccard is the *verify* stage: quadratic if run on all
+    pairs, so it only ever runs on candidate pairs produced by LSH
+    banding (or on small corpora). ``ngram_jaccard_pairs`` exposes the
+    exact all-pairs form for oracles/small data; ``minhash_lsh_pairs``
+    is the scale path: shingle → K minhashes → B bands → bucket join —
+    the join explodes only same-bucket candidates, never the full
+    cross product.
+  * SimHash: one 64-bit signature per doc; near-dup = signatures at
+    Hamming distance ≤ d. Bucketing on bit-blocks (pigeonhole: d ≤ 3
+    ⇒ 4 blocks, one must match exactly) keeps the candidate join
+    linear-ish.
+  * all hashing is md5-derived (``md5_hash32``) so external engines
+    (the DuckDB oracle) reproduce signatures bit-for-bit.
+
+MinHash math: h_i(S) = min_{x∈S} (a_i * H(x) + b_i) mod p, with p a
+Mersenne-ish prime > 2^32 and (a_i, b_i) from a seeded generator —
+standard universal-hash construction (Broder '97 resemblance
+estimation).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import document_fingerprint, md5_hash32, shingles
+
+# Mersenne prime 2^31-1: with a,b < p and shingle hashes reduced mod p
+# first, a*h+b < 2^62 — no int64 overflow under ANSI arithmetic.
+MERSENNE_P = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the universal hash family; a ∈ [1, p),
+    b ∈ [0, p). Deterministic so any engine can replay them."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content: one representative (min id)
+    per fingerprint group. groupBy(min) rather than dropDuplicates so
+    the survivor is deterministic."""
+    return (
+        df.withColumn("fingerprint", document_fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard: explode distinct shingles,
+    self-join on shingle, |A∩B| per pair, J = ∩/(|A|+|B|-∩).
+
+    The shingle join only pairs docs sharing ≥1 shingle (not a cross
+    join), but worst case is still quadratic — at scale use
+    ``minhash_lsh_pairs`` to generate candidates and this as verify.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    left = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    right = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", jac.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature (array<bigint>, length num_hashes),
+    computed entirely with higher-order array functions — shingle
+    hashes once, then min of (a*h + b) mod p per hash function. Narrow,
+    no shuffle."""
+    params = minhash_params(num_hashes, seed)
+    sh_hashes = F.transform(
+        shingles(text_col, k), lambda s: md5_hash32(s) % F.lit(MERSENNE_P)
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                sh_hashes,
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P),
+            )
+        )
+        for (a, b) in params
+    ]
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*sig_cols).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    seed: int = 42,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: split each signature into ``bands``
+    bands of r = num_hashes/bands rows; docs colliding on any whole
+    band become a candidate pair. P(collide) = 1-(1-J^r)^b — the
+    classic S-curve.
+
+    Returns (id_a, id_b, est_jaccard) where est_jaccard is the
+    signature-agreement fraction (unbiased estimate of true Jaccard).
+    ``verify_threshold`` filters candidates on the estimate.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * r + i + 1).cast("string")
+                                for i in range(r)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"),
+        "band", "bucket",
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"),
+        "band", "bucket",
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    out = cand.withColumn(
+        "est_jaccard", (agree / F.lit(num_hashes)).cast("double")
+    ).select("id_a", "id_b", "est_jaccard")
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash: for each bit position, sum +1/-1 votes of every
+    distinct token's md5-derived hash bit; sign → signature bit.
+    Expressed as higher-order array ops over a bit-index sequence —
+    JVM-side, narrow."""
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: md5_hash32(t)).alias("tok_hashes"),
+    )
+    # per-bit vote: +1 if the token hash has the bit set, else -1;
+    # literal shift per bit position (shiftright needs a literal count)
+    vote = lambda b: F.aggregate(  # noqa: E731
+        F.col("tok_hashes"),
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return hashed.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ max_hamming via pigeonhole
+    blocking: split the signature into ``blocks`` bit-blocks; any pair
+    within distance d < blocks must agree exactly on ≥1 block → join on
+    (block_id, block_value), verify with popcount. Linear-ish candidate
+    generation instead of all-pairs."""
+    if blocks <= max_hamming:
+        raise ValueError("need blocks > max_hamming for pigeonhole guarantee")
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    width = bits // blocks
+    mask = (1 << width) - 1
+    blocked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block"),
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("bval"),
+                )
+                for i in range(blocks)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.block", "bb.bval")
+    left = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block", "bval")
+    right = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "block", "bval")
+    cand = (
+        left.join(right, ["block", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+    All-pairs form (small corpora / verify stage); the scale path is
+    LSH bucketing in similarity.random_hyperplane_lsh."""
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_expr("v_a", "v_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

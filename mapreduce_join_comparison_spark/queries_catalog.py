@@ -444,6 +444,309 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
 
 
+@register(
+    "scalar_functions",
+    """
+    SELECT o_orderkey AS k,
+           o_orderkey % 97 AS k_mod,
+           CAST(o_orderkey AS VARCHAR) AS k_str,
+           CONCAT(o_orderstatus, ',', o_orderpriority) AS row_concat,
+           STR_SPLIT(o_orderpriority, '-')[1] AS prio_code,
+           UPPER(o_orderstatus) AS status_upper,
+           LENGTH(o_orderpriority) AS prio_len,
+           o_totalprice * 0.1 AS price_tenth,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(REGEXP_MATCHES(o_orderpriority, '^[0-9]') AS BOOLEAN) AS starts_digit
+    FROM orders
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 (split / concat / parse / modulo — the reference's entire
+    scalar surface, SURVEY.md §2.8) plus string/date/regex functions the
+    reference lacks. All JVM-side builtins inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 97).alias("k_mod"),
+        F.col("o_orderkey").cast("string").alias("k_str"),
+        F.concat(F.col("o_orderstatus"), F.lit(","), F.col("o_orderpriority")).alias("row_concat"),
+        F.split(F.col("o_orderpriority"), "-")[0].alias("prio_code"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        (F.col("o_totalprice") * 0.1).alias("price_tenth"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.col("o_orderpriority").rlike("^[0-9]").alias("starts_digit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scale extensions: text analysis, dedup, similarity search.
+# Oracles replicate the exact formulas (md5-derived hashing is
+# reproducible in any engine).
+# --------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS_LOWER = "string_split_regex(lower(trim(text)), '\\s+')"
+_STOPWORDS_SQL = "('the','a','an','of','and','to','in','is','it','that','for','on','as','with','by','this','at','from','or','be')"
+
+
+@register(
+    "text_features",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, t -> lower(t) IN {_STOPWORDS_SQL})) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+               / greatest(len(toks), 1) AS mean_token_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+           CAST(mean_token_len AS DOUBLE) AS mean_token_len,
+           CAST((least(n_tokens / 50.0, 1.0)
+                 + least(stopword_ratio * 4.0, 1.0)
+                 + greatest(0.0, 1.0 - punct_ratio * 5.0)
+                 + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                        THEN 1.0 ELSE 0.5 END) / 4.0 AS DOUBLE) AS quality,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM m
+    """,
+)
+def text_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis features (token count, stopword /
+    punctuation ratios, quality score, content fingerprint) — one
+    narrow JVM-side pass over documents."""
+    from .operators import text as T
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.mean_token_len("text").alias("mean_token_len"),
+        T.quality_score("text").alias("quality"),
+        T.document_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    from .operators.text import LANG_MARKERS
+
+    hit_cols = []
+    for code in sorted(LANG_MARKERS):
+        markers = ",".join(f"'{m}'" for m in LANG_MARKERS[code])
+        hit_cols.append(
+            f"len(list_filter(toks_l, t -> t IN ({markers}))) AS h_{code}"
+        )
+    codes = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{c} = {best} THEN '{c}'" for c in codes
+    ) + " END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_transform({_TOKS}, t -> lower(t)) AS toks_l
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang, {", ".join(hit_cols)} FROM t
+    )
+    SELECT doc_id, lang, {case} AS lang_pred FROM h
+    """
+
+
+@register("text_lang_id", _lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID next to the table's labeled lang
+    (the synthetic corpus is English-vocab for all langs, so lang_pred
+    is the heuristic's honest output, not the label)."""
+    from .operators.text import lang_id
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return documents.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return exact_dedup(documents)
+
+
+_SHINGLES_SQL = f"""
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS common
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
+    FROM p WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2 — the
+    synthetic corpus shares vocabulary, so overlaps exist without
+    being duplicates). The LSH variant below is the scale path."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(documents, k=3, threshold=0.2)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str:
+    from .operators.dedup import MERSENNE_P, minhash_params
+
+    params = minhash_params(num_hashes, seed)
+    r = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}::BIGINT) % {MERSENNE_P}))"
+        for (a, b) in params
+    )
+    band_items = ", ".join(
+        "md5(" + " || ',' || ".join(
+            f"CAST(sig[{b * r + i + 1}] AS VARCHAR)" for i in range(r)
+        ) + f") AS bucket_{b}"
+        for b in range(bands)
+    )
+    bucket_unpivot = " UNION ALL ".join(
+        f"SELECT id, sig, {b} AS band, bucket_{b} AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id AS id,
+             list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {MERSENNE_P}) AS hs
+      FROM s
+    ),
+    sigs0 AS (SELECT id, [{sig_items}] AS sig FROM hashed),
+    sigs AS (SELECT id, sig, {band_items} FROM sigs0),
+    banded AS ({bucket_unpivot}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, {num_hashes} + 1),
+                                i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {num_hashes}
+             AS est_jaccard
+    FROM cand
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (16 hashes, 4 bands of 4): the
+    oracle replays the identical md5-derived universal-hash signatures
+    and banding in SQL — a bit-exact cross-engine check of the whole
+    LSH pipeline."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(documents, num_hashes=16, bands=4, k=3, seed=42)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at threshold 0.4 (the synthetic
+    vectors are near-random; 0.4 is deep in the tail)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import embedding_near_dup_pairs
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(embeddings, threshold=0.4)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register(
+    "similarity_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             list_cosine_similarity(c.embedding::DOUBLE[], q.q_vec::DOUBLE[]) AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, corpus_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_bruteforce_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries, one
+    corpus scan, windowed top-k."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import brute_force_topk
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = brute_force_topk(embeddings, queries, k=10)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register("similarity_lsh_ann", None)
+def similarity_lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN (rows-only: the seeded hyperplane
+    constants are not practically embeddable in oracle SQL; subset-of-
+    exact and recall properties are asserted in tests/test_similarity.py)."""
+    from .operators.similarity import lsh_topk
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter("vec_id < 20").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    return lsh_topk(embeddings, queries, dim=64, k=10, n_planes=4, n_tables=8)
+
+
 # --------------------------------------------------------------------------
 # Generator (SURVEY.md §2.11 G1-G4) — rows-only checks: the Zipf Newton
 # iteration is not SQL-expressible. Distribution properties are

@@ -143,6 +143,19 @@ def write_bucketed(
     same way produces a SortMergeJoin with no Exchange — the no-shuffle
     merge path, which is the reference's one genuinely distinct
     capability (SURVEY.md §7.3)."""
+    spark = df.sparkSession
+    # Idempotent across sessions: a stale warehouse dir from a previous
+    # run is unknown to the fresh metastore, and saveAsTable refuses to
+    # reuse the location — drop both.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    stale = os.path.join(warehouse, table_name.lower())
+    if warehouse and os.path.isdir(stale):
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     writer.saveAsTable(table_name)

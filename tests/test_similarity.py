@@ -1,0 +1,94 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall and
+candidate containment, embedding near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.operators.dedup import embedding_near_dup_pairs
+from mapreduce_join_comparison_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, tables):
+    return tables["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def numpy_corpus(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def numpy_topk(ids, mat, qid, k):
+    qi = np.where(ids == qid)[0][0]
+    q = mat[qi]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        ((float(c), int(i)) for c, i in zip(cos, ids) if i != qid),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [i for _, i in order[:k]]
+
+
+def test_brute_force_matches_numpy(spark, embeddings, numpy_corpus):
+    ids, mat = numpy_corpus
+    queries = embeddings.filter("vec_id IN (0, 7, 42)").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = brute_force_topk(embeddings, queries, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["corpus_id"]))
+    for qid in (0, 7, 42):
+        spark_ids = [c for _, c in sorted(by_q[qid])]
+        assert spark_ids == numpy_topk(ids, mat, qid, 5), f"query {qid}"
+
+
+def test_lsh_topk_recall(spark, embeddings, numpy_corpus):
+    ids, mat = numpy_corpus
+    queries = embeddings.filter("vec_id < 20").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = lsh_topk(embeddings, queries, dim=64, k=5, n_planes=4, n_tables=12)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    # recall@5 vs exact: LSH with 6 planes keeps ~1/64 of corpus per
+    # bucket; expect meaningful overlap on average, not per-query
+    recalls = []
+    for qid in range(20):
+        exact = set(numpy_topk(ids, mat, qid, 5))
+        approx = by_q.get(qid, set())
+        recalls.append(len(exact & approx) / 5)
+    assert sum(recalls) / len(recalls) > 0.4
+
+
+def test_lsh_results_subset_of_scored_universe(spark, embeddings):
+    queries = embeddings.filter("vec_id = 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=500)
+    approx = lsh_topk(embeddings, queries, dim=64, k=500, n_planes=4, n_tables=4)
+    exact_scores = {
+        (r["query_id"], r["corpus_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["corpus_id"])
+        assert key in exact_scores
+        assert abs(exact_scores[key] - r["cosine"]) < 1e-9
+
+
+def test_embedding_near_dup_symmetric_threshold(spark, embeddings):
+    pairs = embedding_near_dup_pairs(embeddings.limit(100), threshold=0.5)
+    rows = pairs.collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.5

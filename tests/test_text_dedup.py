@@ -1,0 +1,122 @@
+"""Text analysis + dedup operators: known-answer literal tests and
+corpus-level invariants (MinHash estimates track true Jaccard; SimHash
+Hamming distance small for near-identical docs; LSH candidates ⊇
+high-similarity pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.operators import dedup, text
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "The quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick  brown fox JUMPS over the lazy dog"),  # exact dup of 1 (normalized)
+    (4, "completely different content about spark engines and parquet files"),
+    (5, "der hund ist nicht die katze und der vogel"),    # German markers
+    (6, "el que la casa es de madera y el perro"),        # Spanish markers
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_token_count(spark, docs):
+    rows = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", text.token_count("text").alias("n")).collect()}
+    assert rows[1] == 9
+    assert rows[4] == 9
+
+
+def test_stopword_and_punct(spark, docs):
+    r = docs.filter("doc_id = 1").select(
+        text.stopword_ratio("text").alias("sw"),
+        text.punct_ratio("text").alias("p"),
+    ).collect()[0]
+    assert abs(r["sw"] - 2 / 9) < 1e-9  # "The", "the"
+    assert r["p"] == 0.0
+
+
+def test_lang_id(spark, docs):
+    rows = {r["doc_id"]: r["l"] for r in docs.select(
+        "doc_id", text.lang_id("text").alias("l")).collect()}
+    assert rows[1] == "en"
+    assert rows[5] == "de"
+    assert rows[6] == "es"
+
+
+def test_fingerprint_normalization(spark, docs):
+    fp = {r["doc_id"]: r["f"] for r in docs.select(
+        "doc_id", text.document_fingerprint("text").alias("f")).collect()}
+    assert fp[1] == fp[3]  # case/whitespace-insensitive
+    assert fp[1] != fp[2]
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 2, 4, 5, 6]  # 3 collapsed into 1
+    copies = {r["doc_id"]: r["n_copies"] for r in out}
+    assert copies[1] == 2
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    pairset = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 3) in pairset and pairset[(1, 3)] == 1.0
+    assert (1, 2) in pairset and 0.4 < pairset[(1, 2)] < 1.0
+    assert not any(4 in p for p in pairset)
+
+
+def test_minhash_estimates_track_jaccard(spark, docs):
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.0).collect()}
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                            k=3).collect()}
+    assert (1, 3) in est and est[(1, 3)] == 1.0
+    if (1, 2) in est:
+        assert abs(est[(1, 2)] - exact[(1, 2)]) < 0.35  # 64-hash variance
+    # dissimilar docs must not surface as strong candidates
+    assert est.get((1, 4), 0.0) < 0.2
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    ham_12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_12 < ham_14
+    assert sigs[1] == sigs[3]
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 3 for r in pairs)
+
+
+def test_rolling_hash_fingerprint_robust_to_suffix(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra suffix tokens"), (3, "unrelated words here")],
+        "doc_id bigint, text string",
+    )
+    fp = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", text.rolling_hash_fingerprint("text").alias("f")).collect()}
+    assert fp[1] == fp[2]  # min window hash survives the suffix edit
+    assert fp[1] != fp[3]
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The analysis of the data shows that the results are consistent "
+                "with the expected trends and the method is sound over many trials " * 2),
+            (2, "#### !!!! @@@@ $$$$ %%%% ^^^^ &&&& ****"),
+        ],
+        "doc_id bigint, text string",
+    )
+    scores = {r["doc_id"]: r["q"] for r in df.select(
+        "doc_id", text.quality_score("text").alias("q")).collect()}
+    assert scores[1] > scores[2]
+    assert 0.0 <= scores[2] < 0.5 < scores[1] <= 1.0
