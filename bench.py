@@ -82,10 +82,18 @@ HEADLINE = [
     "join_merge",
     "join_dup_keys",
     "join_star_multiway",
+    "join_asof",
     "agg_groupby",
+    "agg_promo_revenue",
     "window_functions",
     "sort_total_order",
     "top_k",
+    "text_features",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "events_windowed_agg",
+    "events_sessionize",
 ]
 
 

@@ -163,3 +163,63 @@ def salted_join(
     )
     on = (lsalt[left_on] == rsalt[right_on]) & (lsalt["_salt"] == rsalt["_salt"])
     return lsalt.join(rsalt, on, "inner").drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` for the same key (left-outer semantics —
+    unmatched left rows keep nulls).
+
+    Spark has no built-in as-of join (thesis ch. 7 lists temporal joins
+    as future work; the reference implements none). Implemented as a
+    composition of built-ins — union both sides tagged, then one
+    window pass carrying the last-seen right payload forward
+    (``last(..., ignorenulls)``) — a SINGLE shuffle on the key, no
+    per-key cross product, no UDF: the shape that survives 100 TB of
+    fact rows against a large right side (where the classic
+    join-then-filter-max approach explodes).
+    """
+    from pyspark.sql.window import Window
+
+    lcols = [c for c in left.columns if c != on]
+    rcols = [c for c in right.columns if c != on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    # right rows sort before left at equal timestamps (<= semantics)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_k",
+        "_ts",
+        "_side",
+        *[F.col(c) for c in lcols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col("_k").alias(on), *lcols, *rcols
+    )

@@ -1,0 +1,224 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines (scale extension — absent in the reference, SURVEY.md §2.9).
+
+Convention: media travel as opaque ``binary`` columns next to typed
+metadata (byte length, content hash, sniffed container format). All
+metadata extraction is JVM-side (length / md5 / magic-byte prefix match
+in whole-stage codegen) so a 100 TB blob scan never crosses into
+Python. Decode / feature-extraction runs through ``mapInPandas`` with
+Arrow batches — the real distribution plumbing (schema, batch shape,
+partition mapping) is implemented and tested; the pixel/sample decode
+itself is STUBBED (no image/audio libs in this container): it uses a
+real decoder when one is importable, else a clearly-marked
+deterministic fake derived from the blob hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# magic-byte prefixes (hex, uppercase) → container format
+MAGIC_PREFIXES: list[tuple[str, str]] = [
+    ("89504E470D0A1A0A", "png"),
+    ("FFD8FF", "jpeg"),
+    ("474946383761", "gif"),
+    ("474946383961", "gif"),
+    ("52494646", "riff"),  # wav/avi/webp share the RIFF envelope
+    ("494433", "mp3"),
+    ("FFFB", "mp3"),
+    ("664C6143", "flac"),
+    ("1A45DFA3", "mkv/webm"),
+    ("00000018667479", "mp4"),
+    ("00000020667479", "mp4"),
+]
+
+
+def sniff_format(blob: Column | str) -> Column:
+    """Container format from magic bytes — a JVM-side CASE over the hex
+    prefix, no UDF."""
+    c = F.col(blob) if isinstance(blob, str) else blob
+    prefix = F.upper(F.hex(F.substring(c, 1, 16)))
+    out = F.lit("unknown")
+    for magic, fmt in reversed(MAGIC_PREFIXES):
+        out = F.when(prefix.startswith(magic), F.lit(fmt)).otherwise(out)
+    return out
+
+
+def hex_md5(blob: Column | str) -> Column:
+    """Content hash convention: md5 over the UPPERCASE-HEX rendering of
+    the bytes (not the raw bytes) — every engine can hex a blob and md5
+    a string, so fingerprints are portable across engines that cannot
+    hash blobs directly."""
+    c = F.col(blob) if isinstance(blob, str) else blob
+    return F.md5(F.hex(c))
+
+
+def blob_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Attach the typed-metadata struct every multimodal table carries:
+    byte length, content hash (hex-md5 convention), sniffed format."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.length(F.col(blob_col)).cast("bigint").alias("byte_len"),
+            hex_md5(blob_col).alias("content_md5"),
+            sniff_format(blob_col).alias("format"),
+        ),
+    )
+
+
+def text_as_blobs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic blob fixture: the documents table's text encoded as
+    binary, with a PNG/JPEG magic header prepended on a doc_id rotation
+    so format sniffing has variety. Purely synthetic — the container
+    ships no media files — but byte-exact reproducible in any engine
+    (the oracle replays it in SQL)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    blob = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.unhex(F.lit("89504E470D0A1A0A")), payload))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.unhex(F.lit("FFD8FFE0")), payload))
+        .otherwise(payload)
+    )
+    return df.withColumn("blob", blob)
+
+
+# ---------------------------------------------------------------------------
+# Decode stage: mapInPandas with Arrow batches. Schema and partitioning
+# are real; pixel decode is stubbed (see module docstring).
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("decoder", T.StringType()),
+])
+
+
+def _stub_dims(b: bytes) -> tuple[int, int, int]:
+    """Deterministic fake dimensions from the content hash (hex-md5
+    convention, see ``hex_md5``) — stands in for a real decode; stable
+    across engines/runs."""
+    import hashlib
+
+    digest_hex = hashlib.md5(b.hex().upper().encode()).hexdigest()
+    h = int(digest_hex[:8], 16)
+    return 16 + h % 2048, 16 + (h >> 11) % 2048, 1 + (h >> 22) % 4
+
+
+def decode_image_features(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Image decode / feature extraction over Arrow batches.
+
+    Real path: PIL if importable (not in this container). Stub path:
+    deterministic fake dims from md5 (marked ``decoder='stub'``). The
+    mapInPandas contract — iterator of pandas batches in, iterator out,
+    one Python worker per partition — is the exact shape a real decoder
+    plugs into.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image  # noqa: F401
+            import io as _io
+
+            have_pil = True
+        except Exception:
+            have_pil = False
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "byte_len": pdf[blob_col].map(len).astype("int64"),
+            }
+            fmts, widths, heights, chans, decoders = [], [], [], [], []
+            for raw in pdf[blob_col]:
+                b = bytes(raw)
+                fmt = "unknown"
+                for magic, name in MAGIC_PREFIXES:
+                    if b[: len(magic) // 2].hex().upper().startswith(magic):
+                        fmt = name
+                        break
+                if have_pil and fmt in ("png", "jpeg", "gif"):
+                    try:  # pragma: no cover
+                        img = Image.open(_io.BytesIO(b))
+                        w, h = img.size
+                        c = len(img.getbands())
+                        decoders.append("pil")
+                    except Exception:
+                        w, h, c = _stub_dims(b)
+                        decoders.append("stub")
+                else:
+                    w, h, c = _stub_dims(b)
+                    decoders.append("stub")
+                fmts.append(fmt)
+                widths.append(w)
+                heights.append(h)
+                chans.append(c)
+            out["format"] = fmts
+            out["width"] = pd.array(widths, dtype="int32")
+            out["height"] = pd.array(heights, dtype="int32")
+            out["channels"] = pd.array(chans, dtype="int32")
+            out["decoder"] = decoders
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        decode, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_md5", T.StringType()),
+])
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame sampling: emit ``n_frames`` evenly-spaced frames per
+    blob. One input row fans out to N output rows through the same
+    Arrow-batch path a real demuxer would use. Frame extraction is
+    STUBBED (no codec libs): frame i = md5(hex(blob) || i),
+    deterministic (hex-md5 convention, see ``hex_md5``).
+    """
+
+    def sample(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, raw in zip(pdf[id_col], pdf[blob_col]):
+                hex_form = bytes(raw).hex().upper()
+                for i in range(n_frames):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5((hex_form + str(i)).encode()).hexdigest()
+                    )
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_md5": digests,
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(
+        sample, schema=FRAME_SAMPLE_SCHEMA
+    )

@@ -47,14 +47,12 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Subword-regex token count — a cheap proxy for BPE token counts
-    (letters runs + digit runs + punctuation marks)."""
+    """Subword-regex token count — a cheap proxy for BPE token counts:
+    maximal letter runs + digit runs + individual punctuation marks
+    (RE2-compatible pattern, so any engine reproduces it)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(
-        F.filter(
-            F.split(F.lower(c), r"(?=[^a-z0-9])|(?<=[^a-z0-9])"),
-            lambda t: (F.trim(t) != "") ,
-        )
+        F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), F.lit(0))
     ).cast("long")
 
 

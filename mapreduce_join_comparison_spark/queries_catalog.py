@@ -12,6 +12,7 @@ this module imports them all at the bottom.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -176,6 +177,135 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_join(customer, orders, "c_custkey", "o_custkey", "left",
                      "merge").select("c_custkey", "c_name", "o_orderkey",
                                      "o_totalprice")
+
+
+@register(
+    "join_salted",
+    """
+    SELECT p.p_type, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def join_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted skew join (16 salts): the hot-key-spreading
+    tool for single keys too big for one executor, beyond what AQE
+    skew-split handles. Result must equal the plain join (the oracle)."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import salted_join
+
+    lineitem, part = _load(spark, sf_dir, "lineitem", "part")
+    j = salted_join(lineitem, part, "l_partkey", "p_partkey", salt=16)
+    return j.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_promo_revenue",
+    """
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional aggregate over a broadcast
+    fact⋈dim join."""
+    from pyspark.sql import functions as F
+
+    lineitem, part = _load(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = lineitem.join(F.broadcast(part),
+                      lineitem.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+_BANDS = [("budget", 0, 50_000), ("mid", 50_000, 150_000),
+          ("high", 150_000, 300_000), ("lux", 300_000, 10_000_000)]
+
+
+@register(
+    "join_range_bands",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (band) join — discussed-but-unimplemented in the reference
+    (thesis ch. 5.4). Small band table broadcasts → BroadcastNestedLoop
+    with the range predicate; the fact side never shuffles for the
+    join."""
+    from pyspark.sql import functions as F
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    j = orders.join(
+        F.broadcast(bands),
+        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "join_asof",
+    """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts::TIMESTAMP) AS ts_us,
+           c.click_event_id, c.click_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts,
+                           event_id AS click_event_id, value AS click_value
+                    FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (every error event ← latest preceding click by the
+    same user), single-shuffle union+window implementation; the oracle
+    is DuckDB's native ASOF JOIN — two independent as-of engines must
+    agree."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import asof_join
+
+    (events,) = _load(spark, sf_dir, "events")
+    errors = events.filter("event_type = 'error'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    j = asof_join(errors, clicks, on="user_id",
+                  left_ts="ts", right_ts="click_ts")
+    return j.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_event_id", "click_value",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -747,11 +877,334 @@ def similarity_lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(embeddings, queries, dim=64, k=10, n_planes=4, n_tables=8)
 
 
+def _simhash_oracle(bits: int = 32, max_hamming: int = 6) -> str:
+    sig_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM t
+    ),
+    sig AS (SELECT doc_id, ({sig_terms}) AS simhash FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(32, 1))
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit signatures, Hamming ≤ 1 — the
+    synthetic corpus reuses token sets, so distance-0 pairs abound) via
+    pigeonhole bit-block candidate generation; the oracle recomputes
+    the identical signatures bit-for-bit and verifies all-pairs —
+    proving the blocking loses no pair it shouldn't."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        documents, bits=32, max_hamming=1, blocks=4
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_min(list_transform(
+             range(1, greatest(len(toks) - 3, 1) + 1),
+             i -> ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 8))::BIGINT
+           )) AS BIGINT) AS rolling_fp
+    FROM t
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (min over 4-token
+    window hashes) — robust to local edits, bit-exact across engines."""
+    from .operators.text import rolling_hash_fingerprint
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", rolling_hash_fingerprint("text", window=4).alias("rolling_fp")
+    )
+
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish (subword-regex) token counts — the two
+    token-budget estimators a training-data pipeline runs per document."""
+    from .operators.text import bpe_ish_token_count, token_count
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: time-window aggregation, sessionization, JSON props — batch
+# forms here (oracle-checked); the streaming forms run the SAME plan
+# (see streaming/events.py and the stream entry below).
+# --------------------------------------------------------------------------
+
+_WINDOWED_EVENTS_ORACLE = """
+    SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS window_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_windowed_agg", _WINDOWED_EVENTS_ORACLE)
+def events_windowed_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — one shuffle with
+    map-side partial agg; the identical plan runs incrementally under
+    Structured Streaming (events_stream_windowed)."""
+    from .streaming.events import windowed_event_agg
+
+    (events,) = _load(spark, sf_dir, "events")
+    return windowed_event_agg(events, window="1 hour")
+
+
+@register("events_stream_windowed", _WINDOWED_EVENTS_ORACLE)
+def events_stream_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same windowed aggregate executed as a REAL Structured
+    Streaming query (file source → watermark → memory sink,
+    availableNow): the oracle match proves batch/stream equivalence."""
+    import os as _os
+
+    from .streaming.events import (
+        load_events_stream,
+        run_stream_to_memory,
+        windowed_event_agg,
+    )
+
+    stream = load_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    agg = windowed_event_agg(stream, window="1 hour", watermark="1 hour")
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS ts_us,
+             lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), f AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM x
+    ), s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap), batch form: lag →
+    new-session flag → running sum, one shuffle on user_id. The
+    streaming twin (applyInPandasWithState) is exercised in
+    tests/test_streaming.py."""
+    from .streaming.events import sessionize_batch
+
+    (events,) = _load(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=30)
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           event_type = 'error' AS is_error
+    FROM events
+    """,
+)
+def events_json_props_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction stays JVM-side
+    (get_json_object), no Python in the scan."""
+    from pyspark.sql import functions as F
+
+    (events,) = _load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary columns (blob + typed metadata; decode via
+# mapInPandas with a deterministic stub — no media libs in container).
+# The blob fixture derives from documents.text so oracles can replay
+# it byte-for-byte in SQL.
+# --------------------------------------------------------------------------
+
+_BLOB_SQL = """
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0
+                    THEN from_hex('89504E470D0A1A0A') || encode(text)
+                  WHEN doc_id % 3 = 1
+                    THEN from_hex('FFD8FFE0') || encode(text)
+                  ELSE encode(text) END AS blob
+      FROM documents
+"""
+
+_FMT_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'png'
+                   WHEN doc_id % 3 = 1 THEN 'jpeg'
+                   ELSE 'unknown' END"""
+
+
+@register(
+    "multimodal_blob_features",
+    f"""
+    WITH b AS ({_BLOB_SQL})
+    SELECT doc_id,
+           CAST(octet_length(blob) AS BIGINT) AS byte_len,
+           md5(hex(blob)) AS content_md5,
+           {_FMT_SQL} AS format
+    FROM b
+    """,
+)
+def multimodal_blob_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata: byte length, content hash (hex-md5
+    convention), magic-byte format sniff — all JVM-side; the oracle
+    replays the blob construction and the doc_id rotation ground truth,
+    so a mis-sniffed format mismatches."""
+    from .operators.multimodal import blob_metadata, text_as_blobs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    withmeta = blob_metadata(text_as_blobs(documents))
+    return withmeta.select(
+        "doc_id", "meta.byte_len", "meta.content_md5", "meta.format"
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    f"""
+    WITH b AS ({_BLOB_SQL}),
+    h AS (
+      SELECT doc_id, blob,
+             ('0x' || substr(md5(hex(blob)), 1, 8))::BIGINT AS hv
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(octet_length(blob) AS BIGINT) AS byte_len,
+           {_FMT_SQL} AS format,
+           CAST(16 + hv % 2048 AS INT) AS width,
+           CAST(16 + (hv // 2048) % 2048 AS INT) AS height,
+           CAST(1 + (hv // 4194304) % 4 AS INT) AS channels,
+           'stub' AS decoder
+    FROM h
+    """,
+)
+def multimodal_decode_stub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode through the real mapInPandas Arrow plumbing with the
+    deterministic stub decoder; the oracle recomputes the stub's
+    hash-derived dimensions, verifying the full Python-worker path."""
+    from .operators.multimodal import decode_image_features, text_as_blobs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return decode_image_features(text_as_blobs(documents))
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH b AS ({_BLOB_SQL})
+    SELECT doc_id, CAST(r.i AS INT) AS frame_idx,
+           md5(hex(blob) || CAST(r.i AS VARCHAR)) AS frame_md5
+    FROM b, range(4) r(i)
+    """,
+)
+def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through mapInPandas: 1 row → 4 frame rows
+    (stubbed extraction, deterministic digests)."""
+    from .operators.multimodal import sample_frames, text_as_blobs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return sample_frames(text_as_blobs(documents), n_frames=4)
+
+
 # --------------------------------------------------------------------------
 # Generator (SURVEY.md §2.11 G1-G4) — rows-only checks: the Zipf Newton
 # iteration is not SQL-expressible. Distribution properties are
 # asserted in tests/test_generator.py.
 # --------------------------------------------------------------------------
+
+
+@register("agg_approx_sketches", None)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HyperLogLog++ distinct count, approximate
+    percentiles): fixed-size partial state per partition — the only
+    aggregation shapes that stay cheap at 100 TB when exact answers
+    aren't required. Rows-only (sketch internals are engine-specific);
+    accuracy vs exact is asserted in tests/test_sorts_aggs.py."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("price_quantiles"),
+    )
+
+
+@register("source_csv_roundtrip", None)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — the reference's native input format: headerless positional
+    CSV (RepartitionJoin.java:28), exercised end-to-end: write nation
+    as CSV, read it back positionally, run the reference-style join
+    (key TAB left_row,right_row output shape). Rows-only (depends on a
+    scratch path, not a registered table)."""
+    import tempfile
+
+    from .operators.joins import join_reference_style
+    from .sources.io import read_positional_csv, write_table
+
+    (nation,) = _load(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_csv_roundtrip")
+    write_table(nation.select("n_nationkey", "n_name", "n_regionkey"),
+                path, fmt="csv")
+    t = read_positional_csv(spark, path, n_cols=3)
+    return join_reference_style(t, t, 0, 0, strategy="repartition")
 
 
 @register("generator_uniform", None)

@@ -1,0 +1,8 @@
+from .events import (  # noqa: F401
+    load_events_stream,
+    run_stream_to_memory,
+    sessionize_batch,
+    sessionize_stateful,
+    stream_dedup,
+    windowed_event_agg,
+)

@@ -1,0 +1,245 @@
+"""Structured Streaming over the ``events`` table (scale extension —
+the reference has no streaming at all, SURVEY.md §2.9; the driver
+testdata ships an ``events`` table precisely so a stream path exists).
+
+Design: every transformation is written against a plain DataFrame so
+the SAME function body serves batch and streaming — Structured
+Streaming's core contract (a streaming query is the incremental
+execution of the batch plan). Streaming-only concerns (watermarks,
+output mode, stateful processing) live in thin wrappers.
+
+Scale notes (100 TB/day ingest posture):
+  * windowed aggregation shuffles once on (window, event_type) with
+    map-side partial aggregation; state size is bounded by the
+    watermark — late data beyond it is dropped, so state never grows
+    with input size.
+  * ``dropDuplicatesWithinWatermark`` keeps only keys younger than the
+    watermark — bounded-state streaming dedup.
+  * sessionization: batch form is two window functions (one shuffle on
+    user_id); streaming form is ``applyInPandasWithState`` with
+    per-user timeout state — the custom-stateful-operator escape hatch
+    for semantics Spark's built-ins can't express.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema: ts is parquet TIMESTAMP(NANOS), which
+# Spark 4 reads as LongType under spark.sql.legacy.parquet.nanosAsLong
+# (sources.io.load_table handles batch; streams need the explicit
+# schema below because readStream requires one).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos since epoch
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _nanos_to_ts(df: DataFrame) -> DataFrame:
+    # integer `div` truncates ns→µs like other engines; `/` would round
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over events parquet. Spark's file stream
+    source monitors a DIRECTORY; a single-file path is staged via
+    symlink into a derived temp dir. At scale the same plan reads a
+    Kafka source — only this loader changes."""
+    import hashlib
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), f"stream-src-{digest}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        path = stage
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _nanos_to_ts(reader.parquet(path))
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Batch and streaming
+    take the identical plan; pass ``watermark`` on streams to bound
+    state (late rows beyond it are dropped)."""
+    df = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        df.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, watermark: str = "1 hour", keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: drop rows whose key was
+    already seen within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization, batch form: a session is a maximal run
+    of a user's events with < gap between neighbors. Two window
+    functions over one shuffle on user_id (lag → new-session flag →
+    running sum = session index), then a per-session aggregate."""
+    from pyspark.sql.window import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(ts_us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_us), 1
+    ).otherwise(0)
+    sessioned = events.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return sessioned.groupBy("user_id", "session_idx").agg(
+        F.min(ts_us).alias("session_start_us"),
+        F.max(ts_us).alias("session_end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# output schema of the stateful sessionizer (closed sessions only)
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start_us", T.LongType()),
+    T.StructField("session_end_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState``: per-user
+    state = the open session; a session closes when the event-time
+    watermark passes last_event + gap (EventTimeTimeout), which is when
+    it is emitted. State is O(active users), independent of stream
+    length — the 100 TB-ingest-safe shape.
+
+    The reference has no analog (SURVEY.md §2.9-§2.10); this is the
+    engine's custom-stateful-operator surface.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_cols = [f.name for f in SESSION_SCHEMA.fields]
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[user_id, start_us, last_us, n, round(total, 4)]],
+                columns=out_cols,
+            )
+            return
+        pdf = pd.concat([p[["ts", "value"]] for p in pdf_iter]).sort_values("ts")
+        # normalize to ns before the int cast — pandas may deliver
+        # datetime64[us] or [ns] depending on Arrow conversion
+        ts_us_seq = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).tolist()
+        vals = pdf["value"].tolist()
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us, last_us, n, total = 0, 0, 0, 0.0
+        closed = []
+        for t_us, v in zip(ts_us_seq, vals):
+            if n and (t_us - last_us) > gap_us:
+                closed.append([user_id, start_us, last_us, n, round(total, 4)])
+                n, total = 0, 0.0
+            if n == 0:
+                start_us = t_us
+            last_us = t_us
+            n += 1
+            total += v
+        state.update((start_us, last_us, n, total))
+        # timeout fires once the event-time watermark passes session end+gap
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(closed, columns=out_cols)
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink as a DataFrame. Test/driver harness —
+    production sinks are writeStream.format('parquet'|'kafka')."""
+    qname = name or f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(qname)

@@ -1,0 +1,105 @@
+"""Structured Streaming (SURVEY.md §2.9 — absent in the reference;
+first-class here): batch/stream plan equivalence, bounded-state
+streaming dedup, and the applyInPandasWithState sessionizer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.sources import load_table
+from mapreduce_join_comparison_spark.streaming import (
+    load_events_stream,
+    run_stream_to_memory,
+    sessionize_batch,
+    sessionize_stateful,
+    stream_dedup,
+    windowed_event_agg,
+)
+
+from conftest import SF_SMOKE, rows_set
+
+EVENTS_PARQUET = os.path.join(SF_SMOKE, "events.parquet")
+GAP_MIN = 30
+GAP_US = GAP_MIN * 60 * 1_000_000
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_stream_windowed_agg_equals_batch(spark, events_batch):
+    """The same windowed-agg plan, run incrementally over the stream,
+    must produce the batch answer — Structured Streaming's core
+    contract."""
+    stream = load_events_stream(spark, EVENTS_PARQUET)
+    streamed = run_stream_to_memory(
+        windowed_event_agg(stream, "1 hour", watermark="1 hour"),
+        output_mode="complete",
+    )
+    batch = windowed_event_agg(events_batch, "1 hour")
+    assert rows_set(streamed) == rows_set(batch)
+
+
+def test_stream_dedup_drops_cross_file_duplicates(spark, tmp_path):
+    """Two copies of the input (two files in the monitored dir) →
+    dropDuplicatesWithinWatermark emits each event_id exactly once."""
+    stage = tmp_path / "dup-src"
+    stage.mkdir()
+    os.symlink(EVENTS_PARQUET, stage / "a.parquet")
+    os.symlink(EVENTS_PARQUET, stage / "b.parquet")
+    stream = load_events_stream(spark, str(stage))
+    out = run_stream_to_memory(
+        stream_dedup(stream, watermark="40 days"), output_mode="append"
+    )
+    n_unique = out.select("event_id").distinct().count()
+    assert out.count() == n_unique
+    base = spark.read.parquet(EVENTS_PARQUET).count()
+    assert n_unique == base
+
+
+def test_stateful_sessionize_closes_watermark_passed_sessions(
+    spark, events_batch
+):
+    """applyInPandasWithState emits exactly the sessions the final
+    event-time watermark has passed; open sessions stay in state."""
+    stream = load_events_stream(spark, EVENTS_PARQUET)
+    emitted = run_stream_to_memory(
+        sessionize_stateful(stream, gap_minutes=GAP_MIN), output_mode="append"
+    )
+    batch = sessionize_batch(events_batch, gap_minutes=GAP_MIN)
+
+    max_ts_us = events_batch.agg(
+        F.max(F.unix_micros("ts")).alias("m")
+    ).collect()[0]["m"]
+    watermark_us = max_ts_us - GAP_US
+    expected = batch.filter(
+        (F.col("session_end_us") + GAP_US) < watermark_us
+    ).select(
+        "user_id", "session_start_us", "session_end_us", "n_events", "sum_value"
+    )
+    got = emitted.select(
+        "user_id", "session_start_us", "session_end_us", "n_events", "sum_value"
+    )
+    assert rows_set(got, ndigits=4) == rows_set(expected, ndigits=4)
+    # sanity: a meaningful number of sessions actually closed
+    assert emitted.count() > 0
+
+
+def test_batch_sessionize_properties(spark, events_batch):
+    sessions = sessionize_batch(events_batch, gap_minutes=GAP_MIN)
+    # sessions partition the events: per-user event counts must add up
+    per_user = sessions.groupBy("user_id").agg(
+        F.sum("n_events").alias("n")
+    )
+    events_per_user = events_batch.groupBy("user_id").count()
+    joined = per_user.join(events_per_user, "user_id")
+    assert joined.filter(F.col("n") != F.col("count")).count() == 0
+    # no session spans a gap: start <= end everywhere
+    assert sessions.filter(
+        F.col("session_start_us") > F.col("session_end_us")
+    ).count() == 0
