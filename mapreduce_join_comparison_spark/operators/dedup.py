@@ -108,25 +108,35 @@ def minhash_signatures(
     k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-doc MinHash signature (array<bigint>, length num_hashes),
-    computed entirely with higher-order array functions — shingle
-    hashes once, then min of (a*h + b) mod p per hash function. Narrow,
-    no shuffle."""
+    """Per-doc MinHash signature (array<bigint>, length num_hashes).
+
+    Shape: explode shingle hashes to rows, then ALL num_hashes mins as
+    aggregate expressions over the one materialized hash column, one
+    (partial-agg-collapsed) shuffle on the doc id. The tempting
+    pure-array form — num_hashes × ``array_min(transform(hashes,...))``
+    in a single projection — re-evaluates the whole shingle+md5
+    pipeline once per hash function (Catalyst inlines the shared
+    subexpression), which measured ~16× slower.
+
+    ``shingles`` never returns an empty array (min 1 element), so the
+    explode drops no documents.
+    """
     params = minhash_params(num_hashes, seed)
-    sh_hashes = F.transform(
-        shingles(text_col, k), lambda s: md5_hash32(s) % F.lit(MERSENNE_P)
-    )
-    sig_cols = [
-        F.array_min(
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
             F.transform(
-                sh_hashes,
-                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P),
+                shingles(text_col, k),
+                lambda s: md5_hash32(s) % F.lit(MERSENNE_P),
             )
-        )
-        for (a, b) in params
+        ).alias("h"),
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"_s{i}")
+        for i, (a, b) in enumerate(params)
     ]
-    return df.select(
-        F.col(id_col).alias("id"), F.array(*sig_cols).alias("signature")
+    return hashed.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("signature")
     )
 
 
@@ -153,9 +163,13 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
+    # Candidate generation carries ONLY (id, band, bucket) — never the
+    # signature arrays. The same-bucket self-join multiplies rows by
+    # bucket size; shuffling a 16×bigint payload through that blow-up
+    # (and sort-aggregating it in distinct) was ~50× slower. Signatures
+    # re-join AFTER the pair set is deduped to its final (small) size.
     banded = sigs.select(
         "id",
-        "signature",
         F.explode(
             F.array(*[
                 F.struct(
@@ -173,20 +187,20 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"),
-        "band", "bucket",
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"),
-        "band", "bucket",
-    )
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    with_sigs = (
+        cand.join(sigs.select(F.col("id").alias("id_a"),
+                              F.col("signature").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"),
+                          F.col("signature").alias("sig_b")), "id_b")
     )
     agree = F.size(
         F.filter(
@@ -194,7 +208,7 @@ def minhash_lsh_pairs(
             lambda v: v == 1,
         )
     )
-    out = cand.withColumn(
+    out = with_sigs.withColumn(
         "est_jaccard", (agree / F.lit(num_hashes)).cast("double")
     ).select("id_a", "id_b", "est_jaccard")
     if verify_threshold is not None:
@@ -210,29 +224,32 @@ def simhash_signatures(
 ) -> DataFrame:
     """Per-doc SimHash: for each bit position, sum +1/-1 votes of every
     distinct token's md5-derived hash bit; sign → signature bit.
-    Expressed as higher-order array ops over a bit-index sequence —
-    JVM-side, narrow."""
+
+    Same shape as ``minhash_signatures``: explode token hashes to rows
+    and take all per-bit votes as aggregates over the materialized hash
+    column (the per-bit ``F.aggregate`` array-fold form re-hashed every
+    token once per bit)."""
     toks = F.array_distinct(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     )
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: md5_hash32(t)).alias("tok_hashes"),
+        F.explode(F.transform(toks, lambda t: md5_hash32(t))).alias("h"),
     )
-    # per-bit vote: +1 if the token hash has the bit set, else -1;
-    # literal shift per bit position (shiftright needs a literal count)
-    vote = lambda b: F.aggregate(  # noqa: E731
-        F.col("tok_hashes"),
-        F.lit(0),
-        lambda acc, h: acc
-        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    voted = hashed.groupBy("id").agg(*votes)
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        sig = sig + F.when(vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return hashed.select("id", sig.alias("simhash"))
+        sig = sig + F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return voted.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
