@@ -398,6 +398,153 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) — one pass, the
+    expand+aggregate shape Spark shares with rollup."""
+    from pyspark.sql import functions as F
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no value-discovery pass —
+    at scale the extra distinct scan is the hidden cost of implicit
+    pivot)."""
+    from pyspark.sql import functions as F
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return out
+
+
+@register(
+    "agg_statistics",
+    """
+    SELECT ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(SKEWNESS(l_quantity), 4) AS skew_qty,
+           ROUND(KURTOSIS(l_quantity), 4) AS kurt_qty
+    FROM lineitem
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moment aggregates — single-pass, fixed-size partial
+    state (the A1 summary stats generalized)."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
+@register(
+    "window_analytics",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist
+    / first_value) in one window pass — a single shuffle on the
+    partition key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@register(
+    "join_bucketed",
+    """
+    SELECT o.o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's genuinely distinct capability: joining
+    pre-sorted, co-partitioned data with NO shuffle
+    (MergeJoin.java:217-251 zips equal-numbered partitions). Spark
+    form: co-bucketed external tables → SortMergeJoin with no Exchange
+    on either side, and the groupBy on the bucket key adds none either
+    (shuffle-freedom asserted in tests/test_bucketed_join.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.io import write_bucketed
+
+    orders, lineitem = _load(spark, sf_dir, "orders", "lineitem")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    write_bucketed(orders.select("o_orderkey"), "q_orders", ["o_orderkey"], 8,
+                   path=os.path.join(base, "q_orders"))
+    write_bucketed(lineitem.select("l_orderkey", "l_extendedprice"),
+                   "q_lineitem", ["l_orderkey"], 8,
+                   path=os.path.join(base, "q_lineitem"))
+    bo = spark.table("q_orders")
+    bl = spark.table("q_lineitem")
+    j = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey, "inner")
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    ).select(F.col("o_orderkey").alias("k"), "n_items", "total")
+
+
+@register(
     "distinct_pairs",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
@@ -652,18 +799,14 @@ _STOPWORDS_SQL = "('the','a','an','of','and','to','in','is','it','that','for','o
 def text_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis features (token count, stopword /
     punctuation ratios, quality score, content fingerprint) — one
-    narrow JVM-side pass over documents."""
-    from .operators import text as T
+    narrow JVM-side pass over documents, tokenizing once
+    (operators.text.text_features)."""
+    from .operators.text import text_features
 
     (documents,) = _load(spark, sf_dir, "documents")
-    return documents.select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.stopword_ratio("text").alias("stopword_ratio"),
-        T.punct_ratio("text").alias("punct_ratio"),
-        T.mean_token_len("text").alias("mean_token_len"),
-        T.quality_score("text").alias("quality"),
-        T.document_fingerprint("text").alias("fingerprint"),
+    return text_features(documents).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
+        "mean_token_len", "quality", "fingerprint",
     )
 
 

@@ -137,6 +137,7 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist a bucketed+sorted table — the Spark analog of the
     reference's pre-sorted co-partitioned merge-join inputs
@@ -146,18 +147,25 @@ def write_bucketed(
     merge path, which is the reference's one genuinely distinct
     capability (SURVEY.md §7.3)."""
     spark = df.sparkSession
-    # Idempotent across sessions: a stale warehouse dir from a previous
-    # run is unknown to the fresh metastore, and saveAsTable refuses to
-    # reuse the location — drop both.
+    # Idempotent across sessions: a stale data dir from a previous run
+    # is unknown to the fresh metastore, and saveAsTable refuses to
+    # reuse the location — drop both. ``path`` makes the table external
+    # (bucketBy still requires saveAsTable, but the data lands at an
+    # explicit location instead of the session warehouse).
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:"):]
-    stale = os.path.join(warehouse, table_name.lower())
-    if warehouse and os.path.isdir(stale):
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        stale = os.path.join(warehouse, table_name.lower()) if warehouse else ""
+    else:
+        stale = path
+    if stale and os.path.isdir(stale):
         import shutil
 
         shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
