@@ -1,0 +1,201 @@
+"""Command-line entry points mirroring the reference's executable
+surface, so a user of the reference can run the same workflows here:
+
+  * ``join``     — RepartitionJoin/BroadcastJoin/MergeJoin ``main``s
+                   (``RepartitionJoin.java:155-177``,
+                   ``BroadcastJoin.java:134-156``,
+                   ``MergeJoin.java:270-291``): positional argv
+                   ``input1 index1 input2 index2 output`` + a strategy
+                   flag; CSV in, ``key TAB left,right`` text out
+                   (output format at ``RepartitionJoin.java:61``).
+  * ``generate`` — DataGenerator: uniform / Zipf / double-skew pair
+                   writer (``DataGenerator.java:102-259``).
+  * ``simulate`` — JoinSimulation benchmark loop (B1/B2,
+                   ``JoinSimulation.java:87-316``): per step, generate
+                   a pair, run the strategies, append one CSV row of
+                   timings+counts. Failures raise instead of recording
+                   0 ns (reference bug, SURVEY.md §4.3).
+
+Usage:  python -m mapreduce_join_comparison_spark.cli join \
+            --strategy repartition t1.csv 0 t2.csv 0 out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(app: str, reducers: int | None) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark(
+        app_name=app,
+        shuffle_partitions=reducers,
+        manual_join_strategy=True,
+    )
+
+
+def _write_join_output(joined: DataFrame, output: str) -> None:
+    """``key TAB left_row,right_row`` part files — byte-compatible with
+    the reference's TextOutputFormat sink."""
+    joined.select(
+        F.concat_ws(
+            "\t",
+            F.col("k").cast("string"),
+            F.concat_ws(",", F.col("left_row"), F.col("right_row")),
+        ).alias("value")
+    ).write.mode("overwrite").text(output)
+
+
+def cmd_join(args: argparse.Namespace) -> None:
+    from .operators.joins import join_reference_style
+    from .sources.io import read_positional_csv
+
+    spark = _spark(f"{args.strategy}-join", args.reducers)
+    left = read_positional_csv(spark, args.input1, sep=args.sep)
+    right = read_positional_csv(spark, args.input2, sep=args.sep)
+    t0 = time.monotonic_ns()
+    joined = join_reference_style(
+        left, right, args.index1, args.index2, args.strategy
+    )
+    _write_join_output(joined, args.output)
+    elapsed = time.monotonic_ns() - t0
+    print(f"{args.strategy} join wrote {args.output} in {elapsed / 1e9:.3f}s")
+
+
+def _generate_pair(spark, args) -> tuple[DataFrame, DataFrame]:
+    from .generator import generate_uniform_pair, generate_zipf_pair
+
+    unique_values = args.unique_values or max(1, int(args.rows * args.unique))
+    if args.zipf_skew is None:
+        return generate_uniform_pair(
+            spark, args.rows, unique_values, seed=args.seed,
+        )
+    return generate_zipf_pair(
+        spark, args.rows, unique_values, s=args.zipf_skew, seed=args.seed,
+        double_skew=args.double_skew,
+        num_partitions=args.threads,
+    )
+
+
+def cmd_generate(args: argparse.Namespace) -> None:
+    spark = _spark("data-generator", None)
+    t1, t2 = _generate_pair(spark, args)
+    for name, df in (("t1", t1), ("t2", t2)):
+        path = os.path.join(args.out, name)
+        df.select(
+            F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
+            .alias("value")
+        ).write.mode("overwrite").text(path)
+        print(f"wrote {path}")
+
+
+def cmd_simulate(args: argparse.Namespace) -> None:
+    from .operators.joins import equi_join
+
+    spark = _spark("join-simulation", args.reducers)
+    strategies = ["repartition"]
+    if not args.no_broadcast_join:
+        strategies.append("broadcast")
+    strategies.append("merge")
+
+    fieldnames = ["rows", "unique_values", "skew", "strategy",
+                  "rows_left", "rows_right", "rows_out", "seconds"]
+    out_f = open(args.out, "a", newline="") if args.out else sys.stdout
+    writer = csv.DictWriter(out_f, fieldnames=fieldnames)
+    if not args.no_header:
+        writer.writeheader()
+
+    rows = args.rows
+    for _ in range(args.steps):
+        step_args = argparse.Namespace(**{**vars(args), "rows": rows})
+        dim, fact = _generate_pair(spark, step_args)
+        dim = dim.cache()
+        fact = fact.cache()
+        n_left, n_right = dim.count(), fact.count()
+        for strategy in strategies:
+            t0 = time.monotonic()
+            n_out = equi_join(
+                fact,
+                dim.select(*[F.col(c).alias(f"d_{c}") for c in dim.columns]),
+                "k", "d_k", "inner", strategy,
+            ).count()
+            writer.writerow({
+                "rows": rows,
+                "unique_values": args.unique_values or int(rows * args.unique),
+                "skew": args.zipf_skew,
+                "strategy": strategy,
+                "rows_left": n_left,
+                "rows_right": n_right,
+                "rows_out": n_out,
+                "seconds": round(time.monotonic() - t0, 3),
+            })
+            out_f.flush()
+        dim.unpersist()
+        fact.unpersist()
+        rows += args.increment
+    if args.out:
+        out_f.close()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mapreduce_join_comparison_spark",
+                                description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    j = sub.add_parser("join", help="run one join (reference join mains)")
+    j.add_argument("input1")
+    j.add_argument("index1", type=int)
+    j.add_argument("input2")
+    j.add_argument("index2", type=int)
+    j.add_argument("output")
+    j.add_argument("--strategy", default="repartition",
+                   choices=("repartition", "broadcast", "merge", "auto"))
+    j.add_argument("--reducers", type=int, default=None,
+                   help="shuffle partitions (JoinConfig numReducers)")
+    j.add_argument("--sep", default=",")
+    j.set_defaults(func=cmd_join)
+
+    def add_gen_args(sp):
+        sp.add_argument("--rows", type=int, required=True)
+        sp.add_argument("--unique", type=float, default=0.1,
+                        help="dim size as a fraction of --rows")
+        sp.add_argument("--unique-values", type=int, default=None)
+        sp.add_argument("--zipf-skew", type=float, default=None,
+                        help="Zipf s; omit for uniform keys")
+        sp.add_argument("--double-skew", action="store_true")
+        sp.add_argument("--threads", type=int, default=None,
+                        help="write parallelism (reference nThreads)")
+        sp.add_argument("--seed", type=int, default=42)
+
+    g = sub.add_parser("generate", help="write a test pair (DataGenerator)")
+    add_gen_args(g)
+    g.add_argument("--out", required=True)
+    g.set_defaults(func=cmd_generate)
+
+    s = sub.add_parser("simulate", help="benchmark loop (JoinSimulation)")
+    add_gen_args(s)
+    s.add_argument("--steps", type=int, default=1)
+    s.add_argument("--increment", type=int, default=0)
+    s.add_argument("--reducers", type=int, default=None)
+    s.add_argument("--out", default=None, help="append CSV here (default stdout)")
+    s.add_argument("--no-header", action="store_true")
+    s.add_argument("--no-broadcast-join", action="store_true")
+    s.set_defaults(func=cmd_simulate)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""CLI parity with the reference's executable surface (join mains,
+DataGenerator, JoinSimulation) — run in-process against the golden
+fixture pair.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+
+from mapreduce_join_comparison_spark.cli import main
+
+from test_reference_fixtures import T1, T2, oracle_join
+
+
+def _write_csv(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(",".join(str(v) for v in r) + "\n")
+
+
+def _read_part_lines(output_dir):
+    lines = []
+    for p in glob.glob(os.path.join(output_dir, "part-*")):
+        with open(p) as f:
+            lines.extend(line.rstrip("\n") for line in f if line.strip())
+    return sorted(lines)
+
+
+def test_cli_join_matches_oracle(spark, tmp_path):
+    t1, t2 = str(tmp_path / "t1.csv"), str(tmp_path / "t2.csv")
+    out = str(tmp_path / "out")
+    _write_csv(t1, T1)
+    _write_csv(t2, T2)
+    main(["join", "--strategy", "repartition", t1, "0", t2, "0", out])
+    lines = _read_part_lines(out)
+    expect = sorted(
+        f"{k}\t{k},{a},{k},{b}" for k, a, b in oracle_join(T1, T2)
+    )
+    assert lines == expect
+
+
+def test_cli_generate_and_simulate(spark, tmp_path):
+    gen_dir = str(tmp_path / "gen")
+    main(["generate", "--rows", "500", "--unique-values", "50",
+          "--zipf-skew", "0.8", "--out", gen_dir])
+    t1_lines = _read_part_lines(os.path.join(gen_dir, "t1"))
+    t2_lines = _read_part_lines(os.path.join(gen_dir, "t2"))
+    assert len(t1_lines) == 50      # dim: every key once
+    assert len(t2_lines) == 500     # fact
+    assert all(len(line.split(",")) == 4 for line in t2_lines)
+
+    results = str(tmp_path / "results.csv")
+    main(["simulate", "--rows", "400", "--unique-values", "40",
+          "--zipf-skew", "0.8", "--steps", "2", "--increment", "100",
+          "--out", results])
+    with open(results) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2 * 3  # 2 steps x 3 strategies
+    by_step = {}
+    for r in rows:
+        by_step.setdefault(r["rows"], set()).add(int(r["rows_out"]))
+    # all three strategies produce the identical output count per step
+    assert all(len(counts) == 1 for counts in by_step.values())
+    assert {r["rows"] for r in rows} == {"400", "500"}
