@@ -1,0 +1,116 @@
+"""Execution metrics — the reference's ``JoinStats`` re-expressed over
+Spark's instrumentation (SURVEY.md §2.11 A2/B3).
+
+Reference mapping:
+  * job wall time      — ``JobUtils.time`` around ``waitForCompletion``
+                         (``JobUtils.java:17-31``) → ``timed_action``;
+                         failures RAISE (the reference records 0 ns and
+                         the harness records it blindly — SURVEY §4.3).
+  * map/reduce record counters — ``MAP_OUTPUT_RECORDS`` etc. harvested
+                         in ``JoinSimulation.java:161-162`` → per-operator
+                         ``numOutputRows`` from the executed plan's SQL
+                         metrics (``collect_plan_metrics``).
+  * task-time mean/median/max — ``JoinSimulation.java:34-70`` over
+                         ``TaskReport``s → stage/task data from the
+                         status tracker API (``task_time_summary``).
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class RunStats:
+    wall_seconds: float
+    operator_rows: dict[str, list[int]] = field(default_factory=dict)
+    shuffle_rows_written: int = 0
+    output_rows: int | None = None
+
+
+def timed_action(df: DataFrame, action=None) -> tuple[object, float]:
+    """Run an action (default: noop-sink materialization) and return
+    (result, wall seconds). Raises on failure rather than encoding it
+    as a zero time."""
+    t0 = time.monotonic()
+    if action is None:
+        df.write.format("noop").mode("overwrite").save()
+        result = None
+    else:
+        result = action(df)
+    return result, time.monotonic() - t0
+
+
+def _seq(scala_seq) -> list:
+    """Materialize a scala Seq through py4j (not directly iterable)."""
+    return [scala_seq.apply(i) for i in range(scala_seq.size())]
+
+
+def _walk(node):
+    yield node
+    for child in _seq(node.children()):
+        yield from _walk(child)
+    # AQE wraps subtrees; descend into the final plan of each stage
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from _walk(node.executedPlan())
+    elif "QueryStage" in name:
+        yield from _walk(node.plan())
+
+
+def collect_plan_metrics(df: DataFrame) -> RunStats:
+    """Execute ``df`` and harvest per-operator SQL metrics from the
+    executed plan — the analog of reading Hadoop job counters after
+    ``waitForCompletion``.
+
+    Executes the DataFrame's OWN QueryExecution (``toRdd().count()``,
+    no driver materialization of rows) — a sink write or ``df.count()``
+    would run a fresh QueryExecution whose metrics this df's plan never
+    sees."""
+    t0 = time.monotonic()
+    n_out = df._jdf.queryExecution().toRdd().count()
+    wall = time.monotonic() - t0
+    stats = RunStats(wall_seconds=round(wall, 4), output_rows=int(n_out))
+    plan = df._jdf.queryExecution().executedPlan()
+    for node in _walk(plan):
+        name = node.nodeName()
+        metrics = node.metrics()
+        for key in _seq(metrics.keySet().toList()):
+            metric = metrics.get(key).get()
+            if key == "numOutputRows":
+                stats.operator_rows.setdefault(name, []).append(
+                    int(metric.value())
+                )
+            elif key == "shuffleRecordsWritten":
+                stats.shuffle_rows_written += int(metric.value())
+    return stats
+
+
+def task_time_summary(spark) -> dict[str, float]:
+    """mean / median / max of per-stage average task runtime (ms) —
+    ``JoinSimulation.java:34-70`` over Spark's app-status store
+    (per-task granularity would need a SparkListener; per-stage
+    averages carry the same skew signal the reference's harness reads
+    from ``TaskReport``s)."""
+    per_stage: list[float] = []
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        stages = store.stageList(None)
+        for i in range(stages.size()):
+            sd = stages.apply(i)
+            n = sd.numCompleteTasks()
+            if n:
+                per_stage.append(sd.executorRunTime() / n)
+    except Exception:
+        pass
+    if not per_stage:
+        return {"mean_task_ms": 0.0, "median_task_ms": 0.0, "max_task_ms": 0.0}
+    return {
+        "mean_task_ms": round(statistics.fmean(per_stage), 2),
+        "median_task_ms": round(statistics.median(per_stage), 2),
+        "max_task_ms": round(max(per_stage), 2),
+    }

@@ -703,6 +703,77 @@ def set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_functions",
+    """
+    SELECT o_orderkey AS k,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS d,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           STRFTIME(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+           CAST(DATEDIFF('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+           CAST(LAST_DAY(o_orderdate) = o_orderdate AS BOOLEAN) AS is_month_end
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (absent in the reference, §2.8):
+    extract / truncate / arithmetic / diff — all codegen'd builtins.
+    DOW convention aligned to DuckDB (Sunday=0)."""
+    from pyspark.sql import functions as F
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
+        (F.last_day(d) == d).alias("is_month_end"),
+    )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT l_orderkey AS k,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           CAST(len(list(l_linenumber)) AS INT) AS n_lines,
+           list_contains(list(l_linenumber), 3) AS has_line3,
+           CAST(list_sum(list(l_quantity)) AS DOUBLE) AS qty_sum,
+           list_sort(list(l_linenumber))[1] AS first_line
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions over grouped data
+    (collect → sort → contains/element_at/aggregate) — all JVM-side.
+    collect_list is order-nondeterministic, so every derived value goes
+    through sort_array first."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    grouped = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum("l_quantity").cast("double").alias("qty_sum"),
+    )
+    return grouped.select(
+        "k",
+        "line_numbers",
+        "n_lines",
+        F.array_contains("line_numbers", 3).alias("has_line3"),
+        "qty_sum",
+        F.element_at("line_numbers", 1).alias("first_line"),
+    )
+
+
+@register(
     "filter_predicates",
     """
     SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
@@ -1004,6 +1075,21 @@ def similarity_bruteforce_topk_query(spark: SparkSession, sf_dir: str) -> DataFr
     )
     out = brute_force_topk(embeddings, queries, k=10)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register("similarity_ivf_ann", None)
+def similarity_ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (16 cells, probe 4): coarse-quantize the corpus
+    once, score queries only against their nprobe nearest cells.
+    Rows-only (k-means centroids aren't SQL-embeddable); recall vs the
+    exact top-k is asserted in tests/test_similarity.py."""
+    from .operators.similarity import ivf_topk
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter("vec_id < 20").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    return ivf_topk(embeddings, queries, dim=64, k=10, n_cells=16, nprobe=4)
 
 
 @register("similarity_lsh_ann", None)

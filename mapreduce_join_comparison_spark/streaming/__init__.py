@@ -1,4 +1,5 @@
 from .events import (  # noqa: F401
+    interval_join,
     load_events_stream,
     run_stream_to_memory,
     sessionize_batch,

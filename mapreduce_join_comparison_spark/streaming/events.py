@@ -225,6 +225,35 @@ def sessionize_stateful(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: a left row matches right rows of
+    the same key whose timestamp lies in [left_ts - lookback, left_ts].
+    Both sides carry watermarks and the join condition is time-bounded,
+    so Spark can expire buffered state — the only stream-stream join
+    shape whose state stays bounded on unbounded input. Works unchanged
+    on batch frames (same plan; watermarks skipped). Column names must
+    not overlap between the two sides."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[left_on] == right[right_on])
+        & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (right[right_ts] <= left[left_ts])
+    )
+    return left.join(right, cond, "inner")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",

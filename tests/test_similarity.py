@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 from mapreduce_join_comparison_spark.operators.dedup import embedding_near_dup_pairs
 from mapreduce_join_comparison_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
+    train_ivf_centroids,
 )
 
 
@@ -77,6 +79,46 @@ def test_lsh_results_subset_of_scored_universe(spark, embeddings):
     )
     exact = brute_force_topk(embeddings, queries, k=500)
     approx = lsh_topk(embeddings, queries, dim=64, k=500, n_planes=4, n_tables=4)
+    exact_scores = {
+        (r["query_id"], r["corpus_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["corpus_id"])
+        assert key in exact_scores
+        assert abs(exact_scores[key] - r["cosine"]) < 1e-9
+
+
+def test_ivf_topk_recall_and_determinism(spark, embeddings, numpy_corpus):
+    ids, mat = numpy_corpus
+    queries = embeddings.filter("vec_id < 20").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    cents = train_ivf_centroids(embeddings, dim=64, n_cells=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    got = ivf_topk(embeddings, queries, dim=64, k=5, n_cells=8, nprobe=4,
+                   centroids=cents)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    recalls = []
+    for qid in range(20):
+        exact = set(numpy_topk(ids, mat, qid, 5))
+        approx = by_q.get(qid, set())
+        recalls.append(len(exact & approx) / 5)
+    # probing half the cells: expect solid average recall
+    assert sum(recalls) / len(recalls) > 0.4
+    # same centroids → identical result set (deterministic)
+    again = ivf_topk(embeddings, queries, dim=64, k=5, n_cells=8, nprobe=4,
+                     centroids=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_ivf_scores_are_exact_cosines(spark, embeddings):
+    queries = embeddings.filter("vec_id = 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=500)
+    approx = ivf_topk(embeddings, queries, dim=64, k=500, n_cells=8, nprobe=2)
     exact_scores = {
         (r["query_id"], r["corpus_id"]): r["cosine"] for r in exact.collect()
     }

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_join_comparison_spark.sources import load_table
 from mapreduce_join_comparison_spark.streaming import (
+    interval_join,
     load_events_stream,
     run_stream_to_memory,
     sessionize_batch,
@@ -88,6 +89,30 @@ def test_stateful_sessionize_closes_watermark_passed_sessions(
     assert rows_set(got, ndigits=4) == rows_set(expected, ndigits=4)
     # sanity: a meaningful number of sessions actually closed
     assert emitted.count() > 0
+
+
+def _split_sides(df):
+    errors = df.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    clicks = df.filter("event_type = 'click'").selectExpr(
+        "event_id AS r_event_id", "user_id AS r_user_id", "ts AS r_ts"
+    )
+    return errors, clicks
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_batch):
+    """Time-bounded stream-stream join (errors ← clicks within the
+    preceding 10 min) produces the batch answer when the whole input
+    fits one trigger."""
+    stream = load_events_stream(spark, EVENTS_PARQUET)
+    s_err, s_click = _split_sides(stream)
+    streamed = run_stream_to_memory(
+        interval_join(s_err, s_click, "user_id", "r_user_id", "ts", "r_ts"),
+        output_mode="append",
+    )
+    b_err, b_click = _split_sides(events_batch)
+    batch = interval_join(b_err, b_click, "user_id", "r_user_id", "ts", "r_ts")
+    assert rows_set(streamed) == rows_set(batch)
+    assert batch.count() > 0
 
 
 def test_batch_sessionize_properties(spark, events_batch):
