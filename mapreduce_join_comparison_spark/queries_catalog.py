@@ -180,6 +180,72 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    """
+    SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name
+    FROM (SELECT * FROM customer WHERE c_custkey < 100) c
+    FULL JOIN (SELECT * FROM supplier WHERE s_suppkey < 150) s
+      ON c.c_custkey = s.s_suppkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (unmatched rows preserved on BOTH sides) — the
+    join type broadcast cannot execute; Spark falls back to sort-merge
+    regardless of hints."""
+    from .operators.joins import equi_join
+
+    customer, supplier = _load(spark, sf_dir, "customer", "supplier")
+    j = equi_join(customer.filter("c_custkey < 100"),
+                  supplier.filter("s_suppkey < 150"),
+                  "c_custkey", "s_suppkey", "full", "merge")
+    return j.select("c_custkey", "c_name", "s_suppkey", "s_name")
+
+
+@register(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (tiny dims only — crossJoin of big
+    tables is the one shape with no scale story)."""
+    region, nation = _load(spark, sf_dir, "region", "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "sql_subqueries",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end end-to-end (spark.sql over registered views):
+    scalar subquery + correlated EXISTS (Catalyst rewrites the EXISTS
+    to a left-semi join; the scalar subquery becomes a one-row
+    broadcast). TPC-H Q4-shaped."""
+    from .sources.io import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
     "join_salted",
     """
     SELECT p.p_type, CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -1,0 +1,67 @@
+"""Plan-quality regression guard: the physical plans of headline
+catalog queries must keep their intended shape — strategy hints
+honored, no surprise extra shuffles, top-k without a global sort.
+A failure here means a refactor silently degraded the 100 TB posture
+even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mapreduce_join_comparison_spark import queries_catalog as qc
+from mapreduce_join_comparison_spark.plans.explain import (
+    count_shuffles,
+    simple_plan,
+)
+
+from conftest import SF_SMOKE
+
+# query -> (max shuffles, required plan fragment or None)
+EXPECTATIONS = {
+    "join_repartition": (2, "ShuffledHashJoin"),
+    "join_broadcast": (0, "BroadcastHashJoin"),
+    "join_merge": (2, "SortMergeJoin"),
+    "join_semi": (0, "BroadcastHashJoin"),
+    "top_k": (0, "TakeOrderedAndProject"),
+    "join_asof": (1, None),          # one shuffle: the union+window pass
+    "events_sessionize": (1, None),  # window + groupBy share one exchange
+    "events_windowed_agg": (1, None),
+    "agg_groupby": (1, None),
+    "dedup_exact": (1, None),
+    "text_features": (0, None),      # narrow: scan + projects only
+    "join_range_bands": (1, "BroadcastNestedLoopJoin"),
+    "filter_predicates": (0, None),
+    "scalar_functions": (0, None),
+    "projection_key_extract": (0, None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTATIONS))
+def test_plan_shape(spark, name):
+    max_shuffles, fragment = EXPECTATIONS[name]
+    df = qc.QUERIES[name](spark, SF_SMOKE)
+    got = count_shuffles(df)
+    assert got <= max_shuffles, (
+        f"{name}: {got} shuffles (budget {max_shuffles}):\n{simple_plan(df)}"
+    )
+    if fragment:
+        assert fragment in simple_plan(df), (
+            f"{name}: expected {fragment} in plan:\n{simple_plan(df)}"
+        )
+
+
+def test_scans_prune_columns(spark):
+    """Catalog queries that project few columns must not scan all of
+    them (ReadSchema pruned to what's referenced)."""
+    df = qc.QUERIES["filter_predicates"](spark, SF_SMOKE)
+    plan = simple_plan(df)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert cols == {
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag",
+    }
