@@ -318,3 +318,55 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation — turns near-dup
+    PAIRS (from any of the pair generators above) into dedup CLUSTERS,
+    so a pipeline can keep exactly one representative per group even
+    when duplicates form chains (A~B, B~C but A≁C).
+
+    Each vertex starts labeled with itself; every iteration each vertex
+    takes the min of its own and its neighbors' labels. Converges in
+    O(diameter) rounds — near-dup clusters are shallow (2–3). Each
+    round is one shuffle (join + groupBy share the key); lineage is
+    truncated per round via localCheckpoint so 50 iterations don't
+    build a 50-deep plan. At 100 TB graph scale swap the propagation
+    step for large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same driver loop.
+
+    Returns (vertex, component) for every vertex incident to an edge;
+    component = min vertex id of the cluster.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # pin the edge set once — it is re-joined every round, and the
+    # upstream pair pipeline (shingle/minhash/...) must not re-run
+    sym = sym.localCheckpoint()
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        relabeled = (
+            sym.join(labels, "u")
+            .select(F.col("v").alias("u"), "label")
+            .unionByName(labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("new_label"))
+        )
+        changed = (
+            relabeled.join(labels, "u")
+            .filter(F.col("new_label") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = relabeled.withColumnRenamed("new_label", "label").localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("vertex"), F.col("label").alias("component")
+    )

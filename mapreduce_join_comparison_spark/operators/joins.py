@@ -165,6 +165,35 @@ def salted_join(
     return lsalt.join(rsalt, on, "inner").drop("_salt")
 
 
+def semi_join_reduced_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_on: str,
+    dim_on: str | None = None,
+    strategy: str = "repartition",
+) -> DataFrame:
+    """Semi-join-reduced shuffle join — the classic Bloom/semi-join
+    optimization the thesis lists as future work (ch. 7 "Further
+    Work": semi-join reduction of the shuffled side) and the reference
+    never implements.
+
+    The dim side's distinct keys are broadcast and applied as a
+    left-semi filter to the fact side BEFORE the shuffle join, so only
+    fact rows that can possibly match are shuffled. At 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the (often tiny) matching fraction when the dim side is selective.
+    Spark can inject the same idea automatically as a runtime bloom
+    filter (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this
+    operator is the explicit, always-on form with exact keys.
+    """
+    dim_on = dim_on or fact_on
+    keys = dim.select(dim_on).distinct()
+    reduced = fact.join(
+        F.broadcast(keys), fact[fact_on] == keys[dim_on], "left_semi"
+    )
+    return equi_join(reduced, dim, fact_on, dim_on, "inner", strategy)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -246,6 +246,64 @@ def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_semi_reduced",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = 3
+    """,
+)
+def join_semi_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join-reduced shuffle join (thesis ch. 7 future-work item):
+    broadcast the selective dim's distinct keys, left-semi-filter the
+    fact BEFORE its shuffle — only matching fact rows move."""
+    from .operators.joins import semi_join_reduced_join
+
+    lineitem, supplier = _load(spark, sf_dir, "lineitem", "supplier")
+    j = semi_join_reduced_join(
+        lineitem, supplier.filter("s_nationkey = 3"), "l_suppkey", "s_suppkey"
+    )
+    return j.select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+
+
+_EDGES_SQL = """
+    SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 40 AS dst
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _load(spark, sf_dir, "orders")
+    return orders.filter("o_orderkey % 13 = 0").selectExpr(
+        "o_custkey % 40 AS src", "o_orderkey % 40 AS dst"
+    ).distinct()
+
+
+@register(
+    "join_triangle_hypercube",
+    f"""
+    WITH e AS ({_EDGES_SQL})
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM e e1
+    JOIN e e2 ON e1.dst = e2.src
+    JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+    """,
+)
+def join_triangle_hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic 3-way join (graph triangles) via the one-shuffle
+    HyperCube/Shares algorithm — the multiway join the thesis discusses
+    but never implements (ch. 5.4). The oracle is the equivalent
+    two-join SQL chain; results must match bag-exactly."""
+    from .operators.multiway import hypercube_triangle_join
+
+    e = _edges(spark, sf_dir)
+    r = e.selectExpr("src AS a", "dst AS b")
+    s = e.selectExpr("src AS b", "dst AS c")
+    t = e.selectExpr("src AS c", "dst AS a")
+    return hypercube_triangle_join(r, s, t, grid=(4, 4, 2))
+
+
+@register(
     "join_salted",
     """
     SELECT p.p_type, CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -483,6 +541,25 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", _GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form rollup/cube sugar
+    over) — one Expand+Aggregate pass, no per-set rescan."""
+    from .sources.io import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
 
 
 @register(
@@ -1089,6 +1166,48 @@ def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    s AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS common
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    jac AS (SELECT id_a, id_b FROM p
+            WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.2),
+    ed AS (SELECT id_a AS u, id_b AS v FROM jac
+           UNION SELECT id_b, id_a FROM jac),
+    reach(u, v) AS (
+      SELECT u, v FROM ed
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u
+    )
+    SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: connected components over the
+    3-gram-Jaccard pair graph (min-label propagation, one shuffle per
+    round). The oracle computes the same transitive closure with a
+    recursive CTE — an end-to-end cross-engine check of an iterative
+    algorithm."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(documents, k=3, threshold=0.2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1500,6 +1619,41 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 path, fmt="csv")
     t = read_positional_csv(spark, path, n_cols=3)
     return join_reference_style(t, t, 0, 0, strategy="repartition")
+
+
+_NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("source_json_roundtrip", _NATION_SQL)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source/sink (absent in the reference, SURVEY §2.1): write
+    nation as JSON lines, read back with the explicit schema (schema
+    inference is an extra scan — never at 100 TB), compare against the
+    table itself."""
+    import tempfile
+
+    from .sources.io import write_table
+
+    (nation,) = _load(spark, sf_dir, "nation")
+    proj = nation.select("n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_json_roundtrip")
+    write_table(proj, path, fmt="json")
+    return spark.read.schema(proj.schema).json(path)
+
+
+@register("source_orc_roundtrip", _NATION_SQL)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (columnar alternative to parquet; absent in the
+    reference): same roundtrip as JSON."""
+    import tempfile
+
+    from .sources.io import write_table
+
+    (nation,) = _load(spark, sf_dir, "nation")
+    proj = nation.select("n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_orc_roundtrip")
+    write_table(proj, path, fmt="orc")
+    return spark.read.orc(path)
 
 
 @register("generator_uniform", None)

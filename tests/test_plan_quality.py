@@ -33,6 +33,14 @@ EXPECTATIONS = {
     "dedup_exact": (1, None),
     "text_features": (0, None),      # narrow: scan + projects only
     "join_range_bands": (1, "BroadcastNestedLoopJoin"),
+    # semi filter is broadcast; 2-sided shuffle join + tiny dim-key distinct
+    "join_semi_reduced": (3, "LeftSemi"),
+    # static plan repeats the edge-distinct exchange 3× (once per side);
+    # at runtime AQE replaces two with ReusedExchange, so only the
+    # distinct + the ONE grid shuffle execute. The operator itself is
+    # 1 shuffle — asserted in test_multiway_cc on materialized inputs.
+    "join_triangle_hypercube": (4, "FlatMapGroupsInPandas"),
+    "agg_grouping_sets": (1, "Expand"),
     "filter_predicates": (0, None),
     "scalar_functions": (0, None),
     "projection_key_extract": (0, None),
