@@ -32,6 +32,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.io import fan_out
 from .text import document_fingerprint, md5_hash32, shingles
 
 # Mersenne prime 2^31-1: with a,b < p and shingle hashes reduced mod p
@@ -76,6 +77,7 @@ def ngram_jaccard_pairs(
     join), but worst case is still quadratic — at scale use
     ``minhash_lsh_pairs`` to generate candidates and this as verify.
     """
+    df = fan_out(df)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
@@ -122,6 +124,7 @@ def minhash_signatures(
     explode drops no documents.
     """
     params = minhash_params(num_hashes, seed)
+    df = fan_out(df)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -162,7 +165,10 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
+    # the plan below references sigs THREE times (banding + the two
+    # pair re-joins); persist so the shingle+hash pipeline runs once.
+    # ContextCleaner drops the blocks when the DataFrame is GC'd.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, seed).persist()
     # Candidate generation carries ONLY (id, band, bucket) — never the
     # signature arrays. The same-bucket self-join multiplies rows by
     # bucket size; shuffling a 16×bigint payload through that blow-up
@@ -232,6 +238,7 @@ def simhash_signatures(
     toks = F.array_distinct(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     )
+    df = fan_out(df)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.transform(toks, lambda t: md5_hash32(t))).alias("h"),
