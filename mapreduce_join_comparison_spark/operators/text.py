@@ -240,3 +240,57 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("double")
         .alias("quality"),
     ).drop("_toks", "_toks_low")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document — the classic corpus
+    statistic (keyword extraction / quality signals) the reference has
+    no analog for.
+
+    tf = term count / doc length; idf = ln(N / docfreq). Three
+    shuffles total: (id,term) counts, term docfreq, and the per-doc
+    top-k window; the docfreq (vocabulary-sized) side and the one-row
+    corpus count are BROADCAST into the scoring join, so the big
+    per-doc-term stream shuffles only twice. Ranking uses the
+    6dp-ROUNDED score (desc, then term asc) so rank boundaries are
+    reproducible across engines' last-ulp ln() differences.
+    """
+    from pyspark.sql.window import Window
+
+    from ..sources.io import fan_out
+
+    base = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(tokens(text_col), lambda t: F.lower(t)).alias("toks"),
+        )
+        .select("id", F.size("toks").alias("n_toks"), F.explode("toks").alias("term"))
+    )
+    tf = base.groupBy("id", "n_toks", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    ndocs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col("id"),
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_toks"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df_t")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rnk")
+    )

@@ -1601,6 +1601,81 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_topterms",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
+    ),
+    tf AS (SELECT doc_id, n_toks, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND((CAST(cnt AS DOUBLE) / n_toks)
+                   * ln(CAST(n_docs AS DOUBLE) / df_t), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction). Ranking
+    on the 6dp-rounded score in both engines so last-ulp ln()
+    differences can't flip a rank boundary."""
+    from .operators.text import tfidf_top_terms
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return tfidf_top_terms(documents, top_n=3)
+
+
+@register(
+    "sample_hash_split",
+    """
+    SELECT doc_id, lang, length(text) AS text_len
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT % 100 < 80
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split by key-hash bucketing — the
+    seed-free, engine-reproducible split a training pipeline needs
+    (membership stable under re-runs and repartitioning; RAND()-based
+    splits are neither). The oracle replays the identical md5 bucket
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import hash_split
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    train, _ = hash_split(documents, "doc_id", train_pct=80, salt="split")
+    return train.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("text_len")
+    )
+
+
+@register("sample_stratified", None)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified Bernoulli sample (seeded ``sampleBy``) —
+    rows-only: the sampling RNG is Spark-internal, not replayable in
+    another engine."""
+    from .operators.sampling import stratified_sample
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.2, "zh": 0.2}
+    return stratified_sample(documents, "lang", fractions, seed=42).select(
+        "doc_id", "lang"
+    )
+
+
 @register("source_csv_roundtrip", None)
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 — the reference's native input format: headerless positional

@@ -1,0 +1,66 @@
+"""Sampling (hash split, stratified) and TF-IDF operator tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
+from mapreduce_join_comparison_spark.operators.text import tfidf_top_terms
+
+
+def test_hash_split_partitions_exactly(spark, tables):
+    docs = tables["documents"]
+    train, hold = hash_split(docs, "doc_id", train_pct=80, salt="s")
+    n, nt, nh = docs.count(), train.count(), hold.count()
+    assert nt + nh == n
+    # disjoint by construction; verify anyway
+    assert train.join(hold, "doc_id", "inner").count() == 0
+    # roughly 80/20 (binomial over ~500 docs)
+    assert 0.6 < nt / n < 0.95
+
+
+def test_hash_split_deterministic_and_salt_sensitive(spark, tables):
+    docs = tables["documents"]
+    a1, _ = hash_split(docs, "doc_id", train_pct=50, salt="x")
+    a2, _ = hash_split(docs, "doc_id", train_pct=50, salt="x")
+    b1, _ = hash_split(docs, "doc_id", train_pct=50, salt="y")
+    ids = lambda d: {r.doc_id for r in d.select("doc_id").collect()}  # noqa: E731
+    assert ids(a1) == ids(a2)
+    assert ids(a1) != ids(b1)
+
+
+def test_stratified_sample_respects_strata(spark, tables):
+    docs = tables["documents"]
+    out = stratified_sample(docs, "lang", {"en": 1.0, "de": 0.0}, seed=1)
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "de" not in langs
+    n_en = docs.filter("lang = 'en'").count()
+    assert out.filter("lang = 'en'").count() == n_en
+
+
+def test_tfidf_known_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date date")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 'apple' tf=2/3, df=1 → tfidf = 2/3*ln(3); banana tf=1/3 df=2
+    top1 = sorted(by_doc[1], key=lambda r: r.rnk)[0]
+    assert top1.term == "apple"
+    assert abs(top1.tfidf - round(2 / 3 * math.log(3), 6)) < 1e-9
+    # every doc has ≤2 ranked terms, ranks are 1..k
+    for rows in by_doc.values():
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_tfidf_no_python_udf_in_plan(spark, tables):
+    plan = tfidf_top_terms(tables["documents"])._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
