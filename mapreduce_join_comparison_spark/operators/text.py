@@ -137,10 +137,15 @@ def rolling_hash_fingerprint(col: Column | str, window: int = 4) -> Column:
     Built from higher-order array functions, no UDF."""
     toks = F.transform(tokens(col), lambda t: F.lower(t))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    # same shifted-zip construction as `shingles` (one slice per shift,
+    # not one per window — the per-window slice form is O(n²) per row)
+    z = toks
+    for j in range(2, window + 1):
+        shifted = F.slice(toks, j, F.greatest(n - j + 1, F.lit(0)))
+        z = F.zip_with(z, shifted, lambda a, b: F.concat_ws(" ", a, b))
     window_hashes = F.transform(
-        idx,
-        lambda i: md5_hash32(F.concat_ws(" ", F.slice(toks, i, window))),
+        F.slice(z, 1, F.greatest(n - window + 1, F.lit(1))),
+        lambda w: md5_hash32(w),
     )
     return F.array_min(window_hashes).cast("bigint")
 

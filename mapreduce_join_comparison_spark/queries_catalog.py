@@ -1406,6 +1406,41 @@ def events_windowed_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_agg(events, window="1 hour")
 
 
+@register(
+    "events_stream_enriched",
+    """
+    SELECT c.c_nationkey, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_enriched_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dim enrichment: the event stream joins a
+    BROADCAST customer table per micro-batch (zero stream state), then
+    aggregates per nation × event type. Oracle = the equivalent batch
+    join+agg — proves the stream plan computes the same relation."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .streaming.events import (
+        load_events_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    stream = load_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    (customer,) = _load(spark, sf_dir, "customer")
+    enriched = stream_static_enrich(stream, customer, "user_id", "c_custkey")
+    agg = enriched.groupBy("c_nationkey", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
 @register("events_stream_windowed", _WINDOWED_EVENTS_ORACLE)
 def events_stream_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same windowed aggregate executed as a REAL Structured

@@ -5,5 +5,6 @@ from .events import (  # noqa: F401
     sessionize_batch,
     sessionize_stateful,
     stream_dedup,
+    stream_static_enrich,
     windowed_event_agg,
 )

@@ -254,6 +254,21 @@ def interval_join(
     return left.join(right, cond, "inner")
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_on: str,
+    dim_on: str,
+) -> DataFrame:
+    """Stream-static dimension enrichment: inner-join each micro-batch
+    against a broadcast static table — the standard production shape
+    for attaching dim attributes (user → account, device → model) to
+    an event stream. No stream state at all: the static side is
+    re-broadcast per micro-batch (picking up dim updates), the stream
+    side stays append-only. Works unchanged on batch frames."""
+    return stream.join(F.broadcast(dim), stream[stream_on] == dim[dim_on], "inner")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",

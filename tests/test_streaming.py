@@ -128,3 +128,27 @@ def test_batch_sessionize_properties(spark, events_batch):
     assert sessions.filter(
         F.col("session_start_us") > F.col("session_end_us")
     ).count() == 0
+
+
+def test_stream_static_enrich_equals_batch(spark, events_batch):
+    """Stream ⋈ broadcast static dim, aggregated, must equal the batch
+    join+agg over the same data."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_join_comparison_spark.sources import load_table
+    from mapreduce_join_comparison_spark.streaming import (
+        load_events_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    stream = load_events_stream(spark, EVENTS_PARQUET)
+
+    def agg(df):
+        return stream_static_enrich(df, customer, "user_id", "c_custkey").groupBy(
+            "c_nationkey", "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+
+    streamed = run_stream_to_memory(agg(stream), output_mode="complete")
+    assert rows_set(streamed) == rows_set(agg(events_batch))
