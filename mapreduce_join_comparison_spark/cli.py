@@ -145,6 +145,32 @@ def cmd_simulate(args: argparse.Namespace) -> None:
         out_f.close()
 
 
+def cmd_query(args: argparse.Namespace) -> None:
+    from . import queries_catalog as qc
+
+    if args.name == "list" or args.name not in qc.QUERIES:
+        for name in sorted(qc.QUERIES):
+            oracle = "oracle" if name in qc.ORACLES else "rows-only"
+            print(f"{name:32s} {oracle}")
+        if args.name != "list":
+            sys.exit(f"unknown query {args.name!r} — pick one of the above")
+        return
+    spark = _spark(f"query:{args.name}", args.reducers)
+    df = qc.QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        ))
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for row in df.limit(args.limit).collect():
+            print(row)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mapreduce_join_comparison_spark",
                                 description=__doc__)
@@ -189,6 +215,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--no-header", action="store_true")
     s.add_argument("--no-broadcast-join", action="store_true")
     s.set_defaults(func=cmd_simulate)
+
+    q = sub.add_parser(
+        "query", help="run any catalog query ('query list' to enumerate)"
+    )
+    q.add_argument("name", help="catalog query name, or 'list'")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20,
+                   help="rows to print (ignored with --out)")
+    q.add_argument("--out", default=None, help="write result parquet here")
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan first")
+    q.add_argument("--reducers", type=int, default=None)
+    q.set_defaults(func=cmd_query)
     return p
 
 

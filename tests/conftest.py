@@ -27,6 +27,22 @@ def spark():
     yield spark
 
 
+@pytest.fixture(autouse=True)
+def _restore_session_conf():
+    """CLI entry points call ``get_spark(manual_join_strategy=True)``,
+    and builder configs apply to an existing session — so an in-process
+    ``cli.main`` run leaves ``autoBroadcastJoinThreshold=-1`` behind and
+    later plan-shape tests see broadcasts degrade to shuffle joins.
+    Restore the suite's conf after every test."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE

@@ -11,6 +11,7 @@ import os
 
 from mapreduce_join_comparison_spark.cli import main
 
+from conftest import SF_SMOKE
 from test_reference_fixtures import T1, T2, oracle_join
 
 
@@ -64,3 +65,15 @@ def test_cli_generate_and_simulate(spark, tmp_path):
     # all three strategies produce the identical output count per step
     assert all(len(counts) == 1 for counts in by_step.values())
     assert {r["rows"] for r in rows} == {"400", "500"}
+
+
+def test_cli_query_run_and_list(spark, tmp_path, capsys):
+    main(["query", "list"])
+    listed = capsys.readouterr().out
+    assert "join_repartition" in listed and "oracle" in listed
+    out = str(tmp_path / "q_out")
+    main(["query", "agg_groupby", "--sf-dir", SF_SMOKE, "--out", out,
+          "--explain"])
+    printed = capsys.readouterr().out
+    assert "Physical Plan" in printed
+    assert spark.read.parquet(out).count() > 0
