@@ -83,6 +83,10 @@ HEADLINE = [
     "join_dup_keys",
     "join_star_multiway",
     "join_asof",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q8_market_share",
+    "tpch_q18_large_volume",
     "agg_groupby",
     "agg_promo_revenue",
     "window_functions",

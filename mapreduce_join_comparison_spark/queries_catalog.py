@@ -1814,3 +1814,10 @@ def projection_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         ).alias("row_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
+# --------------------------------------------------------------------------
+
+from . import tpch_queries  # noqa: E402,F401  (self-registering)

@@ -87,6 +87,23 @@ EXPECTATIONS = {
     "filter_predicates": (0, None),
     "scalar_functions": (0, None),
     "projection_key_extract": (0, None),
+    # Adapted TPC-H suite (at SF_SMOKE the scaled dims auto-broadcast,
+    # so one shuffle = the final aggregate; q13/q17/q22 legitimately
+    # need a second for their two-level / decorrelated aggregates).
+    "tpch_q3_shipping_priority": (1, "TakeOrderedAndProject"),
+    "tpch_q4_order_priority": (1, None),
+    "tpch_q5_local_supplier": (1, None),
+    "tpch_q6_forecast_revenue": (1, None),
+    "tpch_q7_volume_shipping": (1, None),
+    "tpch_q8_market_share": (1, None),
+    "tpch_q9_product_profit": (1, None),
+    "tpch_q10_returned_items": (1, "TakeOrderedAndProject"),
+    "tpch_q12_late_lines": (1, None),
+    "tpch_q13_customer_distribution": (2, None),
+    "tpch_q17_small_quantity": (2, None),
+    "tpch_q18_large_volume": (1, None),
+    "tpch_q19_discounted_revenue": (1, None),
+    "tpch_q22_sleeping_customers": (2, None),
 }
 
 
