@@ -98,6 +98,7 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "events_windowed_agg",
     "events_sessionize",
+    "pipeline_training_data",
 ]
 
 

@@ -1,0 +1,194 @@
+"""End-to-end training-data pipeline queries.
+
+The individual operators (text features, language ID, exact dedup,
+deterministic split, embedding similarity) each have their own catalog
+entry; these queries compose them the way a 100 TB pretraining-data
+build actually runs them, as ONE lazy plan:
+
+    documents → featurize (narrow, one scan)
+              → quality gate (filter)
+              → exact near-dup removal (one shuffle on fingerprint)
+              → deterministic train/holdout split (pure filter)
+              → corpus report (one aggregate shuffle)
+
+Nothing materializes on the driver; the whole pipeline is three
+shuffles end-to-end (fingerprint window + aggregate; the split adds
+none), so it scales by partition count alone.
+
+Both queries register full DuckDB oracles — every stage is
+deterministic arithmetic, so the driver's strongest value-hash check
+covers the composition, not just the pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries_catalog import register
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    from .sources import load_table
+
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+_QUALITY_MIN = 0.55
+_TRAIN_PCT = 80
+
+
+def _pipeline_oracle() -> str:
+    from .operators.text import LANG_MARKERS, STOPWORDS
+
+    toks = "string_split_regex(trim(text), '\\s+')"
+    stopwords = "(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+    codes = sorted(LANG_MARKERS)
+    hit_cols = ", ".join(
+        "len(list_filter(toks_l, t -> t IN ({m}))) AS h_{c}".format(
+            m=",".join(f"'{m}'" for m in LANG_MARKERS[c]), c=c
+        )
+        for c in codes
+    )
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    lang_case = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{c} = {best} THEN '{c}'" for c in codes)
+        + " END"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {toks} AS toks,
+             list_transform({toks}, t -> lower(t)) AS toks_l
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks_l, t -> t IN {stopwords})) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+               / greatest(len(toks), 1) AS mean_token_len,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+             {hit_cols}
+      FROM t
+    ), q AS (
+      SELECT doc_id, n_tokens, fingerprint, {lang_case} AS lang_pred,
+             (least(n_tokens / 50.0, 1.0)
+              + least(stopword_ratio * 4.0, 1.0)
+              + greatest(0.0, 1.0 - punct_ratio * 5.0)
+              + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                     THEN 1.0 ELSE 0.5 END) / 4.0 AS quality
+      FROM m
+    ), gated AS (
+      SELECT * FROM q WHERE quality >= {_QUALITY_MIN}
+    ), deduped AS (
+      SELECT * FROM gated
+      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    ), split AS (
+      SELECT *,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+                       % 100 < {_TRAIN_PCT}
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM deduped
+    )
+    SELECT split, lang_pred, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(quality), 5) AS avg_quality
+    FROM split
+    GROUP BY split, lang_pred
+    """
+
+
+@register("pipeline_training_data", _pipeline_oracle())
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data pipeline: featurize → quality-gate
+    (≥ 0.55) → exact-dedup (min-doc_id survivor per content
+    fingerprint) → deterministic 80/20 content-hash split → per-split ×
+    per-language corpus stats. One scan, three shuffles total."""
+    from .operators.sampling import hash_bucket
+    from .operators.text import text_features
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    feats = text_features(documents).select(
+        "doc_id", "n_tokens", "fingerprint", "lang_pred", "quality"
+    )
+    gated = feats.filter(F.col("quality") >= _QUALITY_MIN)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    split = deduped.withColumn(
+        "split",
+        F.when(hash_bucket("doc_id", 100, "split") < _TRAIN_PCT, "train")
+        .otherwise("holdout"),
+    )
+    return split.groupBy("split", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("quality"), 5).alias("avg_quality"),
+    )
+
+
+@register(
+    "pipeline_embedding_prep",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, label,
+             list_transform(emb, x -> CAST(round(x / nrm * 127.0) AS INT)) AS q8,
+             emb, nrm
+      FROM n WHERE nrm > 0
+    ), e AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(list_zip(emb, q8),
+                  p -> abs(p[1] / nrm - p[2] / 127.0))) AS abs_err
+      FROM q
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(abs_err), 6) AS avg_quant_err,
+           ROUND(MAX(abs_err), 6) AS max_quant_err
+    FROM e
+    GROUP BY label
+    """,
+)
+def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side pipeline prep: L2-normalize each vector, scalar-
+    quantize to int8 (×127), and report per-label reconstruction error
+    — the storage/recall tradeoff check run before shipping vectors to
+    an ANN index. Narrow until the final tiny aggregate; the quantized
+    column is what a real pipeline would write out (8× smaller)."""
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    n = embeddings.select("vec_id", "label", emb.alias("emb"), nrm.alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    q = n.select(
+        "vec_id", "label", "emb", "nrm",
+        F.transform(F.col("emb"),
+                    lambda x: F.round(x / F.col("nrm") * 127.0).cast("int"))
+        .alias("q8"),
+    )
+    err = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("q8"),
+                   lambda x, qv: F.abs(x / F.col("nrm") - qv / 127.0)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = q.select("vec_id", "label", err.alias("abs_err"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("abs_err"), 6).alias("avg_quant_err"),
+        F.round(F.max("abs_err"), 6).alias("max_quant_err"),
+    )

@@ -1821,3 +1821,4 @@ def projection_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from . import tpch_queries  # noqa: E402,F401  (self-registering)
+from . import pipeline  # noqa: E402,F401  (self-registering)

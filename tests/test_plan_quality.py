@@ -104,6 +104,10 @@ EXPECTATIONS = {
     "tpch_q18_large_volume": (1, None),
     "tpch_q19_discounted_revenue": (1, None),
     "tpch_q22_sleeping_customers": (2, None),
+    # Composed pipelines: featurize is narrow; dedup window + final
+    # aggregate are the only wide stages.
+    "pipeline_training_data": (2, None),
+    "pipeline_embedding_prep": (1, None),
 }
 
 
