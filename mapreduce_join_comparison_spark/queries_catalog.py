@@ -1711,13 +1711,24 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_csv_roundtrip", None)
+@register(
+    "source_csv_roundtrip",
+    """
+    SELECT CAST(a.n_nationkey AS VARCHAR) AS k,
+           CAST(a.n_nationkey AS VARCHAR) || ',' || a.n_name || ',' ||
+             CAST(a.n_regionkey AS VARCHAR) AS left_row,
+           CAST(b.n_nationkey AS VARCHAR) || ',' || b.n_name || ',' ||
+             CAST(b.n_regionkey AS VARCHAR) AS right_row
+    FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+    """,
+)
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 — the reference's native input format: headerless positional
     CSV (RepartitionJoin.java:28), exercised end-to-end: write nation
     as CSV, read it back positionally, run the reference-style join
-    (key TAB left_row,right_row output shape). Rows-only (depends on a
-    scratch path, not a registered table)."""
+    (key TAB left_row,right_row output shape). The oracle replays the
+    whole roundtrip relationally: a lossless CSV write/read of nation
+    self-joined on its unique key."""
     import tempfile
 
     from .operators.joins import join_reference_style

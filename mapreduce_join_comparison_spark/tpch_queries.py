@@ -47,6 +47,88 @@ def _revenue():
 
 
 @register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           ROUND(AVG(l_quantity), 5) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 5) AS avg_price,
+           ROUND(AVG(l_discount), 5) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary report — the full 8-aggregate form (the
+    catalog's agg_groupby is the abbreviated shape). One scan, partial
+    aggregation map-side, one shuffle on the 2-column grouping key."""
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    disc_price = _revenue()
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 5).alias("avg_price"),
+            F.round(F.avg("l_discount"), 5).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier (the reference view inlined as a CTE): quarter
+    revenue per supplier, keep the one(s) equal to the global max —
+    a scalar-subquery-over-aggregate shape; the 1-row max broadcasts
+    back onto the per-supplier aggregate."""
+    lineitem, supplier = _load(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).alias("total_rev"))
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    top = revenue.join(F.broadcast(max_rev)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    return (
+        supplier.join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name",
+                F.round("total_rev", 2).alias("total_revenue"))
+    )
+
+
+@register(
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,

@@ -90,6 +90,10 @@ EXPECTATIONS = {
     # Adapted TPC-H suite (at SF_SMOKE the scaled dims auto-broadcast,
     # so one shuffle = the final aggregate; q13/q17/q22 legitimately
     # need a second for their two-level / decorrelated aggregates).
+    "tpch_q1_pricing_summary": (1, None),
+    # static plan repeats the revenue agg (max side + join side);
+    # runtime exchange reuse collapses it
+    "tpch_q15_top_supplier": (3, None),
     "tpch_q3_shipping_priority": (1, "TakeOrderedAndProject"),
     "tpch_q4_order_priority": (1, None),
     "tpch_q5_local_supplier": (1, None),
