@@ -1828,6 +1828,81 @@ def projection_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CDC / incremental maintenance (operators/cdc.py) — how a 100 TB corpus
+# is maintained rather than rebuilt.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_merge_upsert",
+    """
+    WITH updates AS (
+        SELECT c_custkey, 'UPD:' || c_name AS c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW:' || c_name, c_nationkey,
+               0.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+           COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+    FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert of a deterministic update batch (every 7th
+    customer gets a marked name + adjusted balance; every 97th spawns
+    a new row) into the customer base: full-outer join + COALESCE,
+    update side winning. The result IS the maintained table."""
+    from pyspark.sql import functions as F
+
+    from .operators.cdc import merge_upsert
+
+    (customer,) = _load(spark, sf_dir, "customer")
+    changed = customer.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPD:"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserted = customer.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW:"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return merge_upsert(customer, changed.unionByName(inserted), "c_custkey")
+
+
+@register(
+    "cdc_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts::TIMESTAMP DESC, event_id DESC
+    ) = 1
+    """,
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction: the newest event per user (µs-truncated
+    timestamp on both engines; event_id breaks exact ties so the
+    survivor is deterministic)."""
+    from .operators.cdc import latest_per_key
+
+    (events,) = _load(spark, sf_dir, "events")
+    return latest_per_key(events, "user_id", "ts", tiebreak="event_id").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+# --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------
 

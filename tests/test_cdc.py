@@ -1,0 +1,48 @@
+"""CDC operator semantics on literal frames: upsert row fates
+(updated / untouched / inserted) and log-compaction survivor choice."""
+
+from __future__ import annotations
+
+from mapreduce_join_comparison_spark.operators.cdc import (
+    latest_per_key,
+    merge_upsert,
+)
+
+
+def test_merge_upsert_row_fates(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, v string, x double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k int, v string, x double"
+    )
+    got = {r.k: (r.v, r.x) for r in merge_upsert(base, updates, "k").collect()}
+    assert got == {
+        1: ("a", 10.0),   # untouched base row passes through
+        2: ("B", 99.0),   # matched: every update column wins
+        3: ("c", 30.0),
+        4: ("d", 40.0),   # unmatched update inserts
+    }
+
+
+def test_merge_upsert_is_idempotent(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    updates = spark.createDataFrame([(2, "B")], "k int, v string")
+    once = merge_upsert(base, updates, "k")
+    twice = merge_upsert(once, updates, "k")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_latest_per_key_picks_newest_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 100, 7, "old"),
+            (1, 200, 8, "new"),
+            (2, 50, 1, "only"),
+            (3, 60, 2, "tie-lo"),
+            (3, 60, 5, "tie-hi"),  # equal version: higher tiebreak id wins
+        ],
+        "k int, version long, id long, tag string",
+    )
+    got = {r.k: r.tag for r in latest_per_key(df, "k", "version", "id").collect()}
+    assert got == {1: "new", 2: "only", 3: "tie-hi"}

@@ -112,6 +112,10 @@ EXPECTATIONS = {
     # aggregate are the only wide stages.
     "pipeline_training_data": (2, None),
     "pipeline_embedding_prep": (1, None),
+    # CDC: full-outer merge shuffles both sides once; compaction is
+    # one window shuffle.
+    "cdc_merge_upsert": (2, None),
+    "cdc_latest_per_key": (1, None),
 }
 
 
