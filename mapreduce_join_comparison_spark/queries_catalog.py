@@ -1827,6 +1827,27 @@ def projection_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "layout_zorder_roundtrip",
+    "SELECT event_id, user_id, value FROM events",
+)
+def layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write (sources/layout.py) round-trip: events
+    clustered on (user_id, value) then read back — layout is a storage
+    property, so the relation must be byte-identical to the plain
+    projection (the oracle). Span-narrowing itself is asserted in
+    test_zorder_layout."""
+    import tempfile
+
+    from .sources.layout import write_zordered
+
+    (events,) = _load(spark, sf_dir, "events")
+    proj = events.select("event_id", "user_id", "value")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_zorder_roundtrip")
+    write_zordered(proj, path, ["user_id", "value"], num_files=8)
+    return spark.read.parquet(path)
+
+
 # --------------------------------------------------------------------------
 # CDC / incremental maintenance (operators/cdc.py) — how a 100 TB corpus
 # is maintained rather than rebuilt.
