@@ -119,8 +119,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen so query 1 isn't charged for startup
+    # warm the JVM/codegen AND the OS page cache / parquet footers so
+    # query 1 isn't charged for process startup or cold reads that no
+    # other query pays (reference analog: JoinSimulation times jobs
+    # after data generation already touched the files)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from mapreduce_join_comparison_spark.sources.io import TABLES
+
+    for t in TABLES:
+        try:
+            spark.read.parquet(os.path.join(args.sf_dir, f"{t}.parquet")).count()
+        except Exception:
+            pass
 
     t0 = time.monotonic()
     queries = bench_queries(spark, args.sf_dir, args.queries)
