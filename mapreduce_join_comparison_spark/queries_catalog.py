@@ -1923,6 +1923,57 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_stream_upsert",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts::TIMESTAMP DESC, event_id DESC
+    ) = 1
+    """,
+)
+def events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental upsert: the events table chunked into 3
+    micro-batches, foreachBatch-compacted into a snapshot-versioned
+    latest-state table (streaming/events.incremental_upsert_stream).
+    The final snapshot must equal the batch compaction — so this
+    STREAMING query carries a full relational oracle, the strongest
+    check a streaming op can have."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming.events import incremental_upsert_stream, load_events_stream
+
+    workdir = tempfile.mkdtemp(prefix="stream_upsert_")
+    stage = _os.path.join(workdir, "chunks")
+    _os.makedirs(stage)
+    # the chunk-staging read happens before load_events_stream sets it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for i in range(3):
+        out = _os.path.join(workdir, f"chunk{i}")
+        (
+            spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+            .filter(f"event_id % 3 = {i}")
+            .coalesce(1)
+            .write.parquet(out)
+        )
+        (part,) = _glob.glob(_os.path.join(out, "part-*.parquet"))
+        shutil.copy(part, _os.path.join(stage, f"c{i}.parquet"))
+    stream = load_events_stream(spark, stage, max_files_per_trigger=1)
+    final = incremental_upsert_stream(
+        stream,
+        _os.path.join(workdir, "state"),
+        key="user_id",
+        version_col="ts",
+        tiebreak="event_id",
+        checkpoint_dir=_os.path.join(workdir, "ckpt"),
+    )
+    return final.select("user_id", "event_id", "event_type", "value")
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

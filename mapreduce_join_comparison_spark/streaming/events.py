@@ -269,6 +269,69 @@ def stream_static_enrich(
     return stream.join(F.broadcast(dim), stream[stream_on] == dim[dim_on], "inner")
 
 
+def incremental_upsert_stream(
+    stream_df: DataFrame,
+    target_dir: str,
+    key: str,
+    version_col: str,
+    tiebreak: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """``foreachBatch`` sink maintaining a latest-state table from an
+    append stream — the streaming composition of the CDC operators:
+    every micro-batch is unioned with the current snapshot and
+    compacted to the newest record per key (version-aware upsert:
+    "newer wins" regardless of arrival order, so late/out-of-order
+    batches cannot regress a key).
+
+    The target is a directory of immutable snapshots ``v000001..``;
+    each batch writes the next snapshot rather than overwriting the
+    one it is reading (Spark reads lazily — in-place overwrite of the
+    input path is a correctness bug). The snapshot-chain is exactly
+    how MERGE-capable table formats behave; swap this sink for
+    Iceberg/Delta ``MERGE INTO`` in production and the stream side is
+    unchanged.
+
+    Returns the final snapshot as a DataFrame.
+    """
+    import glob
+    import os
+    import tempfile
+
+    from ..operators.cdc import latest_per_key
+
+    spark = stream_df.sparkSession
+
+    def _snapshots() -> list[str]:
+        return sorted(glob.glob(os.path.join(target_dir, "v*")))
+
+    def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snaps = _snapshots()
+        combined = (
+            spark.read.parquet(snaps[-1]).unionByName(batch_df)
+            if snaps
+            else batch_df
+        )
+        merged = latest_per_key(combined, key, version_col, tiebreak)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"v{len(snaps) + 1:06d}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_upsert_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="upsert_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = _snapshots()
+    assert snaps, "stream produced no snapshot"
+    return spark.read.parquet(snaps[-1])
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
