@@ -1828,6 +1828,75 @@ def projection_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_fuzzy_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+         t AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) string similarity join with blocking —
+    the string-key analog of the near-dup family: dedupe to the
+    distinct-name dictionary first (at 100 TB the dictionary is tiny
+    next to the table; map results back by equi-join), block on the
+    last token so candidate pairs are per-block quadratic instead of
+    global, then filter by levenshtein ≤ 4. Entirely JVM-side."""
+    from pyspark.sql import functions as F
+
+    (part,) = _load(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    t = names.withColumn("blk", F.element_at(F.split("p_name", " "), 2))
+    a = t.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = t.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    pairs = a.join(
+        b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b"))
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.filter(dist <= 4).select(
+        "name_a", "name_b", dist.cast("int").alias("edit_dist")
+    )
+
+
+@register(
+    "agg_exact_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25)
+                 AS DOUBLE), 4) AS p25,
+           ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                 AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
+                 AS DOUBLE), 4) AS p75,
+           ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+                 AS DOUBLE), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped quantiles (continuous interpolation) — the
+    companion to agg_approx_sketches' rows-only approx percentiles:
+    exact percentile is SQL-expressible on both engines, so this one
+    value-hash-checks. Spark's percentile aggregate sorts per group;
+    at scale prefer the approx form unless exactness is contractual."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    pct = lambda q: F.round(  # noqa: E731
+        F.percentile("l_extendedprice", F.lit(q)), 4
+    )
+    return lineitem.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.95).alias("p95"),
+    )
+
+
+@register(
     "layout_zorder_roundtrip",
     "SELECT event_id, user_id, value FROM events",
 )

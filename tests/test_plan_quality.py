@@ -116,6 +116,9 @@ EXPECTATIONS = {
     # one window shuffle.
     "cdc_merge_upsert": (2, None),
     "cdc_latest_per_key": (1, None),
+    # fuzzy join: distinct-dictionary pass + block-key join
+    "join_fuzzy_names": (2, None),
+    "agg_exact_quantiles": (1, None),
 }
 
 
