@@ -252,3 +252,40 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(
         F.col("_k").alias(on), *lcols, *rcols
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    width: float,
+) -> DataFrame:
+    """Large-×-large band (theta) join: pairs with
+    ``|left_col - right_col| <= width`` — the join class the thesis
+    discusses but never implements (ch. 5.4; SURVEY.md §2.3 "Absent").
+
+    A nested-loop plan is quadratic and only viable when one side
+    broadcasts (see the ``join_range_bands`` query for that case).
+    This is the shape that scales: bucket both sides by
+    ``floor(x / width)``; a qualifying pair's buckets differ by at
+    most 1, so exploding the left row into its bucket ± 1 and
+    EQUI-joining on the bucket finds every candidate exactly once
+    (the right row's bucket is unique), then the exact band predicate
+    filters. Cost: one 3× fan-out + a hash-partitioned shuffle join —
+    O(matching pairs), never O(|L|·|R|).
+
+    Column names must be disjoint between the two sides.
+    """
+    lb = F.floor(F.col(left_col) / F.lit(width)).cast("long")
+    l_exp = left.withColumn(
+        "_band_bucket", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r_b = right.withColumn(
+        "_band_bucket", F.floor(F.col(right_col) / F.lit(width)).cast("long")
+    )
+    return (
+        l_exp.join(r_b, "_band_bucket")
+        .filter(F.abs(F.col(left_col) - F.col(right_col)) <= F.lit(width))
+        .drop("_band_bucket")
+    )

@@ -1828,6 +1828,40 @@ def projection_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_band_large",
+    """
+    SELECT c.c_custkey, s.s_suppkey,
+           ROUND(ABS(c.c_acctbal - s.s_acctbal), 2) AS bal_diff
+    FROM customer c JOIN supplier s
+      ON ABS(c.c_acctbal - s.s_acctbal) <= 5.0
+    """,
+)
+def join_band_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-×-large band join (|c_acctbal − s_acctbal| ≤ 5) via the
+    bucket-equi-join plan (operators/joins.band_join): both sides
+    bucket by floor(x/width), left explodes to bucket±1, equi-join,
+    exact filter. O(matching pairs) — the scale path for the theta
+    joins the thesis only discusses; the nested-loop form
+    (join_range_bands) is for when one side broadcasts."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import band_join
+
+    customer, supplier = _load(spark, sf_dir, "customer", "supplier")
+    j = band_join(
+        customer.select("c_custkey", "c_acctbal"),
+        supplier.select("s_suppkey", "s_acctbal"),
+        "c_acctbal",
+        "s_acctbal",
+        5.0,
+    )
+    return j.select(
+        "c_custkey", "s_suppkey",
+        F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("bal_diff"),
+    )
+
+
+@register(
     "join_fuzzy_names",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part),

@@ -121,3 +121,24 @@ def test_salted_join_matches_plain(spark, tables):
     salted = salted_join(tables["orders"], tables["customer"], "o_custkey",
                          "c_custkey", salt=8).count()
     assert plain == salted
+
+
+def test_band_join_matches_naive_and_avoids_nested_loop(spark):
+    """band_join must equal the naive cross-filter on every edge case
+    (exact-width boundary, bucket-boundary straddle, negatives) and
+    plan as an EQUI join — no BroadcastNestedLoopJoin anywhere."""
+    from mapreduce_join_comparison_spark.operators.joins import band_join
+    from mapreduce_join_comparison_spark.plans.explain import simple_plan
+
+    left = spark.createDataFrame(
+        [(1, -10.0), (2, 0.0), (3, 4.9), (4, 5.0), (5, 123.45)], "lid int, lv double"
+    )
+    right = spark.createDataFrame(
+        [(10, -5.1), (11, -5.0), (12, 0.0), (13, 9.9), (14, 10.0), (15, 128.44)],
+        "rid int, rv double",
+    )
+    width = 5.0
+    got = band_join(left, right, "lv", "rv", width)
+    naive = left.crossJoin(right).filter(f"abs(lv - rv) <= {width}")
+    assert rows_set(got) == rows_set(naive)
+    assert "BroadcastNestedLoopJoin" not in simple_plan(got)

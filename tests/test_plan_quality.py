@@ -118,6 +118,8 @@ EXPECTATIONS = {
     "cdc_latest_per_key": (1, None),
     # fuzzy join: distinct-dictionary pass + block-key join
     "join_fuzzy_names": (2, None),
+    # bucket-equi band join (broadcasts at smoke SF; never nested-loop)
+    "join_band_large": (1, None),
     "agg_exact_quantiles": (1, None),
 }
 
