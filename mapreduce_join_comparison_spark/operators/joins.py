@@ -289,3 +289,76 @@ def band_join(
         .filter(F.abs(F.col(left_col) - F.col(right_col)) <= F.lit(width))
         .drop("_band_bucket")
     )
+
+
+def advise_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    broadcast_budget_bytes: int = 512 * 1024 * 1024,
+    skew_threshold: float = 0.2,
+    skew_sample_rows: int = 100_000,
+) -> tuple[str, str]:
+    """The thesis's manual join-strategy decision tree (Fig. 6.11,
+    ch. 6.4.1) codified over engine statistics — the reference's
+    'human optimizer' (SURVEY.md §4.1) as a function. Returns
+    ``(strategy, reason)`` suitable for ``equi_join(strategy=...)``.
+
+    Order of tests, per the figure:
+      1. inputs pre-sorted & co-partitioned  → 'merge'
+         (here: both plans already hash-partitioned on the join keys —
+         e.g. co-bucketed tables — so SMJ runs with no Exchange);
+      2. smaller side fits the broadcast budget → 'broadcast'
+         (Catalyst size estimate, same source as
+         ``broadcast_budget_check``);
+      3. otherwise → 'repartition' (the thesis's default; also its
+         high-skew recommendation — with AQE skew-split handling what
+         the reference solved by capping partition counts).
+
+    The skew probe (heaviest-key share of a bounded sample) is
+    reported in the reason string for observability; it never changes
+    the choice away from 'repartition' — matching the figure, where
+    skew only steers *away* from merge/broadcast.
+    """
+    right_on = right_on or left_on
+
+    # "pre-sorted & co-partitioned?" — ask Catalyst directly: plan the
+    # hinted sort-merge join and see whether EnsureRequirements inserts
+    # any Exchange. Zero exchanges ⇔ co-bucketed/co-partitioned inputs
+    # (a bare bucketed scan hides its partitioning under
+    # autoBucketedScan, so probing the join is the reliable check).
+    from ..plans.explain import count_shuffles
+
+    probe = left.hint("merge").join(
+        right, left[left_on] == right[right_on], "inner"
+    )
+    if count_shuffles(probe) == 0:
+        return "merge", "sort-merge join plans with zero Exchange (co-partitioned)"
+
+    def _est(df: DataFrame) -> int:
+        # py4j returns scala.math.BigInt for large sizes, plain int for
+        # small ones — str() covers both
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    lsize, rsize = _est(left), _est(right)
+    small = min(lsize, rsize)
+    if small <= broadcast_budget_bytes:
+        side = "right" if rsize <= lsize else "left"
+        return "broadcast", (
+            f"{side} side estimated {small} B <= budget {broadcast_budget_bytes} B"
+        )
+
+    probe_col, probe_df = (left_on, left) if lsize >= rsize else (right_on, right)
+    sample = probe_df.select(probe_col).limit(skew_sample_rows)
+    top = (
+        sample.groupBy(probe_col).count().orderBy(F.desc("count")).limit(1).collect()
+    )
+    n = sample.count()
+    share = (top[0]["count"] / n) if top and n else 0.0
+    skew_note = (
+        f"hot key holds {share:.0%} of a {n}-row sample"
+        if share >= skew_threshold
+        else "no significant skew in sample"
+    )
+    return "repartition", f"no side fits broadcast budget; {skew_note}"

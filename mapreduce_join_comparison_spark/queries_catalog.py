@@ -1828,6 +1828,87 @@ def projection_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_analyze_table",
+    """
+    SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_quantity) AS ndv,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           CAST(MIN(l_quantity) AS DOUBLE) AS vmin,
+           CAST(MAX(l_quantity) AS DOUBLE) AS vmax
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(DISTINCT l_discount),
+           COUNT(*) - COUNT(l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', COUNT(*), COUNT(DISTINCT l_partkey),
+           COUNT(*) - COUNT(l_partkey),
+           CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def stats_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (row count, exact NDV, null
+    count, min/max) for several columns in ONE aggregation pass —
+    the primitive that feeds a cost-based optimizer / the advisor's
+    size-and-skew decisions. Spark plans multi-distinct aggregates via
+    Expand (one shuffle); the unpivot to (col, stats) rows is free."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_partkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+        ]
+    one = lineitem.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"ndv_{c}").alias("ndv"),
+                    F.col(f"null_{c}").alias("n_null"),
+                    F.col(f"min_{c}").alias("vmin"),
+                    F.col(f"max_{c}").alias("vmax"),
+                )
+                for c in cols
+            ])
+        ).alias("s")
+    ).select("s.col", "s.n_rows", "s.ndv", "s.n_null", "s.vmin", "s.vmax")
+
+
+@register("join_strategy_advisor", None)
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thesis Fig-6.11 decision tree (operators/joins.
+    advise_strategy) applied to canonical table pairs — engine
+    introspection (Catalyst size estimates), so rows-only."""
+    from .operators.joins import advise_strategy
+
+    customer, orders, lineitem = _load(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    rows = []
+    for lname, ldf, rname, rdf, lk, rk, budget in [
+        ("orders", orders, "customer", customer, "o_custkey", "c_custkey",
+         512 * 1024 * 1024),
+        ("lineitem", lineitem, "orders", orders, "l_orderkey", "o_orderkey", 0),
+    ]:
+        strategy, reason = advise_strategy(ldf, rdf, lk, rk,
+                                           broadcast_budget_bytes=budget)
+        rows.append((lname, rname, strategy, reason))
+    return spark.createDataFrame(
+        rows, "left_table string, right_table string, strategy string, reason string"
+    )
+
+
+@register(
     "join_band_large",
     """
     SELECT c.c_custkey, s.s_suppkey,

@@ -142,3 +142,27 @@ def test_band_join_matches_naive_and_avoids_nested_loop(spark):
     naive = left.crossJoin(right).filter(f"abs(lv - rv) <= {width}")
     assert rows_set(got) == rows_set(naive)
     assert "BroadcastNestedLoopJoin" not in simple_plan(got)
+
+
+def test_advise_strategy_follows_thesis_decision_tree(spark, tables, tmp_path):
+    """The codified Fig-6.11 tree: small dim → broadcast; huge-vs-huge
+    (budget 0) → repartition; co-bucketed → merge."""
+    from mapreduce_join_comparison_spark.operators.joins import advise_strategy
+    from mapreduce_join_comparison_spark.sources.io import write_bucketed
+
+    customer, orders = tables["customer"], tables["orders"]
+    s, why = advise_strategy(orders, customer, "o_custkey", "c_custkey")
+    assert s == "broadcast", why
+    s, why = advise_strategy(
+        orders, customer, "o_custkey", "c_custkey", broadcast_budget_bytes=0
+    )
+    assert s == "repartition", why
+
+    spark.sql("DROP TABLE IF EXISTS adv_c")
+    spark.sql("DROP TABLE IF EXISTS adv_o")
+    write_bucketed(customer, "adv_c", ["c_custkey"], 4, path=str(tmp_path / "c"))
+    write_bucketed(orders, "adv_o", ["o_custkey"], 4, path=str(tmp_path / "o"))
+    bc, bo = spark.table("adv_c"), spark.table("adv_o")
+    s, why = advise_strategy(bo, bc, "o_custkey", "c_custkey",
+                             broadcast_budget_bytes=0)
+    assert s == "merge", why

@@ -120,6 +120,8 @@ EXPECTATIONS = {
     "join_fuzzy_names": (2, None),
     # bucket-equi band join (broadcasts at smoke SF; never nested-loop)
     "join_band_large": (1, None),
+    # multi-distinct aggregate plans via Expand: 2 exchanges
+    "stats_analyze_table": (2, "Expand"),
     "agg_exact_quantiles": (1, None),
 }
 
