@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-STRATEGIES = ("repartition", "broadcast", "merge", "auto")
+STRATEGIES = ("repartition", "broadcast", "merge", "auto", "advised")
 
 _HINTS = {
     "repartition": "shuffle_hash",
@@ -54,6 +54,13 @@ def _resolve_on(
     left: DataFrame, right: DataFrame, left_on: str, right_on: str
 ) -> Column:
     return left[left_on] == right[right_on]
+
+
+def _size_estimate(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes (py4j returns
+    scala BigInt for large values, plain int for small — str() covers
+    both)."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
 
 
 def equi_join(
@@ -78,6 +85,15 @@ def equi_join(
     right_on = right_on or left_on
     if strategy not in STRATEGIES:
         raise ValueError(f"strategy must be one of {STRATEGIES}, got {strategy!r}")
+    if strategy == "advised":
+        # the thesis Fig-6.11 tree picks the physical strategy from
+        # engine statistics (advise_strategy); 'auto' instead leaves
+        # the choice entirely to Catalyst
+        strategy, _ = advise_strategy(left, right, left_on, right_on)
+        if strategy == "broadcast":
+            broadcast_side = (
+                "right" if _size_estimate(right) <= _size_estimate(left) else "left"
+            )
     on = _resolve_on(left, right, left_on, right_on)
     if strategy == "broadcast":
         if broadcast_side == "right":
@@ -128,9 +144,7 @@ def broadcast_budget_check(
     table (thesis ch. 6.3); we check Catalyst's size estimate up front.
     Returns the estimated size in bytes.
     """
-    est = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-    )
+    est = _size_estimate(df)
     if est > budget_bytes:
         raise ValueError(
             f"broadcast side estimated at {est} bytes exceeds budget "
@@ -336,12 +350,7 @@ def advise_strategy(
     if count_shuffles(probe) == 0:
         return "merge", "sort-merge join plans with zero Exchange (co-partitioned)"
 
-    def _est(df: DataFrame) -> int:
-        # py4j returns scala.math.BigInt for large sizes, plain int for
-        # small ones — str() covers both
-        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-
-    lsize, rsize = _est(left), _est(right)
+    lsize, rsize = _size_estimate(left), _size_estimate(right)
     small = min(lsize, rsize)
     if small <= broadcast_budget_bytes:
         side = "right" if rsize <= lsize else "left"

@@ -640,6 +640,100 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q16_supplier_count",
+    """
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship. Adapted: there is no partsupp
+    table, so lineitem serves as the observed part↔supplier relation
+    (and no supplier-complaint exclusion — no comment column). Count
+    DISTINCT suppliers per surviving (brand, type) class."""
+    part, lineitem = _load(spark, sf_dir, "part", "lineitem")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    j = p.join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+    return j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+        SELECT l_orderkey, l_suppkey, is_late,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+               SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+        FROM flagged
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_order p JOIN supplier s ON p.l_suppkey = s_suppkey
+    WHERE p.is_late = 1 AND p.n_supps >= 2 AND p.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting. Adapted: "late" = shipped
+    more than 90 days after the order date (no commit/receipt dates).
+    The original's EXISTS (another supplier on the order) + NOT EXISTS
+    (another LATE supplier) pair decorrelates to per-order window
+    counts over the (order, supplier) lateness flags — one extra
+    window pass on the same key instead of two self-joins."""
+    from pyspark.sql import Window
+
+    lineitem, orders, supplier = _load(
+        spark, sf_dir, "lineitem", "orders", "supplier"
+    )
+    j = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    flagged = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.expr(
+                "CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY "
+                "THEN 1 ELSE 0 END"
+            )
+        ).alias("is_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = flagged.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    culprits = per_order.filter(
+        (F.col("is_late") == 1) & (F.col("n_supps") >= 2) & (F.col("n_late") == 1)
+    )
+    return (
+        culprits.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
     "tpch_q22_sleeping_customers",
     """
     SELECT c_nationkey, COUNT(*) AS numcust,

@@ -166,3 +166,17 @@ def test_advise_strategy_follows_thesis_decision_tree(spark, tables, tmp_path):
     s, why = advise_strategy(bo, bc, "o_custkey", "c_custkey",
                              broadcast_budget_bytes=0)
     assert s == "merge", why
+
+
+def test_equi_join_advised_strategy(spark, tables):
+    """strategy='advised' must both pick a sensible plan (broadcast for
+    the small dim) and produce the exact inner-join result."""
+    from mapreduce_join_comparison_spark.operators.joins import equi_join
+    from mapreduce_join_comparison_spark.plans.explain import simple_plan
+
+    customer, orders = tables["customer"], tables["orders"]
+    j = equi_join(orders, customer, "o_custkey", "c_custkey",
+                  strategy="advised")
+    assert "BroadcastHashJoin" in simple_plan(j)
+    plain = equi_join(orders, customer, "o_custkey", "c_custkey")
+    assert rows_set(j) == rows_set(plain)

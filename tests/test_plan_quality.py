@@ -104,7 +104,11 @@ EXPECTATIONS = {
     "tpch_q10_returned_items": (1, "TakeOrderedAndProject"),
     "tpch_q12_late_lines": (1, None),
     "tpch_q13_customer_distribution": (2, None),
+    "tpch_q16_supplier_count": (2, None),
     "tpch_q17_small_quantity": (2, None),
+    # flags agg + per-order window + final agg (window reuses the
+    # grouping key's partitioning at runtime)
+    "tpch_q21_waiting_supplier": (3, "TakeOrderedAndProject"),
     "tpch_q18_large_volume": (1, None),
     "tpch_q19_discounted_revenue": (1, None),
     "tpch_q22_sleeping_customers": (2, None),
