@@ -1828,6 +1828,81 @@ def projection_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts::TIMESTAMP) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s1.t1
+          AND e.ts::TIMESTAMP <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s2.t2
+          AND e.ts::TIMESTAMP <= s2.t2 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 'view>click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 'view>click>purchase', COUNT(*) FROM s3
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, each stage
+    each within 7 days of the previous stage): per-stage
+    earliest-qualifying-time
+    aggregates chained by join — the set-based decorrelation of the
+    classic sequential-pattern query. Every stage shuffles on user_id,
+    so at scale the chain reuses one partitioning."""
+    from pyspark.sql import functions as F
+
+    (events,) = _load(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit("view>click").alias("stage"), "n_users")
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit("view>click>purchase").alias("stage"), "n_users")
+        )
+    )
+
+
+@register(
     "stats_analyze_table",
     """
     SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,

@@ -126,6 +126,9 @@ EXPECTATIONS = {
     "join_band_large": (1, None),
     # multi-distinct aggregate plans via Expand: 2 exchanges
     "stats_analyze_table": (2, "Expand"),
+    # 3-stage chain: each stage re-scans events + groups on user_id;
+    # all exchanges share the user_id partitioning (reused at runtime)
+    "events_funnel": (8, None),
     "agg_exact_quantiles": (1, None),
 }
 
