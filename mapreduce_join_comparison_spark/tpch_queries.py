@@ -46,6 +46,43 @@ def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+# --------------------------------------------------------------------------
+# Derived partsupp: the driver schema has no partsupp table, so Q2/Q11/Q20
+# run against a deterministic reconstruction — the part↔supplier pairs
+# actually observed in lineitem, with arithmetic (engine-independent)
+# supplycost and availqty. Identical CTE on the oracle side.
+# --------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(COUNT(*) * 50 AS BIGINT) AS ps_availqty,
+               CAST(1.0 + ((l_partkey * 7 + l_suppkey * 13) % 10000) / 10.0
+                    AS DOUBLE) AS ps_supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg((F.count(F.lit(1)) * 50).cast("bigint").alias("ps_availqty"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            "ps_availqty",
+            (
+                1.0
+                + ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 10000)
+                / 10.0
+            )
+            .cast("double")
+            .alias("ps_supplycost"),
+        )
+    )
+
+
 @register(
     "tpch_q1_pricing_summary",
     """
@@ -125,6 +162,159 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.join(top, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name",
                 F.round("total_rev", 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    eligible AS (
+        SELECT p.p_partkey, s.s_acctbal, s.s_name, n.n_name, ps.ps_supplycost
+        FROM part p
+        JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size <= 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM eligible e
+    WHERE ps_supplycost = (SELECT MIN(ps_supplycost) FROM eligible e2
+                           WHERE e2.p_partkey = e.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 10
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (partsupp derived — module header). The
+    correlated per-part MIN decorrelates to a window min over
+    p_partkey; the region/nation dims broadcast."""
+    from pyspark.sql import Window
+
+    part, supplier, nation, region = _load(
+        spark, sf_dir, "part", "supplier", "nation", "region"
+    )
+    ps = _partsupp(spark, sf_dir)
+    eligible = (
+        part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .join(ps, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = eligible.withColumn("_min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("_min_cost")
+    )
+    return (
+        best.select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    innation AS (
+        SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, ROUND(SUM(v), 2) AS value
+    FROM innation GROUP BY ps_partkey
+    HAVING SUM(v) > (SELECT SUM(v) * 0.001 FROM innation)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock (partsupp derived): per-part inventory value
+    from one nation's suppliers, kept when above 0.1% of the nation
+    total — scalar-subquery threshold broadcast onto the aggregate."""
+    supplier, nation = _load(spark, sf_dir, "supplier", "nation")
+    ps = _partsupp(spark, sf_dir)
+    innation = (
+        ps.join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("ps_partkey",
+                (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    per_part = innation.groupBy("ps_partkey").agg(F.sum("v").alias("_sum_v"))
+    total = innation.agg((F.sum("v") * 0.001).alias("_threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_sum_v") > F.col("_threshold"))
+        .select("ps_partkey", F.round("_sum_v", 2).alias("value"))
+    )
+
+
+@register(
+    "tpch_q20_excess_stock",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    shipped AS (
+        SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp ps
+        JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                       AND ps.ps_suppkey = sh.l_suppkey
+        JOIN part p ON ps.ps_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%' AND ps.ps_availqty > sh.half_qty
+    )
+    SELECT s_name FROM supplier
+    JOIN excess ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 excess stock (partsupp derived): suppliers in one nation
+    holding more than half a year's shipments of any 'red%' part —
+    the original's nested IN chains as joins + distinct."""
+    part, supplier, nation, lineitem = _load(
+        spark, sf_dir, "part", "supplier", "nation", "lineitem"
+    )
+    ps = _partsupp(spark, sf_dir)
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((0.5 * F.sum("l_quantity")).alias("half_qty"))
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(part.filter(F.col("p_name").like("red%")),
+              F.col("ps_partkey") == F.col("p_partkey"))
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name")
     )
 
 

@@ -94,6 +94,10 @@ EXPECTATIONS = {
     # static plan repeats the revenue agg (max side + join side);
     # runtime exchange reuse collapses it
     "tpch_q15_top_supplier": (3, None),
+    # derived-partsupp trio: partsupp agg + window/threshold passes
+    "tpch_q2_min_cost_supplier": (2, "TakeOrderedAndProject"),
+    "tpch_q11_important_stock": (4, None),
+    "tpch_q20_excess_stock": (3, None),
     "tpch_q3_shipping_priority": (1, "TakeOrderedAndProject"),
     "tpch_q4_order_priority": (1, None),
     "tpch_q5_local_supplier": (1, None),
