@@ -83,10 +83,14 @@ HEADLINE = [
     "join_dup_keys",
     "join_star_multiway",
     "join_asof",
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q8_market_share",
     "tpch_q18_large_volume",
+    "join_band_large",
+    "cdc_merge_upsert",
+    "events_funnel",
     "agg_groupby",
     "agg_promo_revenue",
     "window_functions",
