@@ -885,7 +885,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions",
     """
     SELECT l_orderkey AS k,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            CAST(len(list(l_linenumber)) AS INT) AS n_lines,
            list_contains(list(l_linenumber), 3) AS has_line3,
            CAST(list_sum(list(l_quantity)) AS DOUBLE) AS qty_sum,
@@ -897,22 +897,25 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + higher-order functions over grouped data
     (collect → sort → contains/element_at/aggregate) — all JVM-side.
     collect_list is order-nondeterministic, so every derived value goes
-    through sort_array first."""
+    through sort_array first. The array itself is projected as a
+    comma-joined string (both engines) — the driver's pandas
+    canonicalizer can't sort/hash raw list cells."""
     from pyspark.sql import functions as F
 
     (lineitem,) = _load(spark, sf_dir, "lineitem")
     grouped = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.sort_array(F.collect_list("l_linenumber")).alias("_lines"),
         F.count(F.lit(1)).cast("int").alias("n_lines"),
         F.sum("l_quantity").cast("double").alias("qty_sum"),
     )
     return grouped.select(
         "k",
-        "line_numbers",
+        F.array_join(F.transform("_lines", lambda x: x.cast("string")), ",")
+        .alias("line_numbers"),
         "n_lines",
-        F.array_contains("line_numbers", 3).alias("has_line3"),
+        F.array_contains("_lines", 3).alias("has_line3"),
         "qty_sum",
-        F.element_at("line_numbers", 1).alias("first_line"),
+        F.element_at("_lines", 1).alias("first_line"),
     )
 
 
@@ -1262,33 +1265,163 @@ def similarity_bruteforce_topk_query(spark: SparkSession, sf_dir: str) -> DataFr
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
-@register("similarity_ivf_ann", None)
+def _seeded_unit_vectors(n: int, dim: int, seed: int) -> list[list[float]]:
+    """Seeded random unit vectors — fixed coarse-quantizer centroids for
+    the catalog IVF query, so the oracle can embed the identical
+    constants (the k-means trainer in operators/similarity.py stays the
+    production path; its output is data-dependent and so not
+    SQL-embeddable)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, dim)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return [[float(v) for v in row] for row in x]
+
+
+def _vec_sql(v: list[float]) -> str:
+    return "[" + ",".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+
+_IVF_CENTROIDS = _seeded_unit_vectors(16, 64, seed=7)
+
+
+def _ivf_oracle(cents: list[list[float]], nprobe: int = 4, k: int = 10,
+                n_queries: int = 20) -> str:
+    """Replays IVF-Flat relationally: assign each corpus vector to its
+    top-1 cell, each query to its top-nprobe cells (both ranked dot
+    DESC with cell-index tiebreak, matching _nearest_cells_expr), score
+    cell-mates, rank. Centroids are the same literals the Spark query
+    passes."""
+    cells = ", ".join(f"({i}, {_vec_sql(c)})" for i, c in enumerate(cents))
+    return f"""
+    WITH cells(cell, cvec) AS (VALUES {cells}),
+    corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_vec
+               FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+           FROM embeddings WHERE vec_id < {n_queries}),
+    ca AS (
+      SELECT corpus_id, c_vec, cell FROM (
+        SELECT corpus_id, c_vec, cell,
+               ROW_NUMBER() OVER (PARTITION BY corpus_id
+                 ORDER BY list_dot_product(c_vec, cvec) DESC, cell) AS rn
+        FROM corpus CROSS JOIN cells) WHERE rn = 1),
+    qp AS (
+      SELECT query_id, q_vec, cell FROM (
+        SELECT query_id, q_vec, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY list_dot_product(q_vec, cvec) DESC, cell) AS rn
+        FROM qs CROSS JOIN cells) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT query_id, corpus_id,
+             list_cosine_similarity(c_vec, q_vec) AS cosine
+      FROM ca JOIN qp USING (cell) WHERE corpus_id <> query_id),
+    ranked AS (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored)
+    SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("similarity_ivf_ann", _ivf_oracle(_IVF_CENTROIDS))
 def similarity_ivf_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (16 cells, probe 4): coarse-quantize the corpus
-    once, score queries only against their nprobe nearest cells.
-    Rows-only (k-means centroids aren't SQL-embeddable); recall vs the
-    exact top-k is asserted in tests/test_similarity.py."""
+    once, score queries only against their nprobe nearest cells. The
+    catalog run pins seeded literal centroids so the oracle replays the
+    identical quantizer; recall with TRAINED (k-means) centroids is
+    asserted in tests/test_similarity.py."""
+    from pyspark.sql import functions as F
+
     from .operators.similarity import ivf_topk
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
     queries = embeddings.filter("vec_id < 20").selectExpr(
         "vec_id AS query_id", "embedding"
     )
-    return ivf_topk(embeddings, queries, dim=64, k=10, n_cells=16, nprobe=4)
+    out = ivf_topk(embeddings, queries, dim=64, k=10, nprobe=4,
+                   centroids=_IVF_CENTROIDS)
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
-@register("similarity_lsh_ann", None)
+def _lsh_oracle(tables: list[list[list[float]]], k: int = 10,
+                n_queries: int = 20) -> str:
+    """Replays multi-table hyperplane LSH: per (table, plane) literal,
+    signature bit = dot > 0, bucket = Σ 1<<bit; candidates share any
+    (table, bucket); exact cosine rank over candidates."""
+    rows = ", ".join(
+        f"({t}, {b}, {_vec_sql(p)})"
+        for t, planes in enumerate(tables)
+        for b, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(tbl, bit, pvec) AS (VALUES {rows}),
+    corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_vec
+               FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+           FROM embeddings WHERE vec_id < {n_queries}),
+    cb AS (
+      SELECT corpus_id, tbl,
+             SUM(CASE WHEN list_dot_product(c_vec, pvec) > 0
+                      THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
+      FROM corpus CROSS JOIN planes GROUP BY corpus_id, tbl),
+    qb AS (
+      SELECT query_id, tbl,
+             SUM(CASE WHEN list_dot_product(q_vec, pvec) > 0
+                      THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
+      FROM qs CROSS JOIN planes GROUP BY query_id, tbl),
+    cand AS (
+      SELECT DISTINCT query_id, corpus_id
+      FROM cb JOIN qb USING (tbl, bucket)
+      WHERE corpus_id <> query_id),
+    scored AS (
+      SELECT cand.query_id, cand.corpus_id,
+             list_cosine_similarity(c.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]) AS cosine
+      FROM cand
+      JOIN embeddings c ON c.vec_id = cand.corpus_id
+      JOIN embeddings q ON q.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, corpus_id) AS rank
+      FROM scored)
+    SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _lsh_tables(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                seed: int = 42) -> list[list[list[float]]]:
+    """The exact plane sets lsh_topk derives internally (seed + 1000*t
+    per table) — regenerated here so the oracle embeds identical
+    constants."""
+    from .operators.similarity import hyperplanes
+
+    return [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+
+@register("similarity_lsh_ann", _lsh_oracle(_lsh_tables()))
 def similarity_lsh_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane-LSH ANN (rows-only: the seeded hyperplane
-    constants are not practically embeddable in oracle SQL; subset-of-
-    exact and recall properties are asserted in tests/test_similarity.py)."""
+    """Multi-table hyperplane-LSH ANN: the seeded plane constants are
+    embedded as literals in the oracle, which replays signature →
+    bucket → candidate → exact-rank end-to-end; subset-of-exact and
+    recall properties are additionally asserted in
+    tests/test_similarity.py."""
+    from pyspark.sql import functions as F
+
     from .operators.similarity import lsh_topk
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
     queries = embeddings.filter("vec_id < 20").selectExpr(
         "vec_id AS query_id", "embedding"
     )
-    return lsh_topk(embeddings, queries, dim=64, k=10, n_planes=4, n_tables=8)
+    out = lsh_topk(embeddings, queries, dim=64, k=10, n_planes=4, n_tables=8)
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 def _simhash_oracle(bits: int = 32, max_hamming: int = 6) -> str:
