@@ -5,9 +5,11 @@ nightly update batches upsert into the base table, and append-only
 event logs are compacted to the latest record per key. Spark (without
 a table format like Delta/Iceberg) expresses both relationally:
 
-- ``merge_upsert``: FULL OUTER join base ⟗ updates on the key, COALESCE
-  update columns over base columns. One shuffle on the key (or zero if
-  both sides are bucketed on it); the result is the new base table.
+- ``merge_upsert``: FULL OUTER join base ⟗ updates on the key; matched
+  rows take the update row wholesale (a NULL in an update column
+  overwrites — per-column COALESCE would silently keep the base
+  value). One shuffle on the key (or zero if both sides are bucketed
+  on it); the result is the new base table.
 - ``latest_per_key``: row_number() over (key ORDER BY version DESC) = 1
   — the standard log-compaction window. One shuffle.
 
@@ -21,26 +23,60 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
     """Upsert ``updates`` into ``base`` on ``key``: matched rows take
-    every update column; unmatched base rows pass through; unmatched
-    update rows insert. Columns must match by name (the relational
-    MERGE special case where WHEN MATCHED updates all columns).
+    the update row WHOLESALE (including NULLs in non-key columns — the
+    relational MERGE special case where WHEN MATCHED updates all
+    columns); unmatched base rows pass through; unmatched update rows
+    insert. Columns must match by name.
 
-    Implemented as one full-outer shuffle join + per-column COALESCE
-    (update side wins) — no driver-side state, scales by key
-    partitioning alone.
+    Duplicate keys in the update batch are a semantic error (SQL MERGE
+    rejects multiple source matches; a full-outer join would silently
+    fan base rows out). Pass ``version_col`` to pre-compact the batch
+    to its newest row per key (``latest_per_key``); without it, a
+    plan-level guard raises on the first duplicate key. Either way the
+    extra window reuses the join's hash partitioning on the key, so no
+    additional shuffle.
+
+    Implemented as one full-outer shuffle join + matched-row pick — no
+    driver-side state, scales by key partitioning alone.
     """
     assert set(base.columns) == set(updates.columns), "schemas must match"
+    if version_col is not None:
+        updates = latest_per_key(updates, key, version_col, tiebreak)
     u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
+    if version_col is None:
+        w = Window.partitionBy(f"_u_{key}")
+        u = (
+            u.withColumn("_u_dup", F.count(F.lit(1)).over(w))
+            .withColumn(
+                f"_u_{key}",
+                F.when(
+                    F.col("_u_dup") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(f"merge_upsert: duplicate update key '{key}'="),
+                            F.col(f"_u_{key}").cast("string"),
+                        )
+                    ),
+                ).otherwise(F.col(f"_u_{key}")),
+            )
+            .drop("_u_dup")
+        )
     joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")
-    merged = joined.select(
+    matched = F.col(f"_u_{key}").isNotNull()
+    return joined.select(
         *[
-            F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+            F.when(matched, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
             for c in base.columns
         ]
     )
-    return merged
 
 
 def latest_per_key(

@@ -250,10 +250,14 @@ def asof_join(
         *[F.col(c) for c in rcols],
     )
     unioned = tagged_l.unionByName(tagged_r)
-    # right rows sort before left at equal timestamps (<= semantics)
+    # right rows sort before left at equal timestamps (<= semantics);
+    # right payload columns complete the order so two right rows
+    # sharing (key, ts) yield a DETERMINISTIC survivor (the max by
+    # payload — last() picks the final row of the tie group) instead
+    # of whichever physical row order the shuffle produced
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", *rcols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -291,6 +295,12 @@ def band_join(
 
     Column names must be disjoint between the two sides.
     """
+    if not width > 0:
+        raise ValueError(
+            f"band_join width must be > 0, got {width}: width=0 makes the "
+            f"bucket expression divide by zero (NULL buckets join nothing) "
+            f"and negative widths silently invert the band semantics"
+        )
     lb = F.floor(F.col(left_col) / F.lit(width)).cast("long")
     l_exp = left.withColumn(
         "_band_bucket", F.explode(F.array(lb - 1, lb, lb + 1))
@@ -359,12 +369,19 @@ def advise_strategy(
         )
 
     probe_col, probe_df = (left_on, left) if lsize >= rsize else (right_on, right)
-    sample = probe_df.select(probe_col).limit(skew_sample_rows)
-    top = (
-        sample.groupBy(probe_col).count().orderBy(F.desc("count")).limit(1).collect()
+    # single action over one bounded sample: heaviest-key count and
+    # sample size come from the same groupBy pass (two separate
+    # collect/count actions could observe different limit() rows)
+    stats = (
+        probe_df.select(probe_col)
+        .limit(skew_sample_rows)
+        .groupBy(probe_col)
+        .count()
+        .agg(F.max("count").alias("top"), F.sum("count").alias("n"))
+        .collect()[0]
     )
-    n = sample.count()
-    share = (top[0]["count"] / n) if top and n else 0.0
+    n = stats["n"] or 0
+    share = (stats["top"] / n) if n else 0.0
     skew_note = (
         f"hot key holds {share:.0%} of a {n}-row sample"
         if share >= skew_threshold

@@ -115,12 +115,14 @@ def train_ivf_centroids(
     Lloyd iterations run driver-side in numpy — the one deliberate
     driver-side computation in this module, justified because its input
     is O(sample), never O(corpus)."""
-    frac_rows = corpus.count()
-    fraction = min(1.0, sample_rows / max(frac_rows, 1))
+    # no corpus.count() sizing pass: a fixed-fraction sample feeds an
+    # incremental limit (CollectLimit launches partitions in waves), so
+    # the one action reads only as much of the corpus as the limit
+    # needs — a pre-count would cost a wasted full scan at 100 TB
     sample = (
-        corpus.sample(fraction=fraction, seed=seed)
+        corpus.select(vec_col)
+        .sample(fraction=0.5, seed=seed)
         .limit(sample_rows)
-        .select(vec_col)
         .collect()
     )
     x = np.array([list(r[0]) for r in sample], dtype=np.float64)

@@ -2258,19 +2258,25 @@ def layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                0.0 AS c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 97 = 0
     )
-    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
-           COALESCE(u.c_name, b.c_name) AS c_name,
-           COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
-           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
-           COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+    SELECT CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey
+                ELSE b.c_custkey END AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                ELSE b.c_name END AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey
+                ELSE b.c_nationkey END AS c_nationkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE b.c_acctbal END AS c_acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                ELSE b.c_mktsegment END AS c_mktsegment
     FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
     """,
 )
 def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style upsert of a deterministic update batch (every 7th
     customer gets a marked name + adjusted balance; every 97th spawns
-    a new row) into the customer base: full-outer join + COALESCE,
-    update side winning. The result IS the maintained table."""
+    a new row) into the customer base: full-outer join, matched rows
+    taking the update row wholesale (NULLs included — not per-column
+    COALESCE). The result IS the maintained table."""
     from pyspark.sql import functions as F
 
     from .operators.cdc import merge_upsert

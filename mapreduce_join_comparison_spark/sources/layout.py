@@ -40,8 +40,18 @@ def zorder_key(norm_cols: list[Column], bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of the already-normalized long
     columns round-robin (bit b of column i lands at position
     b * ncols + i). Pure shift/and/or fold — whole-stage-codegen
-    friendly, no Python in the hot path."""
+    friendly, no Python in the hot path.
+
+    bits * ncols must stay below 64 — the top interleaved bit would
+    land on the long's sign bit, flipping half the keyspace negative
+    and splitting clusters across the range partitioning."""
     n = len(norm_cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits ({bits}) * ncols ({n}) = {bits * n} exceeds 63: the "
+            f"interleaved key would overflow into the sign bit; use "
+            f"bits <= {63 // n}"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(norm_cols):
@@ -65,7 +75,12 @@ def write_zordered(
     partition + local sort on the interleaved key, then write. The
     key column is dropped before writing — layout is a storage
     property, not schema.
+
+    ``bits`` is capped so the interleaved key fits in 63 bits (sign
+    bit untouched) — with 4+ cluster columns the default 16 would
+    otherwise push bits into the sign position and scatter clusters.
     """
+    bits = min(bits, 63 // len(cols))
     aggs = []
     for c in cols:
         aggs += [F.min(c).cast("double").alias(f"_min_{c}"),

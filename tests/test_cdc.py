@@ -25,6 +25,36 @@ def test_merge_upsert_row_fates(spark):
     }
 
 
+def test_merge_upsert_null_update_column_overwrites(spark):
+    # matched rows take the update row WHOLESALE: an explicit NULL in a
+    # non-key update column must overwrite the base value, not keep it
+    base = spark.createDataFrame([(1, "a", 10.0)], "k int, v string, x double")
+    updates = spark.createDataFrame([(1, None, 99.0)], "k int, v string, x double")
+    (row,) = merge_upsert(base, updates, "k").collect()
+    assert (row.k, row.v, row.x) == (1, None, 99.0)
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    updates = spark.createDataFrame([(1, "B"), (1, "C")], "k int, v string")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        merge_upsert(base, updates, "k").collect()
+    assert "duplicate update key" in str(ei.value)
+
+
+def test_merge_upsert_version_col_compacts_duplicates(spark):
+    base = spark.createDataFrame([(1, "a", 0)], "k int, v string, ver int")
+    updates = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2)], "k int, v string, ver int"
+    )
+    (row,) = merge_upsert(base, updates, "k", version_col="ver").collect()
+    assert (row.k, row.v, row.ver) == (1, "new", 2)
+
+
 def test_merge_upsert_is_idempotent(spark):
     base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
     updates = spark.createDataFrame([(2, "B")], "k int, v string")
