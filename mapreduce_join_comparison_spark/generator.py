@@ -18,7 +18,9 @@ Reference semantics preserved:
     drawn from a pool of 100 pre-generated strings
     (``DataGenerator.java:13-48``, ``JoinSimulation.java:91-93``). We
     build the pools driver-side with a seeded RNG and pick JVM-side via
-    ``xxhash64 % pool`` — no Python in the per-row hot path.
+    ``md5(id:attr:seed) % pool`` — no Python in the per-row hot path,
+    and (unlike xxhash64) replayable by any engine, so the catalog
+    registers a full value-hash DuckDB oracle for the generator.
 
 The Zipf inverse CDF is the Newton-iteration approximation from the
 public article the reference cites (medium.com/@jasoncrease/zipf,
@@ -111,17 +113,37 @@ def _string_pool(length: int, rng: random.Random) -> list[str]:
     ]
 
 
+def attr_pools(
+    seed: int, attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS
+) -> list[list[str]]:
+    """The per-attribute string pools for a seed — one seeded RNG
+    consumed across all attributes, in order. Public so the catalog
+    oracle can embed the identical pools as SQL literals."""
+    rng = random.Random(seed)
+    return [_string_pool(length, rng) for length in attr_lengths]
+
+
 def _attr_columns(
     seed: int, attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS
 ) -> list[Column]:
     """One column expr per attribute: deterministic JVM-side pool pick
-    ``pool[xxhash64(id, attr_idx, seed) % POOL_SIZE]``."""
-    rng = random.Random(seed)
+    ``pool[int(md5('id:attr:seed')[:8], 16) % POOL_SIZE]`` — md5 so the
+    pick is engine-reproducible (DuckDB: ('0x' || substr(md5(...), 1,
+    8))::BIGINT), unlike Spark-private xxhash64."""
     cols = []
-    for idx, length in enumerate(attr_lengths):
-        pool = F.array(*[F.lit(s) for s in _string_pool(length, rng)])
-        pick = F.pmod(
-            F.xxhash64(F.col("id"), F.lit(idx), F.lit(seed)), F.lit(POOL_SIZE)
+    for idx, pool_strings in enumerate(attr_pools(seed, attr_lengths)):
+        pool = F.array(*[F.lit(s) for s in pool_strings])
+        digest = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("id").cast("string"),
+                F.lit(str(idx)),
+                F.lit(str(seed)),
+            )
+        )
+        pick = (
+            F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+            % POOL_SIZE
         ).cast("int")
         cols.append(F.element_at(pool, pick + 1).alias(f"a{idx + 1}"))
     return cols

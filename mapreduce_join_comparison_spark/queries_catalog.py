@@ -1910,19 +1910,73 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-@register("generator_uniform", None)
+def _generator_uniform_oracle(n_rows: int, unique: int, seed: int) -> str:
+    """Full value-hash oracle for G1: replays ``k = i % N`` and the
+    md5-hex pool pick over the identical literal pools (attr_pools is
+    deterministic in the seed), row for row."""
+    from .generator import POOL_SIZE, attr_pools
+
+    attr_sql = []
+    for idx, pool in enumerate(attr_pools(seed)):
+        lits = ", ".join("'" + s + "'" for s in pool)  # alphanumeric pool
+        pick = (
+            f"(('0x' || substr(md5(CAST(id AS VARCHAR) || ':{idx}:{seed}'),"
+            f" 1, 8))::BIGINT % {POOL_SIZE})"
+        )
+        attr_sql.append(f"([{lits}])[{pick} + 1] AS a{idx + 1}")
+    cols = ",\n           ".join(attr_sql)
+    return f"""
+    SELECT id % {unique} AS k,
+           {cols}
+    FROM range({n_rows}) t(id)
+    """
+
+
+@register("generator_uniform", _generator_uniform_oracle(10000, 1000, seed=42))
 def generator_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 uniform pair, value-hash-checked: key = i % N and all three
+    pool-picked attribute strings must match the oracle's replay of the
+    same md5 arithmetic over the same literal pools."""
     from .generator import generate_uniform_pair
 
     t1, _ = generate_uniform_pair(spark, 10000, 1000, seed=42)
     return t1
 
 
-@register("generator_zipf_pair_join", None)
+def _generator_zipf_hist_oracle(n_rows: int, unique: int, s: float) -> str:
+    """Histogram-level oracle for G2: the fact keys are a DETERMINISTIC
+    inverse-CDF over the equi-spaced grid i/n_rows (no RNG), so the
+    expected per-key histogram is computable at registration time with
+    the same vectorized float64 Newton iteration the executors run —
+    embedded here as literals. Verifies the key distribution exactly;
+    the Newton iteration itself is not SQL-expressible."""
+    import numpy as np
+
+    from .generator import zipf_inverse_cdf
+
+    keys = zipf_inverse_cdf(
+        np.arange(n_rows, dtype=np.float64) / float(n_rows), s, float(unique)
+    )
+    keys = keys[(keys >= 0) & (keys < unique)]  # dim holds 0..N-1
+    vals, counts = np.unique(keys, return_counts=True)
+    rows = ", ".join(
+        f"({int(v)}, {int(c)})" for v, c in zip(vals, counts)
+    )
+    return f"""
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n
+    FROM (VALUES {rows}) t(k, n)
+    """
+
+
+@register(
+    "generator_zipf_pair_join",
+    _generator_zipf_hist_oracle(20000, 2000, s=0.8),
+)
 def generator_zipf_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 + the reference's core workload: dim ⋈ zipf-fact, per-key
     counts — B1's data-then-join loop (JoinSimulation.java:87-228) as
-    one lazy plan."""
+    one lazy plan. The oracle pins the exact key histogram of the
+    deterministic inverse-CDF grid."""
     from pyspark.sql import functions as F
 
     from .generator import generate_zipf_pair
