@@ -2431,4 +2431,91 @@ def events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from . import tpch_queries  # noqa: E402,F401  (self-registering)
+
+# --------------------------------------------------------------------------
+# Driver-check ordering. The driver verifies queries in registration
+# order and caps each round's run (round 1 stopped after 50 of 101), so
+# queries WITHOUT a green CORRECTNESS row yet go first — the three
+# round-1 reds (now fixed), then every driver-unchecked oracle-backed
+# query — and the 47 already-green round-1 rows come last. Coverage
+# accumulates across rounds; pytest (test_oracle_parity) still checks
+# all of them every run regardless of order.
+# --------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # round-1 reds, fixed this round
+    "array_functions",
+    "similarity_ivf_ann",
+    "similarity_lsh_ann",
+    # driver-unchecked in round 1, oracle-backed
+    "events_windowed_agg",
+    "events_stream_enriched",
+    "events_stream_windowed",
+    "events_sessionize",
+    "events_json_props",
+    "multimodal_blob_features",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "text_tfidf_topterms",
+    "sample_hash_split",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "projection_key_extract",
+    "events_funnel",
+    "stats_analyze_table",
+    "join_band_large",
+    "join_fuzzy_names",
+    "agg_exact_quantiles",
+    "layout_zorder_roundtrip",
+    "cdc_merge_upsert",
+    "cdc_latest_per_key",
+    "events_stream_upsert",
+    "tpch_q1_pricing_summary",
+    "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_stock",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sleeping_customers",
+    "pipeline_training_data",
+    "pipeline_embedding_prep",
+    # upgraded from rows-only to value-checked this round
+    "generator_uniform",
+    "generator_zipf_pair_join",
+    # rows-only (engine-internal RNG / sketch state / introspection)
+    "join_strategy_advisor",
+    "agg_approx_sketches",
+    "sample_stratified",
+]
+
+
+def _reorder_for_driver() -> None:
+    """Rebuild the registries in driver-check priority order, in place
+    (in place so references imported via ``from ... import QUERIES``
+    keep observing the reordered dicts)."""
+    for reg in (QUERIES, ORACLES):
+        pri = [k for k in _DRIVER_PRIORITY if k in reg]
+        ordered = pri + [k for k in reg if k not in set(pri)]
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({k: snapshot[k] for k in ordered})
+
+
 from . import pipeline  # noqa: E402,F401  (self-registering)
+
+_reorder_for_driver()  # must run AFTER every self-registering import
