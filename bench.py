@@ -7,7 +7,8 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line::
 
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {...}, "sf": ...}
+     "queries": {...}, "queries_cold": {...}, "skew_curve": {...},
+     "sf": ...}
 
 Per-query timing wraps a full materialization (noop sink — forces every
 operator, pays no write cost), the analog of the reference's
@@ -15,9 +16,18 @@ operator, pays no write cost), the analog of the reference's
 — but failures raise instead of recording 0 ns (reference bug, SURVEY
 §4.3).
 
-Also mirrors the reference's experiment matrix: the three join
-strategies over a generated Zipf pair (the actual workload
-JoinSimulation benchmarks), plus the scale-extension operators.
+Two passes are reported: ``queries_cold`` is the first execution of
+each plan in a fresh session (pays parquet footer reads, codegen
+compilation, page-cache misses); ``queries`` is the immediate second
+run (steady-state). Neither pass pre-touches the tables — only a tiny
+``spark.range`` query runs first so query 1 isn't charged for JVM
+startup, which no per-query number should include.
+
+Also reproduces the reference's experiment matrix (BASELINE.md): the
+skew sweep (``data/results_skew.csv``) and a scaleup spot-check at the
+skew where the reference's merge join stops completing
+(``results_speedup_1.2.csv:13-15``) — ``skew_curve`` maps
+rows → skew → strategy → seconds.
 """
 
 from __future__ import annotations
@@ -50,9 +60,13 @@ def bench_queries(spark, sf_dir: str, names: list[str] | None = None) -> dict[st
     return out
 
 
-def bench_zipf_joins(spark, n_rows: int, skew: float) -> dict[str, float]:
+def bench_zipf_joins(spark, n_rows: int, skew: float,
+                     prefix: str = "zipf_join_") -> dict[str, float]:
     """The reference's core benchmark: dim ⋈ zipf-fact under each
-    strategy (JoinSimulation.java:154-210), data generated on the fly."""
+    strategy (JoinSimulation.java:154-210), data generated on the fly.
+    Generation cost is paid once up front (cache + materialize), like
+    the reference, which times joins after generation wrote the
+    files."""
     from mapreduce_join_comparison_spark.generator import generate_zipf_pair
     from mapreduce_join_comparison_spark.operators.joins import equi_join
 
@@ -62,7 +76,7 @@ def bench_zipf_joins(spark, n_rows: int, skew: float) -> dict[str, float]:
     )
     dim = dim.cache()
     fact = fact.cache()
-    materialize(fact)  # generation cost paid once, like the reference
+    materialize(fact)
     materialize(dim)
     for strategy in ("repartition", "broadcast", "merge"):
         t0 = time.monotonic()
@@ -70,10 +84,32 @@ def bench_zipf_joins(spark, n_rows: int, skew: float) -> dict[str, float]:
             equi_join(fact, dim.selectExpr("k AS dk", "a1 AS d1"), "k", "dk",
                       "inner", strategy)
         )
-        out[f"zipf_join_{strategy}"] = round(time.monotonic() - t0, 3)
+        out[f"{prefix}{strategy}"] = round(time.monotonic() - t0, 3)
     dim.unpersist()
     fact.unpersist()
     return out
+
+
+def bench_skew_curve(
+    spark,
+    skews: list[float],
+    rows_list: list[int],
+    scaleup_skews: list[float],
+) -> dict[str, dict[str, dict[str, float]]]:
+    """The reference's headline experiment: join time vs Zipf skew per
+    strategy (results_skew.csv — flat for repartition/broadcast,
+    degrading for merge), plus larger-row spot checks at the skews
+    where the reference's merge join degraded then failed. Keys are
+    strings so the JSON round-trips."""
+    curve: dict[str, dict[str, dict[str, float]]] = {}
+    for n_rows in rows_list:
+        picked = skews if n_rows == rows_list[0] else scaleup_skews
+        per_rows: dict[str, dict[str, float]] = {}
+        for s in picked:
+            timing = bench_zipf_joins(spark, n_rows, s, prefix="")
+            per_rows[str(s)] = timing
+        curve[str(n_rows)] = per_rows
+    return curve
 
 
 HEADLINE = [
@@ -114,7 +150,13 @@ def main() -> None:
     ap.add_argument("--zipf-skew", type=float, default=0.8,
                     help="reference --zipf-skew")
     ap.add_argument("--no-generated", action="store_true",
-                    help="skip the generated-data join sweep")
+                    help="skip the generated-data join benchmarks")
+    ap.add_argument("--no-sweep", action="store_true",
+                    help="skip the skew/scaleup sweep (quick local runs)")
+    ap.add_argument("--sweep-rows", type=int, nargs="*",
+                    default=[1_000_000, 10_000_000],
+                    help="row counts for the skew curve; the first gets "
+                         "the full skew set, the rest the scaleup skews")
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -123,31 +165,45 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen AND the OS page cache / parquet footers so
-    # query 1 isn't charged for process startup or cold reads that no
-    # other query pays (reference analog: JoinSimulation times jobs
-    # after data generation already touched the files)
+    # charge no query for JVM/session startup; everything else (parquet
+    # footers, page cache, per-plan codegen) is paid by the COLD pass
     spark.range(1000).selectExpr("sum(id)").collect()
-    from mapreduce_join_comparison_spark.sources.io import TABLES
-
-    for t in TABLES:
-        try:
-            spark.read.parquet(os.path.join(args.sf_dir, f"{t}.parquet")).count()
-        except Exception:
-            pass
 
     t0 = time.monotonic()
-    queries = bench_queries(spark, args.sf_dir, args.queries)
+    queries_cold = bench_queries(spark, args.sf_dir, args.queries)
+    total_cold = round(time.monotonic() - t0, 3)
+
+    t1 = time.monotonic()
+    queries_warm = bench_queries(spark, args.sf_dir, args.queries)
     if not args.no_generated:
-        queries.update(bench_zipf_joins(spark, args.rows, args.zipf_skew))
-    total = round(time.monotonic() - t0, 3)
+        queries_warm.update(
+            bench_zipf_joins(spark, args.rows, args.zipf_skew)
+        )
+    total_warm = round(time.monotonic() - t1, 3)
+
+    skew_curve: dict = {}
+    if not args.no_generated and not args.no_sweep:
+        # reference matrix: skews 0.1–1.2 (s=1.0 is the inverse-CDF
+        # pole — the reference's own sweep uses 1.01 there too), then
+        # 10x rows at the skews where the reference degraded (0.5) and
+        # failed (1.2)
+        skew_curve = bench_skew_curve(
+            spark,
+            skews=[0.1, 0.3, 0.5, 0.7, 0.9, 1.01, 1.2],
+            rows_list=args.sweep_rows,
+            scaleup_skews=[0.5, 1.2],
+        )
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "total_wall_sec",
-        "value": total,
+        "value": total_warm,
         "unit": "sec",
-        "queries": queries,
+        "queries": queries_warm,
+        "queries_cold": queries_cold,
+        "total_cold_sec": total_cold,
+        "total_warm_sec": total_warm,
+        "skew_curve": skew_curve,
         "sf": float(sf) if sf.replace(".", "").isdigit() else args.sf_dir,
     }))
 
