@@ -52,25 +52,24 @@ def merge_upsert(
         updates = latest_per_key(updates, key, version_col, tiebreak)
     u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
     if version_col is None:
+        # dup-count window; the guard lives in the matched predicate
+        # (NOT in the join key — rewriting the key column would hide
+        # the window's hash partitioning from the join and cost an
+        # extra exchange)
         w = Window.partitionBy(f"_u_{key}")
-        u = (
-            u.withColumn("_u_dup", F.count(F.lit(1)).over(w))
-            .withColumn(
-                f"_u_{key}",
-                F.when(
-                    F.col("_u_dup") > 1,
-                    F.raise_error(
-                        F.concat(
-                            F.lit(f"merge_upsert: duplicate update key '{key}'="),
-                            F.col(f"_u_{key}").cast("string"),
-                        )
-                    ),
-                ).otherwise(F.col(f"_u_{key}")),
-            )
-            .drop("_u_dup")
-        )
+        u = u.withColumn("_u_dup", F.count(F.lit(1)).over(w))
+        matched = F.when(
+            F.col("_u_dup") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"merge_upsert: duplicate update key '{key}'="),
+                    F.col(f"_u_{key}").cast("string"),
+                )
+            ),
+        ).otherwise(F.col(f"_u_{key}").isNotNull())
+    else:
+        matched = F.col(f"_u_{key}").isNotNull()
     joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")
-    matched = F.col(f"_u_{key}").isNotNull()
     return joined.select(
         *[
             F.when(matched, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)

@@ -89,10 +89,37 @@ def hypercube_triangle_join(
 
 
 def chain_triangle_join(r: DataFrame, s: DataFrame, t: DataFrame) -> DataFrame:
-    """The two-shuffle binary-join plan for the same triangle query —
-    the baseline HyperCube is measured against (bench compares both)."""
+    """The binary-join chain plan for the same triangle query — two
+    join stages that Catalyst plans freely (broadcast when a side is
+    small, shuffle otherwise)."""
     return (
         r.join(s, "b")
         .join(t, ["c", "a"])
         .select("a", "b", "c")
     )
+
+
+def triangle_join(
+    r: DataFrame,
+    s: DataFrame,
+    t: DataFrame,
+    strategy: str = "chain",
+    grid: tuple[int, int, int] = (4, 4, 2),
+) -> DataFrame:
+    """Triangle query with an explicit strategy choice.
+
+    ``chain`` (the default): two binary joins — all-JVM, whole-stage
+    codegen, Catalyst broadcasts small sides and AQE splits skewed
+    partitions; the right plan whenever the R⋈S intermediate is
+    manageable, which is the common case.
+
+    ``hypercube``: the one-shuffle Shares grid with a per-cell pandas
+    merge — pays Python per cell but never materializes R⋈S, so it
+    wins exactly when the intermediate explodes (dense graphs, heavy
+    hub keys beyond what AQE skew-splitting absorbs).
+    """
+    if strategy == "chain":
+        return chain_triangle_join(r, s, t)
+    if strategy == "hypercube":
+        return hypercube_triangle_join(r, s, t, grid)
+    raise ValueError(f"unknown triangle strategy: {strategy!r}")

@@ -304,6 +304,31 @@ def join_triangle_hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_triangle_chain",
+    f"""
+    WITH e AS ({_EDGES_SQL})
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM e e1
+    JOIN e e2 ON e1.dst = e2.src
+    JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+    """,
+)
+def join_triangle_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same triangle query through the DEFAULT strategy of
+    operators.multiway.triangle_join: a pure-JVM binary-join chain.
+    The hypercube variant (join_triangle_hypercube) is the explicit
+    opt-in for exploding intermediates; this is what runs when skew is
+    ordinary."""
+    from .operators.multiway import triangle_join
+
+    e = _edges(spark, sf_dir)
+    r = e.selectExpr("src AS a", "dst AS b")
+    s = e.selectExpr("src AS b", "dst AS c")
+    t = e.selectExpr("src AS c", "dst AS a")
+    return triangle_join(r, s, t, strategy="chain")
+
+
+@register(
     "join_salted",
     """
     SELECT p.p_type, CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -2497,6 +2522,8 @@ _DRIVER_PRIORITY = [
     # upgraded from rows-only to value-checked this round
     "generator_uniform",
     "generator_zipf_pair_join",
+    # new this round (oracle-backed)
+    "join_triangle_chain",
     # rows-only (engine-internal RNG / sketch state / introspection)
     "join_strategy_advisor",
     "agg_approx_sketches",

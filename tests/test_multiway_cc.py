@@ -12,6 +12,7 @@ from mapreduce_join_comparison_spark.operators.joins import semi_join_reduced_jo
 from mapreduce_join_comparison_spark.operators.multiway import (
     chain_triangle_join,
     hypercube_triangle_join,
+    triangle_join,
 )
 from mapreduce_join_comparison_spark.plans.explain import count_shuffles, simple_plan
 
@@ -62,6 +63,22 @@ def test_hypercube_single_shuffle(spark):
     r, s, t = _as_rst(e)
     assert count_shuffles(hypercube_triangle_join(r, s, t)) == 1
     assert count_shuffles(chain_triangle_join(r, s, t)) >= 2
+
+
+def test_triangle_join_dispatcher(spark):
+    """triangle_join defaults to the pure-JVM chain plan (no Python
+    stage); both strategies agree bag-exactly; unknown strategies
+    raise."""
+    e = _edges(
+        spark, [(1, 2), (2, 3), (3, 1), (2, 1), (1, 3), (3, 2), (5, 5)]
+    )
+    r, s, t = _as_rst(e)
+    default = triangle_join(r, s, t)
+    assert "FlatMapGroupsInPandas" not in simple_plan(default)
+    cube = triangle_join(r, s, t, strategy="hypercube", grid=(2, 2, 2))
+    assert rows_set(default) == rows_set(cube)
+    with pytest.raises(ValueError):
+        triangle_join(r, s, t, strategy="nested_loop")
 
 
 def test_semi_join_reduced_matches_plain_join(spark, tables):

@@ -80,6 +80,10 @@ EXPECTATIONS = {
     # distinct + the ONE grid shuffle execute. The operator itself is
     # 1 shuffle — asserted in test_multiway_cc on materialized inputs.
     "join_triangle_hypercube": (4, "FlatMapGroupsInPandas"),
+    # default triangle strategy: pure-JVM join chain — the 3 exchanges
+    # are the repeated edge-distinct (reused at runtime); the joins
+    # themselves broadcast (never a per-cell Python stage)
+    "join_triangle_chain": (3, "BroadcastHashJoin"),
     "agg_grouping_sets": (1, "Expand"),
     "sql_subqueries": (3, None),
     "dedup_minhash_lsh": (9, None),
