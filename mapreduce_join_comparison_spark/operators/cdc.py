@@ -78,6 +78,44 @@ def merge_upsert(
     )
 
 
+def merge_aggregates(
+    base_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    merge_cols: list[str],
+) -> DataFrame:
+    """Algebraic partial-aggregate merge: ``new = base ⊎ delta``.
+
+    The maintenance move that keeps 100 TB aggregates cheap: never
+    re-scan the base table — aggregate only the delta batch and merge
+    the partials. Valid for commutative-monoid measures (SUM, COUNT;
+    AVG/VAR derive from (sum, count, sum_sq) partials), which is
+    exactly the class Spark itself exploits for map-side partial
+    aggregation.
+
+    One full-outer shuffle join on the grouping keys; a measure absent
+    on one side contributes its identity (0).
+    """
+    d = delta_agg.select(
+        [F.col(c).alias(f"_d_{c}") for c in delta_agg.columns]
+    )
+    cond = None
+    for k in keys:
+        c = base_agg[k].eqNullSafe(d[f"_d_{k}"])
+        cond = c if cond is None else (cond & c)
+    joined = base_agg.join(d, cond, "full_outer")
+    return joined.select(
+        *[F.coalesce(base_agg[k], d[f"_d_{k}"]).alias(k) for k in keys],
+        *[
+            (
+                F.coalesce(base_agg[c], F.lit(0))
+                + F.coalesce(d[f"_d_{c}"], F.lit(0))
+            ).alias(c)
+            for c in merge_cols
+        ],
+    )
+
+
 def latest_per_key(
     df: DataFrame, key: str, version_col: str, tiebreak: str | None = None
 ) -> DataFrame:

@@ -328,6 +328,91 @@ def join_triangle_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_join(r, s, t, strategy="chain")
 
 
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolls the PageRank recurrence as chained CTEs — iterative
+    algorithms with a FIXED iteration count are SQL-expressible, so
+    even the loop gets a full value-hash oracle. All arithmetic is
+    forced to DOUBLE (DuckDB would otherwise do DECIMAL math on the
+    damping literals and drift from Spark's doubles)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        f"WITH e AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank"
+        " FROM nodes CROSS JOIN nn),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst, SUM(r.rank / deg.deg) AS cs"
+            f" FROM e JOIN deg ON e.src = deg.src"
+            f" JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT node,"
+            f" (CAST(1.0 AS DOUBLE) - {d}) / nn.n"
+            f" + {d} * COALESCE(cs, CAST(0.0 AS DOUBLE)) AS rank"
+            f" FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+@register("graph_pagerank", _pagerank_oracle(iterations=3, damping=0.85))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 iterations, d=0.85) over the orders-derived
+    edge set — the algorithm class plain MapReduce serves worst (one
+    Hadoop job per iteration; the reference implements none). The loop
+    runs on the driver; each iteration is one contribution shuffle.
+    The oracle unrolls the identical recurrence as chained CTEs."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import pagerank
+
+    e = _edges(spark, sf_dir)
+    out = pagerank(e, iterations=3, damping=0.85)
+    return out.withColumn("rank", F.round("rank", 6))
+
+
+@register(
+    "cdc_incremental_agg",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the orders table split into a
+    base batch and a delta batch (every 5th order), each aggregated
+    independently, then merged algebraically
+    (operators/cdc.merge_aggregates) — the oracle recomputes the
+    aggregate over the WHOLE table, proving merge(partials) ≡
+    recompute without the base re-scan."""
+    from pyspark.sql import functions as F
+
+    from .operators.cdc import merge_aggregates
+
+    (orders,) = _load(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+
+    base = agg(orders.filter("o_orderkey % 5 <> 0"))
+    delta = agg(orders.filter("o_orderkey % 5 = 0"))
+    merged = merge_aggregates(base, delta, ["o_custkey"],
+                              ["n_orders", "total"])
+    return merged.withColumn("total", F.round("total", 2))
+
+
 @register(
     "join_salted",
     """
@@ -2524,6 +2609,8 @@ _DRIVER_PRIORITY = [
     "generator_zipf_pair_join",
     # new this round (oracle-backed)
     "join_triangle_chain",
+    "graph_pagerank",
+    "cdc_incremental_agg",
     # rows-only (engine-internal RNG / sketch state / introspection)
     "join_strategy_advisor",
     "agg_approx_sketches",

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from mapreduce_join_comparison_spark.operators.cdc import (
     latest_per_key,
+    merge_aggregates,
     merge_upsert,
 )
 
@@ -61,6 +62,41 @@ def test_merge_upsert_is_idempotent(spark):
     once = merge_upsert(base, updates, "k")
     twice = merge_upsert(once, updates, "k")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_aggregates_equals_recompute(spark):
+    rows = [(i % 4, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    from pyspark.sql import functions as F
+
+    def agg(d):
+        return d.groupBy("g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("s"),
+        )
+
+    base = agg(df.filter("x < 12"))     # groups 0-3
+    delta = agg(df.filter("x >= 12"))   # overlapping + disjoint-ish
+    merged = {
+        r.g: (r.n, r.s)
+        for r in merge_aggregates(base, delta, ["g"], ["n", "s"]).collect()
+    }
+    want = {r.g: (r.n, r.s) for r in agg(df).collect()}
+    assert merged == want
+
+
+def test_merge_aggregates_one_sided_groups(spark):
+    from pyspark.sql import functions as F
+
+    def agg(d):
+        return d.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    base = agg(spark.createDataFrame([(1,), (1,), (2,)], "g int"))
+    delta = agg(spark.createDataFrame([(3,), (3,)], "g int"))
+    merged = {
+        r.g: r.n for r in merge_aggregates(base, delta, ["g"], ["n"]).collect()
+    }
+    assert merged == {1: 2, 2: 1, 3: 2}
 
 
 def test_latest_per_key_picks_newest_with_tiebreak(spark):
