@@ -63,10 +63,14 @@ def bench_queries(spark, sf_dir: str, names: list[str] | None = None) -> dict[st
 def bench_zipf_joins(spark, n_rows: int, skew: float,
                      prefix: str = "zipf_join_") -> dict[str, float]:
     """The reference's core benchmark: dim ⋈ zipf-fact under each
-    strategy (JoinSimulation.java:154-210), data generated on the fly.
-    Generation cost is paid once up front (cache + materialize), like
-    the reference, which times joins after generation wrote the
-    files."""
+    strategy (JoinSimulation.java:154-210). Generation cost is paid
+    once up front by STAGING the pair to parquet and reading it back —
+    the reference likewise times joins over generated files, and
+    (unlike df.cache()) staged files don't pin storage memory that the
+    hash-join build needs at the 10M-row sweep points."""
+    import shutil
+    import tempfile
+
     from mapreduce_join_comparison_spark.generator import generate_zipf_pair
     from mapreduce_join_comparison_spark.operators.joins import equi_join
 
@@ -74,19 +78,21 @@ def bench_zipf_joins(spark, n_rows: int, skew: float,
     dim, fact = generate_zipf_pair(
         spark, n_rows, max(1, n_rows // 10), s=skew, seed=42
     )
-    dim = dim.cache()
-    fact = fact.cache()
-    materialize(fact)
-    materialize(dim)
-    for strategy in ("repartition", "broadcast", "merge"):
-        t0 = time.monotonic()
-        materialize(
-            equi_join(fact, dim.selectExpr("k AS dk", "a1 AS d1"), "k", "dk",
-                      "inner", strategy)
-        )
-        out[f"{prefix}{strategy}"] = round(time.monotonic() - t0, 3)
-    dim.unpersist()
-    fact.unpersist()
+    stage = tempfile.mkdtemp(prefix="bench_zipf_")
+    try:
+        fact.write.parquet(os.path.join(stage, "fact"))
+        dim.write.parquet(os.path.join(stage, "dim"))
+        fact = spark.read.parquet(os.path.join(stage, "fact"))
+        dim = spark.read.parquet(os.path.join(stage, "dim"))
+        for strategy in ("repartition", "broadcast", "merge"):
+            t0 = time.monotonic()
+            materialize(
+                equi_join(fact, dim.selectExpr("k AS dk", "a1 AS d1"),
+                          "k", "dk", "inner", strategy)
+            )
+            out[f"{prefix}{strategy}"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return out
 
 

@@ -99,6 +99,14 @@ def equi_join(
         if broadcast_side == "right":
             return left.join(F.broadcast(right), on, how)
         return F.broadcast(left).join(right, on, how)
+    if strategy == "repartition":
+        # the shuffle_hash hint marks its side as the BUILD side —
+        # build the smaller relation's hash table (building the fact
+        # side OOMs once partitions stop fitting in task memory; the
+        # dim side stays O(|dim| / partitions) at any fact scale)
+        if _size_estimate(right) <= _size_estimate(left):
+            return left.join(right.hint(_HINTS[strategy]), on, how)
+        return left.hint(_HINTS[strategy]).join(right, on, how)
     if strategy in _HINTS:
         # hint() attaches to the left side's logical subtree; Catalyst
         # applies it to the join above it.
