@@ -168,8 +168,22 @@ def main() -> None:
 
     from mapreduce_join_comparison_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # 12g driver: the 10M-row sweep's shuffles + hash builds fragment
+    # an 8g heap enough that late-phase joins run 4-5x slower from GC
+    # pressure (observed; a fresh session at 8g runs them fine)
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.driver.memory":
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _gc_between_phases():
+        # ask the JVM to compact between bench phases so one phase's
+        # garbage doesn't bill the next phase's timings
+        spark._jvm.System.gc()
 
     # charge no query for JVM/session startup; everything else (parquet
     # footers, page cache, per-plan codegen) is paid by the COLD pass
@@ -179,6 +193,7 @@ def main() -> None:
     queries_cold = bench_queries(spark, args.sf_dir, args.queries)
     total_cold = round(time.monotonic() - t0, 3)
 
+    _gc_between_phases()
     t1 = time.monotonic()
     queries_warm = bench_queries(spark, args.sf_dir, args.queries)
     if not args.no_generated:
@@ -189,6 +204,7 @@ def main() -> None:
 
     skew_curve: dict = {}
     if not args.no_generated and not args.no_sweep:
+        _gc_between_phases()
         # reference matrix: skews 0.1–1.2 (s=1.0 is the inverse-CDF
         # pole — the reference's own sweep uses 1.01 there too), then
         # 10x rows at the skews where the reference degraded (0.5) and
