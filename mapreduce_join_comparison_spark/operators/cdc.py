@@ -93,26 +93,20 @@ def merge_aggregates(
     exactly the class Spark itself exploits for map-side partial
     aggregation.
 
-    One full-outer shuffle join on the grouping keys; a measure absent
-    on one side contributes its identity (0).
+    Implemented as union + re-aggregate — NOT a full-outer join: a
+    null-safe join rewrites its keys to (coalesce(k), isnull(k)),
+    which hides the input aggregates' hash partitioning and re-shuffles
+    both sides in full; the union's final aggregate instead shuffles
+    only the (already collapsed) partial rows, and groupBy handles
+    null keys natively. A key present on one side only keeps its
+    partial value (SUM ignores the absent side).
     """
-    d = delta_agg.select(
-        [F.col(c).alias(f"_d_{c}") for c in delta_agg.columns]
-    )
-    cond = None
-    for k in keys:
-        c = base_agg[k].eqNullSafe(d[f"_d_{k}"])
-        cond = c if cond is None else (cond & c)
-    joined = base_agg.join(d, cond, "full_outer")
-    return joined.select(
-        *[F.coalesce(base_agg[k], d[f"_d_{k}"]).alias(k) for k in keys],
-        *[
-            (
-                F.coalesce(base_agg[c], F.lit(0))
-                + F.coalesce(d[f"_d_{c}"], F.lit(0))
-            ).alias(c)
-            for c in merge_cols
-        ],
+    sums = [F.sum(c).alias(c) for c in merge_cols]
+    return (
+        base_agg.select(*keys, *merge_cols)
+        .unionByName(delta_agg.select(*keys, *merge_cols))
+        .groupBy(*keys)
+        .agg(*sums)
     )
 
 

@@ -138,6 +138,13 @@ EXPECTATIONS = {
     # all exchanges share the user_id partitioning (reused at runtime)
     "events_funnel": (8, None),
     "agg_exact_quantiles": (1, None),
+    # partial-agg merge: 2 input-agg exchanges; the final merge agg
+    # shuffles only already-collapsed partial rows
+    "cdc_incremental_agg": (2, None),
+    # 3 unrolled iterations chain the full lineage (edges/deg/ranks
+    # subtrees repeat statically; runtime exchange reuse collapses
+    # them; persist_every truncates lineage for longer runs)
+    "graph_pagerank": (36, None),
 }
 
 
