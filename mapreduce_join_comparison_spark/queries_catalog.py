@@ -1759,6 +1759,56 @@ def events_json_props_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_stream_interval_join",
+    """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts::TIMESTAMP) AS ts_us,
+           c.event_id AS r_event_id, epoch_us(c.ts::TIMESTAMP) AS r_ts_us
+    FROM events e JOIN events c
+      ON e.event_type = 'error' AND c.event_type = 'click'
+     AND e.user_id = c.user_id
+     AND c.ts::TIMESTAMP >= e.ts::TIMESTAMP - INTERVAL 1 DAY
+     AND c.ts::TIMESTAMP <= e.ts::TIMESTAMP
+    """,
+)
+def events_stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as a REAL Structured
+    Streaming query (both sides watermarked, time-bounded condition →
+    bounded state): each error event joins the same user's click
+    events from the preceding day. The oracle is the equivalent batch
+    theta-join — proving the streaming plan computes the same
+    relation."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .streaming.events import (
+        interval_join,
+        load_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = load_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    errors = stream.filter("event_type = 'error'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = stream.filter("event_type = 'click'").selectExpr(
+        "event_id AS r_event_id", "user_id AS r_user_id", "ts AS r_ts"
+    )
+    joined = interval_join(
+        errors, clicks, "user_id", "r_user_id", "ts", "r_ts",
+        lookback="1 day", watermark="1 hour",
+    )
+    out = run_stream_to_memory(joined, output_mode="append")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "r_event_id",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary columns (blob + typed metadata; decode via
 # mapInPandas with a deterministic stub — no media libs in container).
@@ -2611,6 +2661,7 @@ _DRIVER_PRIORITY = [
     "join_triangle_chain",
     "graph_pagerank",
     "cdc_incremental_agg",
+    "events_stream_interval_join",
     # rows-only (engine-internal RNG / sketch state / introspection)
     "join_strategy_advisor",
     "agg_approx_sketches",
