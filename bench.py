@@ -145,6 +145,9 @@ HEADLINE = [
     "events_windowed_agg",
     "events_sessionize",
     "pipeline_training_data",
+    "join_triangle_chain",
+    "graph_pagerank",
+    "cdc_incremental_agg",
 ]
 
 
