@@ -102,6 +102,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥
+    ``min_overlap`` distinct k-gram shingles with ANY eval-set doc —
+    the pre-training hygiene pass that keeps test benchmarks out of
+    the training mix.
+
+    Scale shape: the eval side collapses to its DISTINCT shingle set
+    (benchmarks are small — thousands of docs) and broadcasts; the
+    corpus side is one narrow shingle pass + a broadcast semi-join +
+    one groupBy on doc id. The corpus never self-joins and never
+    shuffles its text — only (id, shingle) pairs that actually hit the
+    eval set reach the aggregate. At 100 TB the corpus pass stays
+    embarrassingly parallel; if the eval shingle set ever outgrew the
+    broadcast budget, dropping the hint degrades gracefully to a
+    shuffle semi-join on the shingle key."""
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, k)).alias("shingle"),
+    )
+    e = eval_set.select(
+        F.explode(shingles(text_col, k)).alias("shingle")
+    ).distinct()
+    return (
+        c.join(F.broadcast(e), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

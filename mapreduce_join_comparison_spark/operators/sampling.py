@@ -53,3 +53,26 @@ def stratified_sample(
     """Per-stratum Bernoulli sampling (``sampleBy``): one scan, no
     shuffle; counts are approximate (binomial), strata exact."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+    buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its key's md5
+    bucket falls below ``fraction × buckets`` for its stratum (strata
+    absent from ``fractions`` drop). The RNG-free analogue of
+    ``sampleBy``: same one-scan/no-shuffle cost, but membership is an
+    engine-independent pure function of (key, salt) — reproducible
+    across engines and stable under re-runs, repartitioning, and
+    incremental arrival, which is what a training-data mix needs.
+    Fraction granularity is 1/buckets."""
+    thresholds = F.create_map(
+        *[F.lit(x) for k, v in fractions.items() for x in (k, float(v))]
+    )
+    thr = F.coalesce(thresholds[F.col(strata_col)], F.lit(0.0))
+    return df.filter(hash_bucket(key_col, buckets, salt) < thr * buckets)

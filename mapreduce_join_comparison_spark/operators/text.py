@@ -150,6 +150,40 @@ def rolling_hash_fingerprint(col: Column | str, window: int = 4) -> Column:
     return F.array_min(window_hashes).cast("bigint")
 
 
+# PII patterns: restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracles) — char classes, bounded
+# repetition, \b; no lookaround/backrefs. Order matters: email before
+# phone/IP so its digit-bearing local parts are consumed first, SSN
+# (3-2-4) before phone (3-3-4).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-category PII match counts (aliased n_<category>) — the audit
+    side of redaction. Narrow projection, JVM regex, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        .cast("int").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its category token (<EMAIL>,
+    <SSN>, <IP>, <PHONE>) — the standard pre-training scrub pass.
+    Chained regexp_replace, one pass per category; all JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (array<string>) — input to Jaccard /
     MinHash dedup.

@@ -1910,22 +1910,51 @@ def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 
 
-@register("agg_approx_sketches", None)
+@register(
+    "agg_approx_sketches",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS parts_ok, true AS orders_ok, true AS median_ok
+    FROM lineitem
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HyperLogLog++ distinct count, approximate
     percentiles): fixed-size partial state per partition — the only
     aggregation shapes that stay cheap at 100 TB when exact answers
-    aren't required. Rows-only (sketch internals are engine-specific);
-    accuracy vs exact is asserted in tests/test_sorts_aggs.py."""
+    aren't required. Sketch *internals* are engine-specific, so the
+    oracle checks the accuracy CONTRACT instead: the query emits the
+    exact values plus booleans asserting each sketch lands within its
+    documented error bound (HLL++ rsd 5% → ±3σ≈15%; percentile_approx
+    accuracy 10000 → ±2% rank, bounded here by the exact p45–p55
+    bracket). The oracle's `true` literals fail the hash-match iff a
+    sketch ever drifts out of bound. The exact aggregates exist for
+    verification only — production callers use the sketch alone
+    (see also agg_exact_quantiles for the exact-percentile twin)."""
     from pyspark.sql import functions as F
 
     (lineitem,) = _load(spark, sf_dir, "lineitem")
     return lineitem.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("_ao"),
         F.expr(
-            "percentile_approx(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
-        ).alias("price_quantiles"),
+            "percentile_approx(l_extendedprice, 0.5, 10000)"
+        ).alias("_median_approx"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+    ).select(
+        "exact_parts",
+        "exact_orders",
+        (F.abs(F.col("_ap") - F.col("exact_parts"))
+         <= 0.15 * F.col("exact_parts")).alias("parts_ok"),
+        (F.abs(F.col("_ao") - F.col("exact_orders"))
+         <= 0.15 * F.col("exact_orders")).alias("orders_ok"),
+        F.col("_median_approx").between(
+            F.col("_p45"), F.col("_p55")
+        ).alias("median_ok"),
     )
 
 
@@ -1990,17 +2019,131 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified", None)
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT % 10000
+          < 10000 * CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                              WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.2
+                              WHEN 'zh' THEN 0.2 ELSE 0.0 END
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language stratified Bernoulli sample (seeded ``sampleBy``) —
-    rows-only: the sampling RNG is Spark-internal, not replayable in
-    another engine."""
-    from .operators.sampling import stratified_sample
+    """Per-language stratified sample via the DETERMINISTIC md5-bucket
+    sampler (sampling.stratified_hash_sample) — the data-mixing
+    primitive of a training pipeline (per-source rates), value-checked
+    because membership is a pure function of (doc_id, salt). The seeded
+    ``sampleBy`` (RNG) variant stays available as
+    sampling.stratified_sample, property-tested in
+    tests/test_sampling_tfidf.py (its RNG is Spark-internal, so it
+    cannot be cross-engine value-checked)."""
+    from .operators.sampling import stratified_hash_sample
 
     (documents,) = _load(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.2, "zh": 0.2}
-    return stratified_sample(documents, "lang", fractions, seed=42).select(
-        "doc_id", "lang"
+    return stratified_hash_sample(
+        documents, "lang", fractions, key_col="doc_id", salt="mix"
+    ).select("doc_id", "lang")
+
+
+def _pii_oracle() -> str:
+    from .operators.text import PII_PATTERNS
+
+    synth = (
+        "text || ' Contact user' || doc_id::VARCHAR || '@example.com "
+        "or 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.0.' || "
+        "(doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR"
+    )
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(t, '{p}')) AS INT) AS n_{n}".format(
+            p=pat, n=name
+        )
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "t"
+    for _, pat, token in PII_PATTERNS:
+        clean = "regexp_replace({c}, '{p}', '{t}', 'g')".format(
+            c=clean, p=pat, t=token
+        )
+    return (
+        "WITH w AS (SELECT doc_id, " + synth + " AS t FROM documents) "
+        "SELECT doc_id, " + counts + ", " + clean + " AS clean_text FROM w"
+    )
+
+
+@register("text_pii_redaction", _pii_oracle())
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (text.redact_pii / pii_counts): every email / SSN /
+    IPv4 / phone match replaced by its category token, with per-doc
+    audit counts — the standard pre-training cleanup pass. The
+    synthetic corpus carries no PII, so the query plants one
+    deterministic instance of each category (derived from doc_id) into
+    every doc and both engines scrub the same text — redaction and
+    counts are fully value-checked. Patterns are restricted to
+    Java-regex ∩ RE2 syntax so both engines agree. Narrow projection,
+    chained JVM regexp_replace, no shuffle, no UDF."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import pii_counts, redact_pii
+    from .sources.io import fan_out
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    with_pii = fan_out(documents).withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        ),
+    )
+    return with_pii.select(
+        "doc_id", *pii_counts("t"), redact_pii("t").alias("clean_text")
+    )
+
+
+@register(
+    "dedup_contamination",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    b AS (
+      SELECT doc_id, sh,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'eval'), 1, 8))::BIGINT
+               % 100 < 5 AS is_eval
+      FROM s
+    ),
+    e AS (SELECT DISTINCT unnest(sh) AS shingle FROM b WHERE is_eval),
+    c AS (SELECT doc_id, unnest(sh) AS shingle FROM b WHERE NOT is_eval)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM c JOIN e USING (shingle)
+    GROUP BY doc_id
+    HAVING COUNT(*) >= 5
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.contamination_check): corpus
+    docs sharing ≥5 distinct 3-gram shingles with a held-out eval
+    set. The eval set is carved deterministically from documents (md5
+    bucket < 5% — same split primitive as sample_hash_split) so both
+    engines see identical sides. Eval shingles broadcast; the corpus
+    pass is one narrow shingle projection — no self-join, no text
+    shuffle."""
+    from .operators.dedup import contamination_check
+    from .operators.sampling import hash_bucket
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 100, "eval")
+    return contamination_check(
+        documents.filter(b >= 5),
+        documents.filter(b < 5),
+        k=3,
+        min_overlap=5,
     )
 
 
@@ -2306,27 +2449,45 @@ def stats_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s.col", "s.n_rows", "s.ndv", "s.n_null", "s.vmin", "s.vmax")
 
 
-@register("join_strategy_advisor", None)
+@register(
+    "join_strategy_advisor",
+    """
+    SELECT 'orders' AS left_table, 'customer' AS right_table,
+           'generous' AS budget, 'broadcast' AS strategy
+    UNION ALL
+    SELECT 'lineitem', 'orders', 'zero', 'repartition'
+    """,
+)
 def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The thesis Fig-6.11 decision tree (operators/joins.
-    advise_strategy) applied to canonical table pairs — engine
-    introspection (Catalyst size estimates), so rows-only."""
+    advise_strategy) applied to two scenarios CONSTRUCTED so the
+    correct decision is invariant across scale factors — making the
+    literal oracle a specification, not a snapshot: (a) a 512 MiB
+    budget vs the customer table (≤ a few MiB at every test SF; any
+    budget-respecting advisor must say broadcast), and (b) a zero
+    budget (no side can ever fit; the tree's fallthrough must say
+    repartition). The free-text reason (Catalyst byte estimates —
+    engine introspection, data-dependent) is intentionally excluded
+    from the checked projection; it remains covered by
+    tests/test_joins.py."""
     from .operators.joins import advise_strategy
 
     customer, orders, lineitem = _load(
         spark, sf_dir, "customer", "orders", "lineitem"
     )
     rows = []
-    for lname, ldf, rname, rdf, lk, rk, budget in [
+    for lname, ldf, rname, rdf, lk, rk, label, budget in [
         ("orders", orders, "customer", customer, "o_custkey", "c_custkey",
-         512 * 1024 * 1024),
-        ("lineitem", lineitem, "orders", orders, "l_orderkey", "o_orderkey", 0),
+         "generous", 512 * 1024 * 1024),
+        ("lineitem", lineitem, "orders", orders, "l_orderkey", "o_orderkey",
+         "zero", 0),
     ]:
-        strategy, reason = advise_strategy(ldf, rdf, lk, rk,
-                                           broadcast_budget_bytes=budget)
-        rows.append((lname, rname, strategy, reason))
+        strategy, _reason = advise_strategy(ldf, rdf, lk, rk,
+                                            broadcast_budget_bytes=budget)
+        rows.append((lname, rname, label, strategy))
     return spark.createDataFrame(
-        rows, "left_table string, right_table string, strategy string, reason string"
+        rows,
+        "left_table string, right_table string, budget string, strategy string",
     )
 
 
@@ -2662,7 +2823,11 @@ _DRIVER_PRIORITY = [
     "graph_pagerank",
     "cdc_incremental_agg",
     "events_stream_interval_join",
-    # rows-only (engine-internal RNG / sketch state / introspection)
+    "text_pii_redaction",
+    "dedup_contamination",
+    # upgraded from rows-only to value-checked this round: pinned
+    # scale-invariant decisions (advisor), sketch accuracy-contract
+    # booleans (sketches), md5-deterministic sampler (stratified)
     "join_strategy_advisor",
     "agg_approx_sketches",
     "sample_stratified",

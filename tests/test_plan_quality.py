@@ -145,6 +145,12 @@ EXPECTATIONS = {
     # subtrees repeat statically; runtime exchange reuse collapses
     # them; persist_every truncates lineage for longer runs)
     "graph_pagerank": (36, None),
+    # narrow scrub; the 1 exchange is fan_out spreading the
+    # single-file local scan (absent on a real multi-split source)
+    "text_pii_redaction": (1, None),
+    # eval-shingle distinct + fan_out + the doc_id count aggregate;
+    # candidate join broadcasts the eval side
+    "dedup_contamination": (3, "BroadcastHashJoin"),
 }
 
 

@@ -64,3 +64,29 @@ def test_tfidf_known_corpus(spark):
 def test_tfidf_no_python_udf_in_plan(spark, tables):
     plan = tfidf_top_terms(tables["documents"])._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_hash_sample_deterministic(spark, tables):
+    from mapreduce_join_comparison_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = tables["documents"]
+    fractions = {"en": 0.5, "de": 0.25}
+    a = stratified_hash_sample(docs, "lang", fractions, key_col="doc_id")
+    b = stratified_hash_sample(docs, "lang", fractions, key_col="doc_id")
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # pure function of (key, salt): identical re-runs
+    langs = {r["lang"] for r in a.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # strata without a fraction drop
+    # per-stratum rates land near their targets (md5 buckets ~uniform)
+    n_en_all = docs.filter("lang = 'en'").count()
+    n_en = a.filter("lang = 'en'").count()
+    assert abs(n_en / n_en_all - 0.5) < 0.1
+    # a different salt decorrelates membership
+    c = stratified_hash_sample(
+        docs, "lang", fractions, key_col="doc_id", salt="other"
+    )
+    ids_c = sorted(r["doc_id"] for r in c.select("doc_id").collect())
+    assert ids_c != ids_a

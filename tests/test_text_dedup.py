@@ -120,3 +120,48 @@ def test_quality_score_ordering(spark):
         "doc_id", text.quality_score("text").alias("q")).collect()}
     assert scores[1] > scores[2]
     assert 0.0 <= scores[2] < 0.5 < scores[1] <= 1.0
+
+
+def test_redact_pii_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, call 555-123-4567, "
+                "ssn 123-45-6789, host 10.0.0.1 end"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        text.redact_pii("text").alias("clean"),
+        *text.pii_counts("text"),
+    ).collect()}
+    assert out[1]["clean"] == (
+        "mail <EMAIL> and <EMAIL>, call <PHONE>, ssn <SSN>, host <IP> end"
+    )
+    assert (out[1]["n_email"], out[1]["n_ssn"], out[1]["n_ip"],
+            out[1]["n_phone"]) == (2, 1, 1, 1)
+    assert out[2]["clean"] == "no pii here at all"
+    assert sum([out[2]["n_email"], out[2]["n_ssn"], out[2]["n_ip"],
+                out[2]["n_phone"]]) == 0
+
+
+def test_contamination_check_known_overlap(spark):
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares many 3-grams with the eval doc
+            (1, "we saw the quick brown fox jumps over the fence"),
+            # shares none
+            (2, "parquet row groups compress columnar data well"),
+        ],
+        "doc_id bigint, text string",
+    )
+    hits = {r["doc_id"]: r["overlap"] for r in dedup.contamination_check(
+        corpus, eval_set, k=3, min_overlap=1).collect()}
+    # "the quick brown", "quick brown fox", "brown fox jumps",
+    # "fox jumps over", "jumps over the"
+    assert hits == {1: 5}
