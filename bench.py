@@ -148,6 +148,8 @@ HEADLINE = [
     "join_triangle_chain",
     "graph_pagerank",
     "cdc_incremental_agg",
+    "text_pii_redaction",
+    "dedup_contamination",
 ]
 
 

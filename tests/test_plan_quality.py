@@ -49,7 +49,10 @@ EXPECTATIONS = {
     "agg_promo_revenue": (1, None),
     "agg_statistics": (1, None),
     "agg_summary_stats": (1, None),
-    "agg_approx_sketches": (1, None),
+    # the two verification-only exact COUNT(DISTINCT)s force the
+    # multi-distinct Expand plan (dedup agg + final): 2 exchanges.
+    # The production sketch-only shape remains a 1-exchange partial agg.
+    "agg_approx_sketches": (2, None),
     "agg_pivot": (2, None),          # pivot = distinct values pass + agg
     "dedup_exact": (1, None),
     "dedup_ngram_jaccard": (3, None),
