@@ -2615,6 +2615,41 @@ def layout_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+@register(
+    "layout_partitioned_dpp",
+    """
+    SELECT o_orderkey, o_totalprice, 'finished' AS status_desc
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def layout_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: orders written
+    hive-partitioned on o_orderstatus, then joined to a tiny status
+    dimension whose filter sits on a NON-join column (is_closed) so
+    Catalyst cannot constant-fold the partition predicate — it must
+    instead inject ``dynamicpruningexpression`` into the fact scan's
+    PartitionFilters at runtime (asserted in
+    tests/test_partition_pruning.py). At 100 TB this is the feature
+    that turns a date-dim filter into "read 1 day, not 7 years" with
+    no query rewrite. The oracle replays the surviving predicate
+    relationally (the partitioned roundtrip is lossless)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_dpp_orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished", 1), ("O", "open", 0), ("P", "pending", 0)],
+        "status string, status_desc string, is_closed int",
+    ).filter("is_closed = 1")
+    return fact.join(
+        F.broadcast(dim), fact["o_orderstatus"] == dim["status"]
+    ).select("o_orderkey", "o_totalprice", "status_desc")
+
+
 # --------------------------------------------------------------------------
 # CDC / incremental maintenance (operators/cdc.py) — how a 100 TB corpus
 # is maintained rather than rebuilt.
@@ -2825,6 +2860,7 @@ _DRIVER_PRIORITY = [
     "events_stream_interval_join",
     "text_pii_redaction",
     "dedup_contamination",
+    "layout_partitioned_dpp",
     # upgraded from rows-only to value-checked this round: pinned
     # scale-invariant decisions (advisor), sketch accuracy-contract
     # booleans (sketches), md5-deterministic sampler (stratified)
