@@ -110,6 +110,32 @@ def merge_aggregates(
     )
 
 
+def merge_distinct_sketches(
+    batch_aggs: list[DataFrame],
+    keys: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Mergeable distinct-count maintenance: union per-batch HLL
+    sketches and estimate — COUNT(DISTINCT) is NOT a monoid (can't
+    merge via merge_aggregates' SUM), but its Datasketches HLL sketch
+    is: union(sketch(A), sketch(B)) ≡ sketch(A ∪ B). At 100 TB this is
+    how a running distinct-users-per-key stays current from daily
+    delta sketches without ever rescanning the base — each input here
+    is a tiny (key, sketch) aggregate, the merge shuffles only those
+    collapsed rows. Build the inputs with
+    ``df.groupBy(*keys).agg(F.hll_sketch_agg(col).alias("sketch"))``."""
+    import functools
+
+    unioned = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [b.select(*keys, sketch_col) for b in batch_aggs],
+    )
+    return unioned.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col))
+        .alias("approx_distinct")
+    )
+
+
 def latest_per_key(
     df: DataFrame, key: str, version_col: str, tiebreak: str | None = None
 ) -> DataFrame:

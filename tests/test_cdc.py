@@ -112,3 +112,27 @@ def test_latest_per_key_picks_newest_with_tiebreak(spark):
     )
     got = {r.k: r.tag for r in latest_per_key(df, "k", "version", "id").collect()}
     assert got == {1: "new", 2: "only", 3: "tie-hi"}
+
+
+def test_merge_distinct_sketches_tracks_exact(spark, tables):
+    from pyspark.sql import functions as F
+
+    from mapreduce_join_comparison_spark.operators.cdc import (
+        merge_distinct_sketches,
+    )
+
+    orders = tables["orders"]
+    batches = [
+        orders.filter(f"o_orderkey % 4 = {i}")
+        .groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+        for i in range(4)
+    ]
+    merged = {r["o_orderstatus"]: r["approx_distinct"] for r in
+              merge_distinct_sketches(batches, ["o_orderstatus"]).collect()}
+    exact = {r["o_orderstatus"]: r["n"] for r in
+             orders.groupBy("o_orderstatus")
+             .agg(F.count_distinct("o_custkey").alias("n")).collect()}
+    assert set(merged) == set(exact)
+    for k, n in exact.items():
+        assert abs(merged[k] - n) <= 0.05 * n  # lgK=12: rsd ~0.8%

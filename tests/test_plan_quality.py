@@ -151,6 +151,10 @@ EXPECTATIONS = {
     # narrow scrub; the 1 exchange is fan_out spreading the
     # single-file local scan (absent on a real multi-split source)
     "text_pii_redaction": (1, None),
+    # 3 per-batch sketch aggs + the union merge + the exact
+    # count_distinct twin (verification only; production merges
+    # sketches alone — one exchange over collapsed partial rows)
+    "cdc_incremental_distinct": (5, None),
     # eval-shingle distinct + fan_out + the doc_id count aggregate;
     # candidate join broadcasts the eval side
     "dedup_contamination": (3, "BroadcastHashJoin"),
