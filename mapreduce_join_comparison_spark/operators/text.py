@@ -208,6 +208,81 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.slice(z, 1, F.greatest(n - k + 1, F.lit(1))))
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_distinct_ratio: float = 0.3, max_top_bigram_frac: float = 0.12,
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics + keep flag —
+    the standard pre-training filter for boilerplate / degenerate
+    loops (Rae et al. 2021 §A1.1, adapted to token granularity since
+    the corpus is single-line text):
+
+    - ``distinct_ratio``   distinct tokens / total tokens
+    - ``top_token_frac``   occurrences of the most frequent token / n
+    - ``top_bigram_frac``  occurrences of the most frequent bigram /
+      bigram count
+    - ``keep``             distinct_ratio ≥ τ₁ AND top_bigram_frac ≤ τ₂
+
+    Plan shape: bigrams are built per-row with the same shifted-zip
+    construction as ``shingles`` (no window over token position — that
+    would shuffle the exploded stream once more), then unigrams and
+    bigrams explode into two branches of (id, term) partial-agg
+    counts. Four shuffles total, every one keyed by doc id and
+    collapsed map-side first; nothing is O(corpus²).
+    """
+    toks_low = F.transform(tokens(text_col), lambda t: F.lower(t))
+    n = F.size(toks_low)
+    bigrams = F.slice(
+        F.zip_with(
+            toks_low,
+            F.slice(toks_low, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(n - 1, F.lit(0)),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks_low.alias("_toks"),
+        bigrams.alias("_bigrams"),
+    )
+    uni = (
+        base.select("id", F.explode("_toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    bi = (
+        base.select("id", F.explode("_bigrams").alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bi_cnt"))
+    )
+    out = uni.join(bi, "id", "left")
+    distinct_ratio = F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+    top_token_frac = F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
+    top_bigram_frac = F.round(
+        F.coalesce(F.col("top_bi_cnt") / F.col("n_bigrams"), F.lit(0.0)), 6
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        distinct_ratio.cast("double").alias("distinct_ratio"),
+        top_token_frac.cast("double").alias("top_token_frac"),
+        top_bigram_frac.cast("double").alias("top_bigram_frac"),
+        (
+            (distinct_ratio >= F.lit(min_distinct_ratio))
+            & (top_bigram_frac <= F.lit(max_top_bigram_frac))
+        ).alias("keep"),
+    )
+
+
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All per-document features in one narrow pass, tokenizing ONCE.
 
