@@ -149,6 +149,7 @@ HEADLINE = [
     "graph_pagerank",
     "cdc_incremental_agg",
     "text_pii_redaction",
+    "text_repetition_metrics",
     "dedup_contamination",
 ]
 

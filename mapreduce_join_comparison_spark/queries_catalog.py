@@ -1667,6 +1667,61 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_metrics",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY doc_id, tok
+    ),
+    u AS (
+      SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(cnt) AS top_cnt
+      FROM uni GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+      FROM t
+    ),
+    bic AS (
+      SELECT doc_id, b, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+      GROUP BY doc_id, b
+    ),
+    bi AS (
+      SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bi_cnt
+      FROM bic GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(u.n_distinct / u.n_tokens, 6) AS distinct_ratio,
+           ROUND(u.top_cnt / u.n_tokens, 6) AS top_token_frac,
+           ROUND(COALESCE(bi.top_bi_cnt / bi.n_bigrams, 0.0), 6)
+             AS top_bigram_frac,
+           (ROUND(u.n_distinct / u.n_tokens, 6) >= 0.3
+            AND ROUND(COALESCE(bi.top_bi_cnt / bi.n_bigrams, 0.0), 6) <= 0.12)
+             AS keep
+    FROM u LEFT JOIN bi ON u.doc_id = bi.doc_id
+    """,
+)
+def text_repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter metrics (distinct-token ratio,
+    top-token / top-bigram fractions, keep flag) — the oracle replays
+    the unigram/bigram counting bit-for-bit in DuckDB."""
+    from .operators.text import repetition_metrics
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return repetition_metrics(documents)
+
+
 # --------------------------------------------------------------------------
 # Events: time-window aggregation, sessionization, JSON props — batch
 # forms here (oracle-checked); the streaming forms run the SAME plan
@@ -2879,6 +2934,7 @@ _DRIVER_PRIORITY = [
     "tpch_q16_supplier_count",
     "tpch_q4_order_priority",
     "text_pii_redaction",
+    "text_repetition_metrics",
     "tpch_q17_small_quantity",
     "events_sessionize",
     "cdc_merge_upsert",

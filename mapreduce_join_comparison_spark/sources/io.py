@@ -76,6 +76,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, not `/`: float division rounds the µs value
         # (off-by-one vs the truncation every other engine does)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _naive_ts_to_utc(df)
+
+
+def _naive_ts_to_utc(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP_LTZ, treating the
+    naive wall time as UTC.
+
+    Parquet written with isAdjustedToUTC=0 (µs unit) comes back as
+    TIMESTAMP_NTZ under Spark's default inferTimestampNTZ, and NTZ is
+    rejected by instant functions (``unix_micros``, interval joins on
+    epoch µs). ``to_utc_timestamp(ntz, 'UTC')`` is the one conversion
+    that is *session-timezone independent*: it interprets the naive
+    value as UTC wall time — exactly how DuckDB's ``epoch_us(naive)``
+    reads the same file, so oracles agree on any machine. Type-gated:
+    already-LTZ data (or long-nanos columns handled above) is untouched.
+    """
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                f.name, F.to_utc_timestamp(F.col(f.name), "UTC")
+            )
     return df
 
 

@@ -29,23 +29,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema: ts is parquet TIMESTAMP(NANOS), which
-# Spark 4 reads as LongType under spark.sql.legacy.parquet.nanosAsLong
-# (sources.io.load_table handles batch; streams need the explicit
-# schema below because readStream requires one).
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos since epoch
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+# events.parquet physical ts type varies with the generator: parquet
+# TIMESTAMP(NANOS) (Spark 4 reads it as LongType only, under
+# spark.sql.legacy.parquet.nanosAsLong), naive TIMESTAMP(MICROS)
+# (TIMESTAMP_NTZ), or UTC-adjusted (plain TIMESTAMP). readStream needs
+# an explicit schema, so it is derived from the parquet footer and the
+# matching normalization picked per type (sources.io.load_table does
+# the same for batch).
+def _events_stream_schema(sample_file: str):
+    """(schema, normalize_fn) for the events file-source stream."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    ts_type = pq.read_schema(sample_file).field("ts").type
+    fields = {
+        "event_id": T.LongType(),
+        "user_id": T.LongType(),
+        "event_type": T.StringType(),
+        "value": T.DoubleType(),
+        "props": T.StringType(),
+    }
+    if pat.is_timestamp(ts_type) and ts_type.unit == "ns":
+        ts_field, norm = T.LongType(), _nanos_to_ts  # needs nanosAsLong
+    elif pat.is_timestamp(ts_type) and ts_type.tz is None:
+        ts_field, norm = T.TimestampNTZType(), _naive_to_utc
+    else:
+        ts_field, norm = T.TimestampType(), lambda df: df
+    schema = T.StructType(
+        [T.StructField("event_id", fields["event_id"]),
+         T.StructField("ts", ts_field),
+         T.StructField("user_id", fields["user_id"]),
+         T.StructField("event_type", fields["event_type"]),
+         T.StructField("value", fields["value"]),
+         T.StructField("props", fields["props"])]
+    )
+    return schema, norm
 
 
 def _nanos_to_ts(df: DataFrame) -> DataFrame:
     # integer `div` truncates ns→µs like other engines; `/` would round
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _naive_to_utc(df: DataFrame) -> DataFrame:
+    # session-timezone-independent naive-as-UTC (see sources.io)
+    return df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
 
 
 def load_events_stream(
@@ -61,7 +89,6 @@ def load_events_stream(
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Stateful streaming shuffles pay one state store per shuffle
     # partition per stateful operator per micro-batch; Spark's default
     # 200 is sized for large clusters and makes bounded availableNow
@@ -72,6 +99,7 @@ def load_events_stream(
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     if os.path.isfile(path):
+        sample = path
         digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
         stage = os.path.join(tempfile.gettempdir(), f"stream-src-{digest}")
         os.makedirs(stage, exist_ok=True)
@@ -79,10 +107,18 @@ def load_events_stream(
         if not os.path.exists(link):
             os.symlink(os.path.abspath(path), link)
         path = stage
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    else:
+        import glob
+
+        sample = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    schema, normalize = _events_stream_schema(sample)
+    if any(f.name == "ts" and isinstance(f.dataType, T.LongType)
+           for f in schema.fields):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return _nanos_to_ts(reader.parquet(path))
+    return normalize(reader.parquet(path))
 
 
 def windowed_event_agg(

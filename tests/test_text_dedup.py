@@ -165,3 +165,37 @@ def test_contamination_check_known_overlap(spark):
     # "the quick brown", "quick brown fox", "brown fox jumps",
     # "fox jumps over", "jumps over the"
     assert hits == {1: 5}
+
+
+def test_repetition_metrics_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "spam spam spam spam"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_metrics(df).collect()}
+
+    # doc 1: 9 tokens, 8 distinct ("the" x2), 8 distinct bigrams
+    r = rows[1]
+    assert r["n_tokens"] == 9
+    assert abs(r["distinct_ratio"] - round(8 / 9, 6)) < 1e-9
+    assert abs(r["top_token_frac"] - round(2 / 9, 6)) < 1e-9
+    assert abs(r["top_bigram_frac"] - 0.125) < 1e-9
+    assert r["keep"] is False  # 0.125 > 0.12 bigram threshold
+
+    # doc 2: degenerate loop — 1 distinct token, "spam spam" x3 of 3
+    r = rows[2]
+    assert r["n_tokens"] == 4
+    assert r["distinct_ratio"] == 0.25
+    assert r["top_token_frac"] == 1.0
+    assert r["top_bigram_frac"] == 1.0
+    assert r["keep"] is False
+
+    # doc 3: all-distinct healthy text passes both thresholds
+    r = rows[3]
+    assert r["distinct_ratio"] == 1.0
+    assert abs(r["top_bigram_frac"] - round(1 / 9, 6)) < 1e-9
+    assert r["keep"] is True
