@@ -150,6 +150,7 @@ HEADLINE = [
     "cdc_incremental_agg",
     "text_pii_redaction",
     "text_repetition_metrics",
+    "embedding_random_projection",
     "dedup_contamination",
 ]
 

@@ -101,6 +101,48 @@ def lsh_bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
     return out
 
 
+def projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 7
+) -> list[list[float]]:
+    """Seeded Gaussian Johnson–Lindenstrauss projection matrix, scaled
+    by 1/√out_dim so expected norms are preserved. Deterministic so
+    oracles can embed the same constants (like ``hyperplanes``)."""
+    rng = np.random.RandomState(seed)
+    scale = 1.0 / float(np.sqrt(out_dim))
+    return [
+        [float(v) * scale for v in row] for row in rng.randn(out_dim, in_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """JL random projection: reduce each embedding to ``out_dim``
+    components, emitted as scalar columns ``rp0..rpN`` (rounded to 6
+    for cross-engine parity).
+
+    This is the scale path in front of ANN: projecting 64-d float
+    vectors to 8 doubles shrinks every downstream shuffle/index build
+    ~8× while approximately preserving pairwise distances (JL lemma).
+    The plan is fully narrow — one projection per row, no shuffle, no
+    Python; each component is a JVM-side fold against a literal row of
+    the seeded matrix.
+    """
+    mat = projection_matrix(in_dim, out_dim, seed)
+    comps = [
+        F.round(
+            dot_expr(vec_col, F.array(*[F.lit(x) for x in row])), 6
+        ).alias(f"rp{j}")
+        for j, row in enumerate(mat)
+    ]
+    return df.select(F.col(id_col), *comps)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     dim: int,

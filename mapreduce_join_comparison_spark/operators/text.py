@@ -283,6 +283,37 @@ def repetition_metrics(
     )
 
 
+def data_mix_report(
+    df: DataFrame,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token budget per (lang, source) stratum with each stratum's
+    share of the total — the data-mix planning report a pretraining
+    pipeline runs before sampling weights are chosen.
+
+    One shuffle: tokens are counted per-row (narrow), partial-agg
+    collapses map-side, and the share is a window over the *aggregated*
+    frame (|langs × sources| rows — single tiny partition, irrelevant
+    at any corpus size).
+    """
+    from pyspark.sql.window import Window
+
+    agg = df.groupBy(lang_col, source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.select(
+        lang_col,
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All per-document features in one narrow pass, tokenizing ONCE.
 

@@ -1722,6 +1722,59 @@ def text_repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return repetition_metrics(documents)
 
 
+@register(
+    "text_data_mix",
+    r"""
+    WITH a AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS token_share
+    FROM a
+    """,
+)
+def text_data_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix planning report: docs + whitespace-token budget per
+    (lang, source) stratum and each stratum's share of total tokens."""
+    from .operators.text import data_mix_report
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return data_mix_report(documents)
+
+
+def _random_projection_oracle(
+    in_dim: int = 64, out_dim: int = 8, seed: int = 7
+) -> str:
+    from .operators.similarity import projection_matrix
+
+    mat = projection_matrix(in_dim, out_dim, seed)
+    comps = ",\n           ".join(
+        "ROUND(list_sum(list_transform(range(1, {n} + 1), "
+        "i -> CAST(embedding[i] AS DOUBLE) * ([{row}])[i])), 6) AS rp{j}".format(
+            n=in_dim, row=", ".join(repr(x) for x in row), j=j
+        )
+        for j, row in enumerate(mat)
+    )
+    return f"SELECT vec_id,\n           {comps}\n    FROM embeddings"
+
+
+@register("embedding_random_projection", _random_projection_oracle())
+def embedding_random_projection_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seeded JL random projection 64-d → 8 components; the oracle
+    embeds the identical projection matrix as SQL literals and replays
+    every dot product (same pattern as the LSH/IVF ANN oracles)."""
+    from .operators.similarity import random_projection
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    return random_projection(embeddings, in_dim=64, out_dim=8, seed=7)
+
+
 # --------------------------------------------------------------------------
 # Events: time-window aggregation, sessionization, JSON props — batch
 # forms here (oracle-checked); the streaming forms run the SAME plan
@@ -2935,6 +2988,8 @@ _DRIVER_PRIORITY = [
     "tpch_q4_order_priority",
     "text_pii_redaction",
     "text_repetition_metrics",
+    "text_data_mix",
+    "embedding_random_projection",
     "tpch_q17_small_quantity",
     "events_sessionize",
     "cdc_merge_upsert",

@@ -134,3 +134,41 @@ def test_embedding_near_dup_symmetric_threshold(spark, embeddings):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert r["cosine"] >= 0.5
+
+
+def test_random_projection_preserves_distances(spark, embeddings):
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        projection_matrix,
+        random_projection,
+    )
+
+    sample = embeddings.filter("vec_id < 40")
+    out = random_projection(sample, in_dim=64, out_dim=8, seed=7)
+    rows = {r["vec_id"]: [r[f"rp{j}"] for j in range(8)] for r in out.collect()}
+    assert len(rows) == 40
+
+    # matches a NumPy replay of the same seeded matrix
+    mat = np.array(projection_matrix(64, 8, seed=7))
+    src = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in sample.collect()
+    }
+    for vid, comps in rows.items():
+        expect = mat @ src[vid]
+        assert np.allclose(comps, np.round(expect, 6), atol=1e-6)
+
+    # JL property: projected pairwise distances stay within a bounded
+    # distortion band of the originals (distances in this near-uniform
+    # synthetic corpus concentrate, so correlation would be noise — the
+    # distortion ratio is the right invariant)
+    ids = sorted(rows)
+    full = np.array([src[i] for i in ids])
+    red = np.array([rows[i] for i in ids])
+    ratios = []
+    for a in range(0, len(ids), 3):
+        for b in range(a + 1, len(ids), 3):
+            d_full = np.linalg.norm(full[a] - full[b])
+            ratios.append(np.linalg.norm(red[a] - red[b]) / d_full)
+    ratios = np.array(ratios)
+    assert 0.7 < ratios.mean() < 1.3
+    assert (np.abs(ratios - 1.0) < 1.0).mean() > 0.9

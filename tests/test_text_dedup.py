@@ -199,3 +199,22 @@ def test_repetition_metrics_known_answers(spark):
     assert r["distinct_ratio"] == 1.0
     assert abs(r["top_bigram_frac"] - round(1 / 9, 6)) < 1e-9
     assert r["keep"] is True
+
+
+def test_data_mix_report_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "four five", "en", "web"),
+            (3, "sechs sieben acht", "de", "web"),
+            (4, "neuf dix", "fr", "books"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = {(r["lang"], r["source"]): r for r in text.data_mix_report(df).collect()}
+    assert out[("en", "web")]["n_docs"] == 2
+    assert out[("en", "web")]["n_tokens"] == 5
+    assert out[("de", "web")]["n_tokens"] == 3
+    assert out[("fr", "books")]["n_tokens"] == 2
+    assert abs(out[("en", "web")]["token_share"] - 0.5) < 1e-9
+    assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-6
