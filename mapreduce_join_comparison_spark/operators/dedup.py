@@ -180,6 +180,97 @@ def minhash_signatures(
     )
 
 
+def _banded_buckets(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame: each signature
+    splits into ``bands`` bands of r values, bucketed by md5 of the
+    band's joined values. Carries only the bucket key — never the
+    signature array — so the collision self/anti join shuffles a
+    minimal payload."""
+    r = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * r + i + 1).cast("string")
+                                for i in range(r)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    seed: int = 42,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """Near-dup check of an arriving batch against a PRECOMPUTED corpus
+    signature index — the production shape of MinHash dedup at scale:
+    the corpus is signed once and stored as (id, signature); each new
+    batch signs only itself and band-joins against the index. No
+    old×old pairs are generated and the corpus text is never re-read,
+    so per-batch cost is O(batch) + one bucket join.
+
+    Returns (new_id, corpus_id, est_jaccard): new docs colliding with
+    an indexed doc on any LSH band, scored by signature agreement.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, k, seed
+    ).persist()
+    idx = corpus_index.select(
+        F.col(id_col).alias("id"), F.col("signature")
+    )
+    new_banded = _banded_buckets(new_sigs, num_hashes, bands).select(
+        F.col("id").alias("new_id"), "band", "bucket"
+    )
+    old_banded = _banded_buckets(idx, num_hashes, bands).select(
+        F.col("id").alias("corpus_id"), "band", "bucket"
+    )
+    cand = (
+        new_banded.join(old_banded, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    with_sigs = (
+        cand.join(new_sigs.select(F.col("id").alias("new_id"),
+                                  F.col("signature").alias("sig_a")), "new_id")
+        .join(idx.select(F.col("id").alias("corpus_id"),
+                         F.col("signature").alias("sig_b")), "corpus_id")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    out = with_sigs.withColumn(
+        "est_jaccard", (agree / F.lit(num_hashes)).cast("double")
+    ).select("new_id", "corpus_id", "est_jaccard")
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -201,7 +292,6 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     # the plan below references sigs THREE times (banding + the two
     # pair re-joins); persist so the shingle+hash pipeline runs once.
     # ContextCleaner drops the blocks when the DataFrame is GC'd.
@@ -211,26 +301,7 @@ def minhash_lsh_pairs(
     # bucket size; shuffling a 16×bigint payload through that blow-up
     # (and sort-aggregating it in distinct) was ~50× slower. Signatures
     # re-join AFTER the pair set is deduped to its final (small) size.
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature", b * r + i + 1).cast("string")
-                                for i in range(r)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded_buckets(sigs, num_hashes, bands)
     left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (

@@ -192,3 +192,86 @@ def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("abs_err"), 6).alias("avg_quant_err"),
         F.round(F.max("abs_err"), 6).alias("max_quant_err"),
     )
+
+
+_PACK_BUDGET = 512          # tokens per training chunk
+_PACK_SHARDS = 8            # packing shards per lang (cluster-width at scale)
+
+
+def sequence_packing(
+    df: DataFrame,
+    budget: int = _PACK_BUDGET,
+    n_shards: int = _PACK_SHARDS,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document its training-chunk id under GPT-style
+    concatenate-then-chunk packing: docs are laid out in a
+    deterministic order (doc id) within a (lang, shard) stream, and a
+    doc's ``pack_id`` is the chunk its first token lands in
+    (``floor(start_offset / budget)`` — docs may straddle chunk
+    boundaries, exactly like the real packing step).
+
+    Scale shape: the stream is sharded by a stable md5 bucket of the
+    doc id, so the window cumsum parallelizes across lang × n_shards
+    partitions instead of serializing per language (set ``n_shards`` ≈
+    cluster width at 100 TB). One shuffle total (the window); token
+    counting is narrow.
+    """
+    from .operators.sampling import hash_bucket
+    from .operators.text import token_count
+
+    base = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        hash_bucket(id_col, n_shards).alias("shard"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(lang_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return base.select(
+        id_col,
+        lang_col,
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget)).cast("bigint").alias("pack_id"),
+    )
+
+
+def _packing_oracle(budget: int = _PACK_BUDGET, n_shards: int = _PACK_SHARDS) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))::BIGINT
+                  % {n_shards} AS INT) AS shard,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tokens) / {budget}) AS BIGINT) AS pack_id
+    FROM c
+    """
+
+
+@register("pipeline_sequence_packing", _packing_oracle())
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GPT-style sequence packing: per-document chunk
+    assignment via sharded window cumsum; oracle replays the identical
+    md5 shard + cumsum arithmetic."""
+    (documents,) = _load(spark, sf_dir, "documents")
+    return sequence_packing(documents)

@@ -1310,6 +1310,80 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str
     """
 
 
+def _inc_minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, seed: int = 42, train_pct: int = 80
+) -> str:
+    from .operators.dedup import MERSENNE_P, minhash_params
+
+    params = minhash_params(num_hashes, seed)
+    r = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a}::BIGINT + {b}::BIGINT) % {MERSENNE_P}))"
+        for (a, b) in params
+    )
+    band_items = ", ".join(
+        "md5(" + " || ',' || ".join(
+            f"CAST(sig[{b * r + i + 1}] AS VARCHAR)" for i in range(r)
+        ) + f") AS bucket_{b}"
+        for b in range(bands)
+    )
+    bucket_unpivot = " UNION ALL ".join(
+        f"SELECT id, sig, is_new, {b} AS band, bucket_{b} AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'inc'), 1, 8))::BIGINT
+               % 100 >= {train_pct} AS is_new,
+             list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {MERSENNE_P}) AS hs
+      FROM s
+    ),
+    sigs0 AS (SELECT id, is_new, [{sig_items}] AS sig FROM hashed),
+    sigs AS (SELECT id, is_new, sig, {band_items} FROM sigs0),
+    banded AS ({bucket_unpivot}),
+    cand AS (
+      SELECT DISTINCT n.id AS new_id, o.id AS corpus_id,
+             n.sig AS sig_a, o.sig AS sig_b
+      FROM banded n JOIN banded o
+        ON n.band = o.band AND n.bucket = o.bucket
+       AND n.is_new AND NOT o.is_new
+    )
+    SELECT new_id, corpus_id,
+           CAST(len(list_filter(range(1, {num_hashes} + 1),
+                                i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {num_hashes}
+             AS est_jaccard
+    FROM cand
+    """
+
+
+@register("dedup_incremental_minhash", _inc_minhash_oracle())
+def dedup_incremental_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a 20% 'arriving batch' (deterministic md5
+    split, salt 'inc') band-joins against the signature index of the
+    other 80% — the production per-batch shape (corpus signed once; no
+    old×old pairs). Oracle replays the split, signatures, and banding
+    end-to-end."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import incremental_minhash_dedup, minhash_signatures
+    from .operators.sampling import hash_bucket
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", 100, salt="inc")
+    old = documents.filter(bucket < 80)
+    new = documents.filter(bucket >= 80)
+    # in production the index is a stored table; here it is computed
+    # from the 'old' side once, exactly as the indexer job would
+    index = minhash_signatures(old, num_hashes=16, k=3, seed=42).select(
+        F.col("id").alias("doc_id"), "signature"
+    )
+    return incremental_minhash_dedup(
+        new, index, num_hashes=16, bands=4, k=3, seed=42
+    )
+
+
 @register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (16 hashes, 4 bands of 4): the
@@ -2990,6 +3064,8 @@ _DRIVER_PRIORITY = [
     "text_repetition_metrics",
     "text_data_mix",
     "embedding_random_projection",
+    "pipeline_sequence_packing",
+    "dedup_incremental_minhash",
     "tpch_q17_small_quantity",
     "events_sessionize",
     "cdc_merge_upsert",

@@ -167,6 +167,12 @@ EXPECTATIONS = {
     # fully narrow: fan_out is the only exchange (single-file local
     # scan spread; absent on a multi-split source)
     "embedding_random_projection": (1, None),
+    # sharded window cumsum: one shuffle on (lang, shard) + fan_out
+    "pipeline_sequence_packing": (2, None),
+    # batch signatures (1 agg shuffle) + bucket join vs the index +
+    # distinct + two sig re-joins; the index side repeats the
+    # signature agg statically (runtime exchange reuse collapses it)
+    "dedup_incremental_minhash": (9, None),
 }
 
 

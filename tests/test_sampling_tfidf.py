@@ -90,3 +90,30 @@ def test_stratified_hash_sample_deterministic(spark, tables):
     )
     ids_c = sorted(r["doc_id"] for r in c.select("doc_id").collect())
     assert ids_c != ids_a
+
+
+def test_sequence_packing_invariants(spark):
+    from mapreduce_join_comparison_spark.pipeline import sequence_packing
+
+    df = spark.createDataFrame(
+        [(i, "w " * 100, "en") for i in range(1, 21)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = sequence_packing(df, budget=250, n_shards=2).collect()
+    assert len(out) == 20
+    by_stream = {}
+    for r in out:
+        by_stream.setdefault((r["lang"], r["shard"]), []).append(r)
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        # offsets are a gapless cumsum in doc_id order within a stream
+        expect = 0
+        for r in rows:
+            assert r["start_offset"] == expect
+            assert r["pack_id"] == expect // 250
+            expect += r["n_tokens"]
+    # each 100-token doc starts in pack floor(offset/250): docs at
+    # offsets 0,100,200 share pack 0, the 300-offset doc opens pack 1
+    first = min(by_stream.values(), key=lambda rows: -len(rows))
+    packs = [r["pack_id"] for r in sorted(first, key=lambda r: r["doc_id"])]
+    assert packs[:4] == [0, 0, 0, 1]

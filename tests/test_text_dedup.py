@@ -218,3 +218,22 @@ def test_data_mix_report_known_answers(spark):
     assert out[("fr", "books")]["n_tokens"] == 2
     assert abs(out[("en", "web")]["token_share"] - 0.5) < 1e-9
     assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_incremental_minhash_flags_new_dups_only(spark, docs):
+    # corpus = docs 1,4,5,6 (indexed once); batch = docs 2,3
+    corpus = docs.filter("doc_id IN (1, 4, 5, 6)")
+    batch = docs.filter("doc_id IN (2, 3)")
+    index = dedup.minhash_signatures(corpus, num_hashes=16, k=3, seed=42).select(
+        F.col("id").alias("doc_id"), "signature"
+    )
+    out = dedup.incremental_minhash_dedup(
+        batch, index, num_hashes=16, bands=4, k=3, seed=42
+    ).collect()
+    pairs = {(r["new_id"], r["corpus_id"]): r["est_jaccard"] for r in out}
+    # every pair is new-vs-corpus: left side only batch ids, right only corpus ids
+    assert all(n in (2, 3) and c in (1, 4, 5, 6) for n, c in pairs)
+    # doc 3 is doc 1 up to case/whitespace -> identical signature, est 1.0
+    assert pairs[(3, 1)] == 1.0
+    # doc 2 (near-dup of 1) collides on some band with high agreement
+    assert pairs.get((2, 1), 0.0) >= 0.5
