@@ -1849,6 +1849,54 @@ def embedding_random_projection_query(
     return random_projection(embeddings, in_dim=64, out_dim=8, seed=7)
 
 
+@register(
+    "events_resample_locf",
+    """
+    WITH e AS (
+      SELECT event_type AS series,
+             epoch_us(ts::TIMESTAMP) // 900000000 AS bin,
+             epoch_us(ts::TIMESTAMP) AS us, value, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY series, bin ORDER BY us DESC, event_id DESC
+      ) AS rn FROM e
+    ),
+    per_bin AS (
+      SELECT series, bin, COUNT(*) AS n_events,
+             MAX(CASE WHEN rn = 1 THEN value END) AS last_v
+      FROM ranked GROUP BY series, bin
+    ),
+    bounds AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi FROM e),
+    grid AS (
+      SELECT s.series, g.bin
+      FROM (SELECT DISTINCT series FROM e) s,
+           (SELECT unnest(generate_series(lo, hi)) AS bin FROM bounds) g
+    )
+    SELECT grid.series,
+           CAST(grid.bin * 900000000 AS BIGINT) AS bin_start_us,
+           CAST(COALESCE(per_bin.n_events, 0) AS BIGINT) AS n_events,
+           ROUND(last_value(per_bin.last_v IGNORE NULLS) OVER (
+             PARTITION BY grid.series ORDER BY grid.bin
+             ROWS UNBOUNDED PRECEDING
+           ), 4) AS value_locf
+    FROM grid LEFT JOIN per_bin
+      ON grid.series = per_bin.series AND grid.bin = per_bin.bin
+    """,
+)
+def events_resample_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style 15-min resample with gap fill + LOCF: dense
+    per-type timeline with event counts (0 in gaps) and the last
+    observed value carried forward — the continuous-aggregate
+    capability of time-series stores, composed from binning, a dense
+    sequence grid, and an ignore-nulls window."""
+    from .operators.timeseries import resample_locf
+
+    (events,) = _load(spark, sf_dir, "events")
+    return resample_locf(events, bin_micros=900_000_000)
+
+
 # --------------------------------------------------------------------------
 # Events: time-window aggregation, sessionization, JSON props — batch
 # forms here (oracle-checked); the streaming forms run the SAME plan
@@ -3066,6 +3114,7 @@ _DRIVER_PRIORITY = [
     "embedding_random_projection",
     "pipeline_sequence_packing",
     "dedup_incremental_minhash",
+    "events_resample_locf",
     "tpch_q17_small_quantity",
     "events_sessionize",
     "cdc_merge_upsert",

@@ -173,6 +173,9 @@ EXPECTATIONS = {
     # distinct + two sig re-joins; the index side repeats the
     # signature agg statically (runtime exchange reuse collapses it)
     "dedup_incremental_minhash": (9, None),
+    # last-in-bin window + per-bin agg share one (series,bin) exchange;
+    # + the tiny bounds/distinct-series grid aggs and the grid join
+    "events_resample_locf": (6, None),
 }
 
 

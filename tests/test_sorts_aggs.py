@@ -79,3 +79,37 @@ def test_filter_pushed_to_parquet_scan(spark, tables):
     # column pruning: ReadSchema carries only the 2 needed columns
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_resample_locf_gap_fill(spark):
+    from datetime import datetime
+
+    from mapreduce_join_comparison_spark.operators.timeseries import resample_locf
+
+    rows = [
+        # series "a": events in bins 0 and 2 (60s bins), gap at bin 1
+        (1, datetime(2024, 1, 1, 0, 0, 10), "a", 1.0),
+        (2, datetime(2024, 1, 1, 0, 0, 50), "a", 2.0),   # last of bin 0
+        (3, datetime(2024, 1, 1, 0, 2, 30), "a", 9.0),
+        # series "b": only one event, in bin 3 -> leading bins NULL
+        (4, datetime(2024, 1, 1, 0, 3, 5), "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = resample_locf(df, bin_micros=60_000_000)
+    got = {
+        (r["series"], r["bin_start_us"]): (r["n_events"], r["value_locf"])
+        for r in out.collect()
+    }
+    base = min(us for (s, us) in got if s == "a")  # min bin start
+    m = 60_000_000
+    # 4 bins per series (global span), 2 series
+    assert len(got) == 8
+    assert got[("a", base + 0 * m)] == (2, 2.0)   # last-in-bin wins
+    assert got[("a", base + 1 * m)] == (0, 2.0)   # gap: count 0, LOCF
+    assert got[("a", base + 2 * m)] == (1, 9.0)
+    assert got[("a", base + 3 * m)] == (0, 9.0)
+    assert got[("b", base + 0 * m)] == (0, None)  # before first obs
+    assert got[("b", base + 2 * m)] == (0, None)
+    assert got[("b", base + 3 * m)] == (1, 7.0)
