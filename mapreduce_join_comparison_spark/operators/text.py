@@ -223,12 +223,15 @@ def repetition_metrics(
       bigram count
     - ``keep``             distinct_ratio ≥ τ₁ AND top_bigram_frac ≤ τ₂
 
-    Plan shape: bigrams are built per-row with the same shifted-zip
-    construction as ``shingles`` (no window over token position — that
-    would shuffle the exploded stream once more), then unigrams and
-    bigrams explode into two branches of (id, term) partial-agg
-    counts. Four shuffles total, every one keyed by doc id and
-    collapsed map-side first; nothing is O(corpus²).
+    Plan shape: FULLY NARROW — no explode, no shuffle, no join. The
+    max multiplicity of a term list is the longest equal-run in its
+    sorted form, computed per-row by a JVM-side ``aggregate`` fold
+    (struct state: previous term / current run / best run) inside
+    whole-stage codegen. The earlier explode→(id, term) partial-agg
+    formulation was correct but paid 4 shuffles of the exploded corpus
+    (~2 s at sf0.1); this form is a pure projection — at 100 TB it
+    scales with scan bandwidth alone. Bigrams use the same shifted-zip
+    construction as ``shingles``.
     """
     toks_low = F.transform(tokens(text_col), lambda t: F.lower(t))
     n = F.size(toks_low)
@@ -241,38 +244,45 @@ def repetition_metrics(
         1,
         F.greatest(n - 1, F.lit(0)),
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks_low.alias("_toks"),
-        bigrams.alias("_bigrams"),
-    )
-    uni = (
-        base.select("id", F.explode("_toks").alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("cnt").alias("top_cnt"),
+
+    def max_run(arr: Column) -> Column:
+        """Longest equal-run in sort_array(arr) = max multiplicity."""
+        state = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(F.sort_array(arr), state, step, lambda acc: acc["best"])
+
+    base = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.size(F.array_distinct(toks_low)).alias("_n_distinct"),
+        max_run(toks_low).alias("_top_cnt"),
+        F.size(bigrams).alias("_n_bi"),
+        max_run(bigrams).alias("_top_bi_cnt"),
     )
-    bi = (
-        base.select("id", F.explode("_bigrams").alias("bg"))
-        .groupBy("id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("id")
-        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bi_cnt"))
-    )
-    out = uni.join(bi, "id", "left")
-    distinct_ratio = F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
-    top_token_frac = F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
+    distinct_ratio = F.round(F.col("_n_distinct") / F.col("_n"), 6)
+    top_token_frac = F.round(F.col("_top_cnt") / F.col("_n"), 6)
     top_bigram_frac = F.round(
-        F.coalesce(F.col("top_bi_cnt") / F.col("n_bigrams"), F.lit(0.0)), 6
+        F.coalesce(
+            F.when(F.col("_n_bi") > 0, F.col("_top_bi_cnt") / F.col("_n_bi")),
+            F.lit(0.0),
+        ),
+        6,
     )
-    return out.select(
-        F.col("id").alias(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
+    return base.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
         distinct_ratio.cast("double").alias("distinct_ratio"),
         top_token_frac.cast("double").alias("top_token_frac"),
         top_bigram_frac.cast("double").alias("top_bigram_frac"),

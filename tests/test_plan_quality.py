@@ -158,9 +158,9 @@ EXPECTATIONS = {
     # eval-shingle distinct + fan_out + the doc_id count aggregate;
     # candidate join broadcasts the eval side
     "dedup_contamination": (3, "BroadcastHashJoin"),
-    # unigram + bigram explode branches: each is (id,term) partial agg
-    # → per-id agg, then the two per-id frames join on id
-    "text_repetition_metrics": (6, None),
+    # fully narrow per-row sorted-array folds; fan_out is the only
+    # exchange (single-file local scan spread)
+    "text_repetition_metrics": (1, None),
     # one real shuffle (the stratum agg); the share window runs on the
     # tiny aggregated frame (single-partition exchange)
     "text_data_mix": (2, None),
