@@ -1,0 +1,126 @@
+"""Property-based checks for the pipeline operators whose Spark
+implementations use non-obvious constructions (sorted-array run folds,
+sharded cumsum, dense-grid LOCF): random inputs must match a direct
+Python reference implementation.
+"""
+
+from __future__ import annotations
+
+import collections
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreduce_join_comparison_spark.operators.text import repetition_metrics
+from mapreduce_join_comparison_spark.operators.timeseries import resample_locf
+from mapreduce_join_comparison_spark.pipeline import sequence_packing
+
+TOKEN = st.sampled_from(["a", "b", "ab", "the", "x1", "Ü"])
+DOC = st.lists(TOKEN, min_size=1, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(DOC, min_size=1, max_size=8))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repetition_metrics_match_counter_reference(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["distinct_ratio"] == round(len(set(toks)) / len(toks), 6)
+        assert r["top_token_frac"] == round(
+            max(collections.Counter(toks).values()) / len(toks), 6
+        )
+        expect_bi = (
+            round(max(collections.Counter(bigrams).values()) / len(bigrams), 6)
+            if bigrams
+            else 0.0
+        )
+        assert r["top_bigram_frac"] == expect_bi
+
+
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
+    budget=st.integers(min_value=5, max_value=60),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sequence_packing_matches_serial_reference(spark, lens, budget):
+    df = spark.createDataFrame(
+        [(i, "t " * n, "en") for i, n in enumerate(lens)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = sequence_packing(df, budget=budget, n_shards=2)
+    rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+    offsets: dict = {}
+    for r in rows:
+        key = (r["lang"], r["shard"])
+        expect = offsets.get(key, 0)
+        assert r["start_offset"] == expect
+        assert r["pack_id"] == expect // budget
+        offsets[key] = expect + r["n_tokens"]
+
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=300),   # seconds offset
+    st.sampled_from(["a", "b"]),               # series
+    st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+)
+
+
+@given(events=st.lists(EVENT, min_size=1, max_size=20))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_resample_locf_matches_serial_reference(spark, events):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=sec), series, float(v))
+        for i, (sec, series, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    bin_us = 60_000_000
+    got = {
+        (r["series"], r["bin_start_us"]): (r["n_events"], r["value_locf"])
+        for r in resample_locf(df, bin_micros=bin_us).collect()
+    }
+
+    # serial reference
+    bins = [sec // 60 for sec, _, _ in events]
+    lo, hi = min(bins), max(bins)
+    per_bin: dict = collections.defaultdict(list)
+    for i, (sec, series, v) in enumerate(events):
+        per_bin[(series, sec // 60)].append((sec, i, float(v)))
+    all_series = {s for _, s, _ in events}
+    assert len(got) == len(all_series) * (hi - lo + 1)
+    base_us = int(base.timestamp()) * 1_000_000  # tz-naive treated as UTC
+    for series in sorted(all_series):
+        locf = None
+        for b in range(lo, hi + 1):
+            obs = per_bin.get((series, b), [])
+            if obs:
+                locf = max(obs)[2]  # last by (sec, event_id)
+            n, v = got[(series, base_us + b * bin_us)]
+            assert n == len(obs)
+            expect = None if locf is None else round(locf, 4)
+            if v is None or expect is None:
+                assert v == expect
+            else:
+                assert abs(v - expect) < 1e-9
