@@ -175,7 +175,7 @@ EXPECTATIONS = {
     "dedup_incremental_minhash": (9, None),
     # last-in-bin window + per-bin agg share one (series,bin) exchange;
     # + the tiny bounds/distinct-series grid aggs and the grid join
-    "events_resample_locf": (6, None),
+    "events_resample_locf": (4, None),
 }
 
 
