@@ -178,6 +178,13 @@ def generate_zipf_fact(
     deterministic equi-spaced grid (DataGenerator.java:150)."""
     from pyspark.sql.functions import pandas_udf
 
+    if s == 1.0:
+        # fail fast on the driver — otherwise the pole guard inside
+        # zipf_inverse_cdf raises from a worker mid-job, surfacing as
+        # an executor traceback instead of a usable error (the
+        # reference's own matrix skips 1.0 and uses 1.01)
+        raise ValueError("s=1 is a pole of the approximation; use s=1.01")
+
     n = float(unique_values)
     nr = float(n_rows)
 

@@ -89,3 +89,14 @@ def test_zipf_pair_join_all_fact_rows_match(spark):
 def test_double_skew_pair(spark):
     t1, t2 = generate_zipf_pair(spark, 3000, 300, 0.7, seed=13, double_skew=True)
     assert rows_set(t1) == rows_set(t2)
+
+
+def test_zipf_pole_fails_fast_on_driver(spark):
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.generator import generate_zipf_fact
+
+    # the guard must raise at plan-construction time (driver), not from
+    # a worker mid-job
+    with _pytest.raises(ValueError, match="pole"):
+        generate_zipf_fact(spark, 100, 10, s=1.0)
