@@ -293,6 +293,46 @@ def repetition_metrics(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    pre-embedding chunking step of a retrieval pipeline: chunks start
+    at offsets 0, stride, 2·stride, …; the last chunk begins at the
+    final stride position that still adds new tokens, so
+    n_chunks = 1 + max(0, ceil((n − window) / stride)).
+
+    Fully narrow: tokenize once, explode a per-row index sequence,
+    slice the token array per index. Returns (id, chunk_idx,
+    chunk_tokens, chunk_text).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int")
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * F.lit(stride) + F.lit(1), window
+    )
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def data_mix_report(
     df: DataFrame,
     lang_col: str = "lang",

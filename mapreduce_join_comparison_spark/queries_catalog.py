@@ -1797,6 +1797,43 @@ def text_repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "text_chunk_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             1 + greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS INT))
+               AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(range(0, n_chunks)) AS chunk_idx
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])
+                AS BIGINT) AS chunk_tokens,
+           array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def text_chunk_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows at stride 48 per document — the
+    retrieval-pipeline chunking step; the oracle replays the chunk
+    count and slicing arithmetic with DuckDB list slices."""
+    from .operators.text import chunk_windows
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return chunk_windows(documents, window=64, stride=48)
+
+
+@register(
     "text_data_mix",
     r"""
     WITH a AS (
@@ -3115,6 +3152,7 @@ _DRIVER_PRIORITY = [
     "pipeline_sequence_packing",
     "dedup_incremental_minhash",
     "events_resample_locf",
+    "text_chunk_windows",
     "tpch_q17_small_quantity",
     "events_sessionize",
     "cdc_merge_upsert",

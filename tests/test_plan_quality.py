@@ -176,6 +176,8 @@ EXPECTATIONS = {
     # last-in-bin window + per-bin agg share one (series,bin) exchange;
     # + the tiny bounds/distinct-series grid aggs and the grid join
     "events_resample_locf": (4, None),
+    # narrow tokenize + sequence explode + slice; fan_out only
+    "text_chunk_windows": (1, None),
 }
 
 

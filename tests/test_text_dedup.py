@@ -237,3 +237,27 @@ def test_incremental_minhash_flags_new_dups_only(spark, docs):
     assert pairs[(3, 1)] == 1.0
     # doc 2 (near-dup of 1) collides on some band with high agreement
     assert pairs.get((2, 1), 0.0) >= 0.5
+
+
+def test_chunk_windows_known_answers(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(100))),  # 100 tokens
+         (2, "only three tokens")],
+        "doc_id bigint, text string",
+    )
+    out = text.chunk_windows(df, window=64, stride=48).collect()
+    chunks = {}
+    for r in out:
+        chunks[(r["doc_id"], r["chunk_idx"])] = r
+    # doc 1: chunks at offsets 0 and 48 -> 2 chunks, second is 52 tokens
+    assert {(d, i) for d, i in chunks if d == 1} == {(1, 0), (1, 1)}
+    assert chunks[(1, 0)]["chunk_tokens"] == 64
+    assert chunks[(1, 0)]["chunk_text"].startswith("0 1 2 ")
+    assert chunks[(1, 1)]["chunk_tokens"] == 52
+    assert chunks[(1, 1)]["chunk_text"].startswith("48 49 ")
+    assert chunks[(1, 1)]["chunk_text"].endswith(" 99")
+    # short doc: exactly one (truncated) chunk
+    assert {(d, i) for d, i in chunks if d == 2} == {(2, 0)}
+    assert chunks[(2, 0)]["chunk_tokens"] == 3
+    # overlap property: chunk 1 begins inside chunk 0's token range
+    assert "48" in chunks[(1, 0)]["chunk_text"].split()
