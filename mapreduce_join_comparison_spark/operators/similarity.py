@@ -143,6 +143,72 @@ def random_projection(
     return df.select(F.col(id_col), *comps)
 
 
+def projected_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Two-stage retrieval: shortlist candidates by cosine in the
+    seeded JL-projected space (``out_dim`` components — ~in/out× less
+    arithmetic and shuffle payload than full-dim), then re-rank the
+    shortlist with exact full-dimension cosine.
+
+    Determinism for cross-engine checks: both ranking passes order on
+    the cosine ROUNDED to 6 decimals (so float summation-order noise
+    cannot flip ranks between engines — the TF-IDF convention), ties
+    broken on corpus id. Recall vs exact top-k is governed by
+    shortlist/k and the JL distortion; tests assert it.
+    """
+    from pyspark.sql.window import Window
+
+    mat = projection_matrix(in_dim, out_dim, seed)
+
+    def proj(col: Column | str) -> Column:
+        return F.array(*[
+            dot_expr(col, F.array(*[F.lit(x) for x in row])) for row in mat
+        ])
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        proj(vec_col).alias("q_proj"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("c_vec"),
+        proj(vec_col).alias("c_proj"),
+    )
+    stage1 = (
+        c.join(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("proj_cosine", F.round(cosine_expr("c_proj", "q_proj"), 6))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("proj_cosine").desc(), F.col("corpus_id").asc()
+    )
+    shortlisted = stage1.withColumn("srank", F.row_number().over(w1)).filter(
+        F.col("srank") <= shortlist
+    )
+    reranked = shortlisted.withColumn(
+        "cosine", F.round(cosine_expr("c_vec", "q_vec"), 6)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     dim: int,

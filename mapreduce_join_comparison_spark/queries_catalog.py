@@ -1493,6 +1493,86 @@ def similarity_bruteforce_topk_query(spark: SparkSession, sf_dir: str) -> DataFr
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+def _projected_rerank_oracle(
+    in_dim: int = 64, out_dim: int = 16, seed: int = 7,
+    k: int = 10, shortlist: int = 100, n_queries: int = 5,
+) -> str:
+    from .operators.similarity import projection_matrix
+
+    mat = projection_matrix(in_dim, out_dim, seed)
+    comps = ", ".join(
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> emb[i] * ([{row}])[i]))".format(
+            n=in_dim, row=", ".join(repr(x) for x in row)
+        )
+        for row in mat
+    )
+    def cos(a, b, dim):
+        dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+               f"i -> {a}[i] * {b}[i]))")
+        na = (f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+              f"i -> {a}[i] * {a}[i])))")
+        nb = (f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+              f"i -> {b}[i] * {b}[i])))")
+        return f"({dot}) / (({na}) * ({nb}))"
+
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             [{comps}] AS proj
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, proj AS q_proj
+          FROM p WHERE vec_id < {n_queries}),
+    s1 AS (
+      SELECT q.query_id, c.vec_id AS corpus_id, c.emb AS c_emb, q.q_emb,
+             ROUND({cos("c.proj", "q.q_proj", out_dim)}, 6) AS proj_cosine
+      FROM p c, q WHERE c.vec_id <> q.query_id
+    ),
+    s2 AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY proj_cosine DESC, corpus_id ASC
+      ) AS srank FROM s1
+    ),
+    s3 AS (
+      SELECT query_id, corpus_id,
+             ROUND({cos("c_emb", "q_emb", in_dim)}, 6) AS cosine
+      FROM s2 WHERE srank <= {shortlist}
+    ),
+    s4 AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC
+      ) AS rank FROM s3
+    )
+    SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+    FROM s4 WHERE rank <= {k}
+    """
+
+
+@register("similarity_projected_rerank", _projected_rerank_oracle())
+def similarity_projected_rerank_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage ANN: 16-d JL-projected cosine shortlists 100
+    candidates per query, exact 64-d cosine re-ranks to top-10 (4x
+    less stage-1 arithmetic than full-dim; the synthetic corpus is
+    uniform-random — JL's worst case — so the shortlist is sized for
+    recall >0.5 there; structured real embeddings need far less). Both
+    stages rank on rounded scores with id tiebreaks so the oracle
+    (same projection matrix as literals) reproduces ranks exactly;
+    recall vs exact top-k is asserted in tests/test_similarity.py."""
+    from .operators.similarity import projected_rerank_topk
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    return projected_rerank_topk(
+        embeddings, queries, k=10, shortlist=100, in_dim=64, out_dim=16, seed=7
+    )
+
+
 def _seeded_unit_vectors(n: int, dim: int, seed: int) -> list[list[float]]:
     """Seeded random unit vectors — fixed coarse-quantizer centroids for
     the catalog IVF query, so the oracle can embed the identical
@@ -3153,6 +3233,7 @@ _DRIVER_PRIORITY = [
     "dedup_incremental_minhash",
     "events_resample_locf",
     "text_chunk_windows",
+    "similarity_projected_rerank",
     "tpch_q17_small_quantity",
     "events_sessionize",
     "cdc_merge_upsert",

@@ -178,6 +178,10 @@ EXPECTATIONS = {
     "events_resample_locf": (4, None),
     # narrow tokenize + sequence explode + slice; fan_out only
     "text_chunk_windows": (1, None),
+    # stage-1 keyless broadcast of the projected query set (a
+    # BroadcastNestedLoopJoin, like similarity_bruteforce_topk) + two
+    # query-partitioned windows sharing the query_id exchange
+    "similarity_projected_rerank": (2, "BroadcastNestedLoopJoin"),
 }
 
 

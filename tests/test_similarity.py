@@ -172,3 +172,40 @@ def test_random_projection_preserves_distances(spark, embeddings):
     ratios = np.array(ratios)
     assert 0.7 < ratios.mean() < 1.3
     assert (np.abs(ratios - 1.0) < 1.0).mean() > 0.9
+
+
+def test_projected_rerank_recall_vs_exact(spark, embeddings):
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        projected_rerank_topk,
+    )
+
+    queries = embeddings.filter("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=10)
+    approx = projected_rerank_topk(
+        embeddings, queries, k=10, shortlist=100, out_dim=16
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    approx_sets = {}
+    approx_scores = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        approx_scores[(r["query_id"], r["corpus_id"])] = r["cosine"]
+    # reranked scores are exact cosines (subset-of-exact check)
+    exact_scores = {
+        (r["query_id"], r["corpus_id"]): round(r["cosine"], 6)
+        for r in exact.collect()
+    }
+    for key, cos in approx_scores.items():
+        if key in exact_scores:
+            assert abs(cos - exact_scores[key]) < 2e-6
+    # uniform-random vectors are JL's worst case; a 10x shortlist on a
+    # 16-d projection still retrieves most of the true top-10
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.5
