@@ -152,6 +152,8 @@ HEADLINE = [
     "text_repetition_metrics",
     "embedding_random_projection",
     "dedup_contamination",
+    "dedup_incremental_minhash",
+    "events_resample_locf",
 ]
 
 
