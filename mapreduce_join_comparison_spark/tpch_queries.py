@@ -575,12 +575,16 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_product_profit",
     """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity AS amount
+               CAST(l_extendedprice AS DECIMAL(12, 2))
+                 * (1 - CAST(l_discount AS DECIMAL(12, 2)))
+                 - CAST('0.6' AS DECIMAL(2, 1))
+                   * CAST(p_retailprice AS DECIMAL(12, 2))
+                   * CAST(l_quantity AS DECIMAL(12, 2)) AS amount
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -594,7 +598,17 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 product-type profit. Adapted: no partsupp table, so supply
     cost is modeled as 0.6 × p_retailprice (fixed margin) instead of
-    ps_supplycost."""
+    ps_supplycost.
+
+    The profit SUM spans the widest group domain of the suite
+    (nation × year over every PROMO lineitem). Any double path here is
+    engine-divergent: accumulation order flips the rounded cent around
+    sf0.1, and per-row rounding sits on exact half-cent boundaries the
+    synthetic 2-decimal prices produce constantly. The monetary inputs
+    ARE 2-decimal values, so both sides compute entirely in DECIMAL —
+    inputs cast to DECIMAL(12,2), products/differences exact,
+    order-independent exact SUM, one exact HALF-UP round — and cast to
+    double only for output. Bit-identical across engines at any sf."""
     part, lineitem, supplier, orders, nation = _load(
         spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation"
     )
@@ -605,12 +619,19 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    amount = _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    amount = (
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        - F.lit("0.6").cast("decimal(2,1)")
+          * dec("p_retailprice")
+          * dec("l_quantity")
+    )
     return (
         j.select(F.col("n_name").alias("nation"),
-                 F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+                 F.year("o_orderdate").alias("o_year"),
+                 amount.alias("amount"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
     )
 
 
