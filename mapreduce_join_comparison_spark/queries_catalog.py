@@ -485,27 +485,37 @@ def join_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_promo_revenue",
     """
-    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                        THEN CAST(l_extendedprice AS DECIMAL(12, 2))
+                                             * (1 - CAST(l_discount AS DECIMAL(12, 2)))
+                                        ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+                            * (1 - CAST(l_discount AS DECIMAL(12, 2)))) AS DOUBLE),
+                 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
 def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped conditional aggregate over a broadcast
-    fact⋈dim join."""
+    fact⋈dim join; numerator and denominator sum in exact decimal (the
+    tpch_queries money convention) so the whole-corpus accumulation is
+    engine-identical at any scale."""
     from pyspark.sql import functions as F
 
     lineitem, part = _load(spark, sf_dir, "lineitem", "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+    )
     j = lineitem.join(F.broadcast(part),
                       lineitem.l_partkey == part.p_partkey)
     return j.agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev),
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum(rev).cast("double"),
             4,
         ).alias("promo_pct")
     )

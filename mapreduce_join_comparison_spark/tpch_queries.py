@@ -18,10 +18,13 @@ Scale posture (the plans these produce):
 
 Every query registers a DuckDB oracle — all are fully SQL-expressible,
 so all participate in the driver's strongest (value-hash) check.
-Money aggregates are rounded to 2 dp and ratio aggregates to 5 dp on
-BOTH sides so double summation order cannot flip the comparison;
-top-k queries order by the rounded value with a key tiebreak so the
-selected set is deterministic.
+Money aggregates that collapse large row counts (Q1, Q5–Q9, Q14)
+compute in EXACT DECIMAL on both sides — the 2-decimal monetary inputs
+cast to DECIMAL(12,2), order-independent exact SUMs, one exact round —
+so accumulation order cannot flip a cent at any scale; ratios divide
+the exact sums as doubles. Remaining money aggregates round to 2 dp on
+both sides; top-k queries order by the rounded value with a key
+tiebreak so the selected set is deterministic.
 """
 
 from __future__ import annotations
@@ -44,6 +47,22 @@ def _ts(s: str):
 
 def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# Exact-decimal money convention (established on Q9, see its docstring):
+# the synthetic monetary columns are exact 2-decimal values, so revenue
+# sums that collapse large row counts compute in DECIMAL — identical
+# across engines at any scale — and only cast to double for output.
+def _revenue_dec():
+    d2 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    return d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))
+
+
+# the DuckDB-side twin of _revenue_dec()
+_REVENUE_DEC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12, 2))"
+    " * (1 - CAST(l_discount AS DECIMAL(12, 2)))"
+)
 
 
 # --------------------------------------------------------------------------
@@ -87,14 +106,22 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-             AS sum_charge,
-           ROUND(AVG(l_quantity), 5) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 5) AS avg_price,
-           ROUND(AVG(l_discount), 5) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12, 2))) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+                          * (1 - CAST(l_discount AS DECIMAL(12, 2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+                          * (1 - CAST(l_discount AS DECIMAL(12, 2)))
+                          * (1 + CAST(l_tax AS DECIMAL(12, 2)))), 2)
+                AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12, 2))) AS DOUBLE)
+                 / COUNT(*), 5) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))) AS DOUBLE)
+                 / COUNT(*), 5) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12, 2))) AS DOUBLE)
+                 / COUNT(*), 5) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -104,22 +131,39 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 pricing summary report — the full 8-aggregate form (the
     catalog's agg_groupby is the abbreviated shape). One scan, partial
-    aggregation map-side, one shuffle on the 2-column grouping key."""
+    aggregation map-side, one shuffle on the 2-column grouping key.
+
+    The whole lineitem collapses into ~6 groups, the largest
+    accumulations anywhere in the suite, so every money aggregate uses
+    the exact-decimal convention established by Q9: 2-decimal inputs
+    cast to DECIMAL(12,2), exact order-independent SUMs, one exact
+    round; averages divide the exact (engine-identical) sum as double
+    by the count."""
     (lineitem,) = _load(spark, sf_dir, "lineitem")
-    disc_price = _revenue()
-    charge = disc_price * (1 + F.col("l_tax"))
+    d2 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    qty_sum = F.sum(d2("l_quantity"))
+    base_sum = F.sum(d2("l_extendedprice"))
+    disc_price_sum = F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+    charge_sum = F.sum(
+        d2("l_extendedprice")
+        * (F.lit(1) - d2("l_discount"))
+        * (F.lit(1) + d2("l_tax"))
+    )
+    cnt = F.count(F.lit(1))
     return (
         lineitem.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 5).alias("avg_price"),
-            F.round(F.avg("l_discount"), 5).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            qty_sum.cast("double").alias("sum_qty"),
+            F.round(base_sum, 2).cast("double").alias("sum_base_price"),
+            F.round(disc_price_sum, 2).cast("double").alias("sum_disc_price"),
+            F.round(charge_sum, 2).cast("double").alias("sum_charge"),
+            F.round(qty_sum.cast("double") / cnt, 5).alias("avg_qty"),
+            F.round(base_sum.cast("double") / cnt, 5).alias("avg_price"),
+            F.round(F.sum(d2("l_discount")).cast("double") / cnt, 5).alias(
+                "avg_disc"
+            ),
+            cnt.alias("count_order"),
         )
     )
 
@@ -394,7 +438,10 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_local_supplier",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+                          * (1 - CAST(l_discount AS DECIMAL(12, 2)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -433,13 +480,17 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
     )
-    return j.groupBy("n_name").agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue")
+    )
 
 
 @register(
     "tpch_q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+                          * CAST(l_discount AS DECIMAL(12, 2))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -459,19 +510,28 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(12,2)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
     )
 
 
 @register(
     "tpch_q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(l_extendedprice AS DECIMAL(12, 2))
+                 * (1 - CAST(l_discount AS DECIMAL(12, 2))) AS volume
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders ON o_orderkey = l_orderkey
@@ -509,9 +569,10 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.select("supp_nation", "cust_nation",
-                 F.year("l_shipdate").alias("l_year"), _revenue().alias("volume"))
+                 F.year("l_shipdate").alias("l_year"),
+                 _revenue_dec().alias("volume"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
     )
 
 
@@ -519,11 +580,13 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8_market_share",
     """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 5) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 5) AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(l_extendedprice AS DECIMAL(12, 2))
+                 * (1 - CAST(l_discount AS DECIMAL(12, 2))) AS volume,
                n2.n_name AS nation
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
@@ -562,11 +625,15 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     vol = j.select(F.year("o_orderdate").alias("o_year"),
-                   _revenue().alias("volume"), "nation")
+                   _revenue_dec().alias("volume"), "nation")
     return vol.groupBy("o_year").agg(
         F.round(
-            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-            / F.sum("volume"),
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
             5,
         ).alias("mkt_share")
     )
