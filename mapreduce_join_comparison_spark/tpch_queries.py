@@ -173,13 +173,15 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+               SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+                   * (1 - CAST(l_discount AS DECIMAL(12, 2)))) AS total_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
     """,
@@ -188,7 +190,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 top supplier (the reference view inlined as a CTE): quarter
     revenue per supplier, keep the one(s) equal to the global max —
     a scalar-subquery-over-aggregate shape; the 1-row max broadcasts
-    back onto the per-supplier aggregate."""
+    back onto the per-supplier aggregate. The equality against MAX is
+    the sharpest float knife-edge in the suite, so total_rev is an
+    exact decimal sum — the winner set is engine-identical at any
+    scale."""
     lineitem, supplier = _load(spark, sf_dir, "lineitem", "supplier")
     revenue = (
         lineitem.filter(
@@ -196,7 +201,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1997-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).alias("total_rev"))
+        .agg(F.sum(_revenue_dec()).alias("total_rev"))
     )
     max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
     top = revenue.join(F.broadcast(max_rev)).filter(
@@ -205,7 +210,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supplier.join(top, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name",
-                F.round("total_rev", 2).alias("total_revenue"))
+                F.round("total_rev", 2).cast("double").alias("total_revenue"))
     )
 
 
