@@ -15,7 +15,7 @@ Two kinds matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import md5_hash32
@@ -76,3 +76,72 @@ def stratified_hash_sample(
     )
     thr = F.coalesce(thresholds[F.col(strata_col)], F.lit(0.0))
     return df.filter(hash_bucket(key_col, buckets, salt) < thr * buckets)
+
+
+def mix_rebalance(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    strata_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample-only rebalancing of the corpus toward target TOKEN
+    shares per stratum — the step that turns a data-mix plan
+    (``text.data_mix_report``) into an actual training set.
+
+    Let share_s be each stratum's current token share and t_s its
+    target. With α = min_s(share_s / t_s), keeping a fraction
+    f_s = t_s · α / share_s of each stratum (≤ 1 by construction, = 1
+    for the most under-represented stratum) yields exactly the target
+    ratios while discarding as little data as possible and never
+    upsampling. Strata absent from ``target_shares`` are dropped.
+
+    Membership uses the same md5-bucket primitive as ``hash_split`` —
+    seed-free, engine-reproducible, stable under re-runs and
+    repartitioning. Plan: one tiny per-stratum token aggregate
+    (|strata| rows) broadcast back onto the corpus; the corpus itself
+    is scanned once and filtered narrowly — no corpus shuffle at all.
+    """
+    from .text import token_count
+
+    if not target_shares:
+        raise ValueError("target_shares must not be empty")
+    total_t = sum(target_shares.values())
+    targets = {k: v / total_t for k, v in target_shares.items()}
+
+    base = df.select(
+        F.col(key_col), F.col(strata_col).alias("_stratum"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    target_expr = F.create_map(
+        *[F.lit(x) for k, v in targets.items() for x in (k, float(v))]
+    )
+    mix = (
+        base.groupBy("_stratum")
+        .agg(F.sum("n_tokens").alias("cur"))
+        .withColumn("total", F.sum("cur").over(Window.partitionBy()))
+        .withColumn("share", F.col("cur") / F.col("total"))
+        .withColumn("target", target_expr[F.col("_stratum")])
+        .filter(F.col("target").isNotNull())
+    )
+    alpha = mix.withColumn(
+        "alpha", F.min(F.col("share") / F.col("target")).over(Window.partitionBy())
+    )
+    fracs = alpha.select(
+        "_stratum",
+        (F.col("target") * F.col("alpha") / F.col("share")).alias("keep_frac"),
+    )
+    return (
+        base.join(F.broadcast(fracs), "_stratum")
+        .filter(
+            hash_bucket(key_col, buckets, salt)
+            < F.floor(F.col("keep_frac") * buckets)
+        )
+        .select(
+            F.col(key_col),
+            F.col("_stratum").alias(strata_col),
+            "n_tokens",
+        )
+    )

@@ -1924,6 +1924,46 @@ def text_chunk_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_mix_rebalance",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    mix AS (SELECT lang, SUM(n_tokens) AS cur FROM base GROUP BY lang),
+    m2 AS (
+      SELECT lang, cur,
+             cur / SUM(cur) OVER () AS share,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                       WHEN 'es' THEN 0.25 END AS target
+      FROM mix
+    ),
+    m3 AS (SELECT * FROM m2 WHERE target IS NOT NULL),
+    m4 AS (SELECT *, MIN(share / target) OVER () AS alpha FROM m3),
+    fr AS (SELECT lang, target * alpha / share AS keep_frac FROM m4)
+    SELECT b.doc_id, b.lang, b.n_tokens
+    FROM base b JOIN fr ON b.lang = fr.lang
+    WHERE ('0x' || substr(md5(b.doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT
+          % 10000 < floor(fr.keep_frac * 10000)
+    """,
+)
+def sample_mix_rebalance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-only rebalancing toward target token shares
+    (en 50 % / de 25 % / es 25 %; other langs dropped): the per-stratum
+    keep fractions derive from the current mix in one tiny aggregate,
+    membership is the md5-bucket primitive — the oracle replays the
+    share → α → fraction → bucket-filter pipeline end-to-end."""
+    from .operators.sampling import mix_rebalance
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return mix_rebalance(
+        documents, {"en": 0.5, "de": 0.25, "es": 0.25}
+    )
+
+
+@register(
     "text_data_mix",
     r"""
     WITH a AS (
@@ -3244,6 +3284,7 @@ _DRIVER_PRIORITY = [
     "events_resample_locf",
     "text_chunk_windows",
     "similarity_projected_rerank",
+    "sample_mix_rebalance",
     "tpch_q17_small_quantity",
     "events_sessionize",
     "cdc_merge_upsert",

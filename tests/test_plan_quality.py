@@ -182,6 +182,9 @@ EXPECTATIONS = {
     # BroadcastNestedLoopJoin, like similarity_bruteforce_topk) + two
     # query-partitioned windows sharing the query_id exchange
     "similarity_projected_rerank": (2, "BroadcastNestedLoopJoin"),
+    # tiny per-stratum mix aggregate broadcast back onto the corpus;
+    # the corpus path itself is scan + filter, no corpus shuffle
+    "sample_mix_rebalance": (3, "BroadcastHashJoin"),
 }
 
 

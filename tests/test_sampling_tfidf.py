@@ -117,3 +117,37 @@ def test_sequence_packing_invariants(spark):
     first = min(by_stream.values(), key=lambda rows: -len(rows))
     packs = [r["pack_id"] for r in sorted(first, key=lambda r: r["doc_id"])]
     assert packs[:4] == [0, 0, 0, 1]
+
+
+def test_mix_rebalance_hits_target_ratios(spark, tables):
+    from mapreduce_join_comparison_spark.operators.sampling import mix_rebalance
+
+    docs = tables["documents"]
+    targets = {"en": 0.5, "de": 0.25, "es": 0.25}
+    out = mix_rebalance(docs, targets).collect()
+    langs = {r["lang"] for r in out}
+    assert langs <= set(targets)  # absent langs dropped
+
+    kept = {}
+    for r in out:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + r["n_tokens"]
+    total = sum(kept.values())
+    # post-filter token shares approximate the targets (md5-bucket
+    # granularity + per-doc token quantization put a few % of noise on
+    # a 500-doc corpus)
+    for lang, t in targets.items():
+        assert abs(kept[lang] / total - t) < 0.08, (lang, kept[lang] / total)
+
+    # downsample-only: no stratum gains tokens
+    orig = {
+        r["lang"]: r["cur"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.expr(r"size(split(trim(text), '\\s+'))")).alias("cur"))
+        .collect()
+    }
+    for lang in kept:
+        assert kept[lang] <= orig[lang]
+
+    # deterministic: same inputs, same membership
+    again = mix_rebalance(docs, targets).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
