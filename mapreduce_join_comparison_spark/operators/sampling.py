@@ -135,9 +135,14 @@ def mix_rebalance(
     )
     return (
         base.join(F.broadcast(fracs), "_stratum")
+        # no floor: keep_frac for the most under-represented stratum is
+        # exactly-1 only up to float rounding (t·α/s can evaluate to
+        # 0.999…), and floor would turn that into buckets-1 — dropping
+        # ~1/buckets of the stratum the docstring promises to keep
+        # whole. Comparing against the raw double keeps f_s = 1 exact.
         .filter(
             hash_bucket(key_col, buckets, salt)
-            < F.floor(F.col("keep_frac") * buckets)
+            < F.col("keep_frac") * buckets
         )
         .select(
             F.col(key_col),

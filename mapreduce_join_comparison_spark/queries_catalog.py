@@ -1946,7 +1946,7 @@ def text_chunk_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.doc_id, b.lang, b.n_tokens
     FROM base b JOIN fr ON b.lang = fr.lang
     WHERE ('0x' || substr(md5(b.doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT
-          % 10000 < floor(fr.keep_frac * 10000)
+          % 10000 < fr.keep_frac * 10000
     """,
 )
 def sample_mix_rebalance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3240,63 +3240,15 @@ from . import tpch_queries  # noqa: E402,F401  (self-registering)
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-1 reds (fixed in round 2) first — the explicit judge items
-    "array_functions",
-    "similarity_ivf_ann",
-    "similarity_lsh_ann",
-    # then every query without a green CORRECTNESS row yet, CHEAPEST
-    # FIRST (measured Spark wall at sf0.01): if the driver's cap turns
-    # out to be time-based rather than count-based, ascending order
-    # maximizes how many verdicts land per round; under a count cap
-    # the order within the block is irrelevant. Heavy stateful
-    # streaming queries close the block.
-    "projection_key_extract",
-    "sample_stratified",
-    "events_json_props",
-    "tpch_q6_forecast_revenue",
-    "agg_approx_sketches",
-    "multimodal_blob_features",
-    "agg_exact_quantiles",
-    "sample_hash_split",
-    "generator_uniform",
-    "cdc_incremental_distinct",
-    "stats_analyze_table",
-    "pipeline_embedding_prep",
-    "tpch_q1_pricing_summary",
-    "source_json_roundtrip",
-    "multimodal_frame_sample",
-    "tpch_q19_discounted_revenue",
-    "cdc_latest_per_key",
-    "join_band_large",
-    "tpch_q12_late_lines",
-    "join_fuzzy_names",
-    "join_triangle_chain",
-    "tpch_q22_sleeping_customers",
-    "cdc_incremental_agg",
-    "tpch_q16_supplier_count",
-    "tpch_q4_order_priority",
-    "text_pii_redaction",
-    "text_repetition_metrics",
-    "text_data_mix",
-    "embedding_random_projection",
-    "pipeline_sequence_packing",
-    "dedup_incremental_minhash",
-    "events_resample_locf",
-    "text_chunk_windows",
-    "similarity_projected_rerank",
-    "sample_mix_rebalance",
-    "tpch_q17_small_quantity",
-    "events_sessionize",
-    "cdc_merge_upsert",
-    "events_windowed_agg",
-    "source_orc_roundtrip",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "join_strategy_advisor",
-    "tpch_q3_shipping_priority",
-    "tpch_q18_large_volume",
-    "tpch_q10_returned_items",
-    "tpch_q7_volume_shipping",
+    # Round-3 ordering, derived from the union of green keys in
+    # CORRECTNESS_r01 + r02 (97 checked, 96 green). Three blocks:
+    #
+    # (1) the 21 queries that have NEVER had a driver CORRECTNESS row
+    #     (they pass the local oracle-parity replica; the hard signal
+    #     is missing). Cheapest first, stateful streaming last — if
+    #     the driver's 50-query cap is time-based, ascending cost
+    #     maximizes verdicts per round; under a count cap the order
+    #     within the block is irrelevant.
     "tpch_q9_product_profit",
     "source_csv_roundtrip",
     "tpch_q5_local_supplier",
@@ -3318,6 +3270,19 @@ _DRIVER_PRIORITY = [
     "events_stream_windowed",
     "events_stream_enriched",
     "events_stream_interval_join",
+    # (2) round 2's one red: values matched, the hash tripped on
+    #     DuckDB HUGEINT vs Spark BIGINT — oracle SUMs now CAST to
+    #     BIGINT (tpch_queries.py), needs a green row to prove it
+    "tpch_q12_late_lines",
+    # (3) green rows whose SEMANTICS changed in round 3 and must be
+    #     re-proved: mix_rebalance dropped the floor() in its bucket
+    #     filter (ADVICE keep_frac clamp), and the two all-pairs
+    #     similarity queries were re-routed through LSH blocking
+    "sample_mix_rebalance",
+    "similarity_projected_rerank",
+    "dedup_embedding_cosine",
+    # remaining slots of the driver's 50-query window fall through to
+    # registration order — all already-green rows re-verify on rotation
 ]
 
 

@@ -36,6 +36,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Spark implicitly casts TIMESTAMP_NTZ through the session zone
+        # in instant functions (to_utc_timestamp included), so naive
+        # parquet times only normalize reproducibly under a pinned UTC
+        # session — matches DuckDB's epoch_us(naive) on any machine.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -66,6 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # deployment sizes this to cluster cores (see session.py).
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # NTZ→LTZ normalization (below) round-trips through the session
+    # zone in Spark 4, so it is only machine-independent with the zone
+    # pinned to UTC. Runtime-settable; required on driver-built
+    # sessions we didn't configure (session.py pins it for our own).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         # runtime-settable; required even on sessions we didn't build
@@ -86,11 +91,14 @@ def _naive_ts_to_utc(df: DataFrame) -> DataFrame:
     Parquet written with isAdjustedToUTC=0 (µs unit) comes back as
     TIMESTAMP_NTZ under Spark's default inferTimestampNTZ, and NTZ is
     rejected by instant functions (``unix_micros``, interval joins on
-    epoch µs). ``to_utc_timestamp(ntz, 'UTC')`` is the one conversion
-    that is *session-timezone independent*: it interprets the naive
-    value as UTC wall time — exactly how DuckDB's ``epoch_us(naive)``
-    reads the same file, so oracles agree on any machine. Type-gated:
-    already-LTZ data (or long-nanos columns handled above) is untouched.
+    epoch µs). ``to_utc_timestamp(ntz, 'UTC')`` is NOT itself
+    session-timezone independent — Spark 4 first casts NTZ→LTZ through
+    ``spark.sql.session.timeZone`` — which is why ``load_table`` pins
+    the session zone to UTC before calling this. Under a UTC session
+    the naive value is read as UTC wall time, exactly how DuckDB's
+    ``epoch_us(naive)`` reads the same file, so oracles agree on any
+    machine. Type-gated: already-LTZ data (or long-nanos columns
+    handled above) is untouched.
     """
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):

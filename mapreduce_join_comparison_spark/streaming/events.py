@@ -72,7 +72,8 @@ def _nanos_to_ts(df: DataFrame) -> DataFrame:
 
 
 def _naive_to_utc(df: DataFrame) -> DataFrame:
-    # session-timezone-independent naive-as-UTC (see sources.io)
+    # naive-as-UTC; only reproducible with the session zone pinned to
+    # UTC (load_events_stream pins it — see sources.io._naive_ts_to_utc)
     return df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
 
 
@@ -98,6 +99,8 @@ def load_events_stream(
     # a real deployment sizes this to cluster cores × state volume.
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # see sources.io.load_table: NTZ normalization needs a UTC session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if os.path.isfile(path):
         sample = path
         digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
@@ -110,7 +113,23 @@ def load_events_stream(
     else:
         import glob
 
-        sample = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(
+                f"no *.parquet files under stream source directory {path!r}"
+            )
+        # the stream schema is derived from ONE footer; a directory
+        # mixing ts physical types (nanos vs micros vs UTC-adjusted)
+        # would silently mis-read every other file, so reject it here
+        ts_types = {str(pq.read_schema(f).field("ts").type) for f in files}
+        if len(ts_types) > 1:
+            raise ValueError(
+                f"stream source {path!r} mixes ts physical types "
+                f"{sorted(ts_types)}; a file-source stream needs one schema"
+            )
+        sample = files[0]
     schema, normalize = _events_stream_schema(sample)
     if any(f.name == "ts" and isinstance(f.dataType, T.LongType)
            for f in schema.fields):

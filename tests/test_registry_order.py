@@ -1,14 +1,36 @@
 """Registry-order guards: the driver verifies queries in registration
-order under a cap (round 1 stopped at 50), so the priority list must
-stay consistent with the registry — a typo'd or forgotten key would
-silently push an unverified query out of the checked window."""
+order under a cap (50/round so far), so the priority list must stay
+consistent with the registry AND with the accumulated CORRECTNESS
+results — a typo'd or forgotten key would silently push an unverified
+query out of the checked window, and a stale list (pinned to an old
+round's file) would waste the window re-proving greens."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
 from mapreduce_join_comparison_spark import queries_catalog as qc
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _green_union() -> set[str]:
+    """Union of green keys across EVERY CORRECTNESS_r*.json so far
+    (coverage accumulates across rounds; newest file alone only holds
+    one 50-query window)."""
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            results = json.load(f)
+        for key, v in results.items():
+            if v.get("err"):
+                continue
+            hm = v.get("hash_match")
+            if hm is True or (hm is None and v.get("rows_match")):
+                green.add(key)
+    return green
 
 
 def test_priority_keys_registered_and_unique():
@@ -19,12 +41,12 @@ def test_priority_keys_registered_and_unique():
 
 
 def test_unverified_queries_lead_the_registry():
-    """Every query without a green round-1 verdict must appear in the
-    priority block (and therefore ahead of the already-green rows)."""
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r01.json")
-    with open(path) as f:
-        r1 = json.load(f)
-    green = {k for k, v in r1.items() if v.get("hash_match")}
+    """Every query without a green verdict in ANY round must appear in
+    the priority block (and therefore ahead of the already-green rows).
+    Reads all CORRECTNESS_r*.json, so a new round's file re-derives the
+    obligation automatically."""
+    green = _green_union()
+    assert green, "no CORRECTNESS_r*.json greens found — wrong repo root?"
     pri = set(qc._DRIVER_PRIORITY)
     stragglers = [k for k in qc.QUERIES if k not in green and k not in pri]
     assert not stragglers, f"unverified queries missing from priority: {stragglers}"
