@@ -421,8 +421,9 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
-    All-pairs form (small corpora / verify stage); the scale path is
-    LSH bucketing in similarity.random_hyperplane_lsh."""
+    All-pairs form — O(N²) BroadcastNestedLoopJoin, kept ONLY as the
+    small-data verify/recall baseline for tests; the registered catalog
+    query and any production path use the LSH-blocked form below."""
     from .similarity import cosine_expr
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
@@ -430,6 +431,67 @@ def embedding_near_dup_pairs(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cosine", cosine_expr("v_a", "v_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-blocked (the scale path): hash
+    every vector into ``n_tables`` independent random-hyperplane
+    buckets (``n_planes`` sign bits each, seeded so oracles can replay
+    the planes as literals), generate candidate pairs only WITHIN a
+    bucket of some table, then verify exact cosine ≥ threshold on the
+    candidates.
+
+    Scale shape: each row hashes L times (narrow), the pair join is
+    bucket-co-partitioned — candidates ≈ Σ_bucket |bucket|² instead of
+    N², so the plan has no BroadcastNestedLoopJoin and survives a
+    100× corpus (skewed mega-buckets split by AQE). Recall per true
+    pair at angle θ is 1-(1-(1-θ/π)^b)^L — tunable via n_tables; the
+    all-pairs form above is the recall oracle in tests."""
+    from .similarity import cosine_expr, hyperplanes, lsh_bucket_expr
+
+    tables = [
+        hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn(
+        "tb",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket_expr("v", planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ])
+        ),
+    ).select("id", "v", "tb.table", "tb.bucket")
+    left = hashed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "table", "bucket"
+    )
+    right = hashed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "table", "bucket"
+    )
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", cosine_expr("v_a", "v_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

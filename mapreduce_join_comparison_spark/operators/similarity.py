@@ -154,17 +154,29 @@ def projected_rerank_topk(
     in_dim: int = 64,
     out_dim: int = 8,
     seed: int = 7,
+    lsh_planes: int | None = None,
+    lsh_tables: int = 8,
+    lsh_seed: int = 42,
 ) -> DataFrame:
     """Two-stage retrieval: shortlist candidates by cosine in the
     seeded JL-projected space (``out_dim`` components — ~in/out× less
     arithmetic and shuffle payload than full-dim), then re-rank the
     shortlist with exact full-dimension cosine.
 
+    Candidate generation: with ``lsh_planes`` set, stage 1 ranks only
+    candidates sharing a random-hyperplane bucket with the query in ANY
+    of ``lsh_tables`` tables (the same multi-table scheme as
+    ``lsh_topk``) — bucket-co-partitioned join, no cross product, so
+    the plan survives a 100× corpus. With ``lsh_planes=None`` stage 1
+    scores every (query, corpus) pair — the exact-shortlist baseline
+    for small corpora and recall tests (BroadcastNestedLoopJoin;
+    deliberately NOT the catalog/production form).
+
     Determinism for cross-engine checks: both ranking passes order on
     the cosine ROUNDED to 6 decimals (so float summation-order noise
     cannot flip ranks between engines — the TF-IDF convention), ties
     broken on corpus id. Recall vs exact top-k is governed by
-    shortlist/k and the JL distortion; tests assert it.
+    shortlist/k, LSH recall, and the JL distortion; tests assert it.
     """
     from pyspark.sql.window import Window
 
@@ -185,10 +197,41 @@ def projected_rerank_topk(
         F.col(vec_col).alias("c_vec"),
         proj(vec_col).alias("c_proj"),
     )
-    stage1 = (
-        c.join(F.broadcast(q))
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("proj_cosine", F.round(cosine_expr("c_proj", "q_proj"), 6))
+    if lsh_planes is not None:
+        tables = [
+            hyperplanes(in_dim, lsh_planes, lsh_seed + 1000 * t)
+            for t in range(lsh_tables)
+        ]
+        bucket_arr = lambda vec: F.array(  # noqa: E731
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket_expr(vec, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        ch = (
+            c.withColumn("tb", F.explode(bucket_arr("c_vec")))
+            .select("corpus_id", "c_vec", "c_proj", "tb.table", "tb.bucket")
+        )
+        qh = (
+            q.withColumn("tb", F.explode(bucket_arr("q_vec")))
+            .select("query_id", "q_vec", "q_proj", "tb.table", "tb.bucket")
+        )
+        cand = (
+            ch.join(F.broadcast(qh), ["table", "bucket"])
+            .filter(F.col("corpus_id") != F.col("query_id"))
+            .select("query_id", "q_vec", "q_proj",
+                    "corpus_id", "c_vec", "c_proj")
+            .distinct()
+        )
+    else:
+        cand = c.join(F.broadcast(q)).filter(
+            F.col("corpus_id") != F.col("query_id")
+        )
+    stage1 = cand.withColumn(
+        "proj_cosine", F.round(cosine_expr("c_proj", "q_proj"), 6)
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("proj_cosine").desc(), F.col("corpus_id").asc()

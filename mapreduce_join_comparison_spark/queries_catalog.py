@@ -1448,24 +1448,69 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_near_dup_lsh_oracle(
+    tables: list[list[list[float]]], threshold: float = 0.4
+) -> str:
+    """Replays the LSH-blocked near-dup: per (table, plane) literal,
+    bucket = Σ 1<<bit over dot-sign bits; candidate pairs share any
+    (table, bucket); exact cosine ≥ threshold verifies candidates."""
+    fmt = lambda v: "[" + ", ".join(repr(float(x)) for x in v) + "]"  # noqa: E731
+    rows = ", ".join(
+        f"({t}, {b}, {fmt(p)})"
+        for t, planes in enumerate(tables)
+        for b, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(tbl, bit, pvec) AS (VALUES {rows}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    b AS (
+      SELECT vec_id, tbl,
+             SUM(CASE WHEN list_dot_product(emb, pvec) > 0
+                      THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
+      FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r USING (tbl, bucket)
+      WHERE l.vec_id < r.vec_id)
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(va.emb, vb.emb), 6) AS cosine
+    FROM cand
+    JOIN v va ON va.vec_id = cand.id_a
+    JOIN v vb ON vb.vec_id = cand.id_b
+    WHERE list_cosine_similarity(va.emb, vb.emb) >= {threshold}
+    """
+
+
+def _near_dup_lsh_tables(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                         seed: int = 42) -> list[list[list[float]]]:
+    """The exact plane sets embedding_near_dup_pairs_lsh derives
+    internally (seed + 1000*t per table), regenerated so the oracle
+    embeds identical constants."""
+    from .operators.similarity import hyperplanes
+
+    return [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+
 @register(
     "dedup_embedding_cosine",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-    """,
+    _embedding_near_dup_lsh_oracle(_near_dup_lsh_tables()),
 )
 def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at threshold 0.4 (the synthetic
-    vectors are near-random; 0.4 is deep in the tail)."""
+    vectors are near-random; 0.4 is deep in the tail), LSH-BLOCKED:
+    candidates come from shared random-hyperplane buckets (4 bits × 8
+    tables, seeded), never an all-pairs nested-loop join, so the plan
+    is bucket-co-partitioned and survives a 100× corpus. The oracle
+    replays the identical planes as literals; recall vs the all-pairs
+    form is asserted in tests/test_text_dedup.py."""
     from pyspark.sql import functions as F
 
-    from .operators.dedup import embedding_near_dup_pairs
+    from .operators.dedup import embedding_near_dup_pairs_lsh
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(embeddings, threshold=0.4)
+    out = embedding_near_dup_pairs_lsh(
+        embeddings, dim=64, threshold=0.4, n_planes=4, n_tables=8, seed=42
+    )
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
@@ -1506,8 +1551,9 @@ def similarity_bruteforce_topk_query(spark: SparkSession, sf_dir: str) -> DataFr
 def _projected_rerank_oracle(
     in_dim: int = 64, out_dim: int = 16, seed: int = 7,
     k: int = 10, shortlist: int = 100, n_queries: int = 5,
+    lsh_planes: int = 4, lsh_tables: int = 8, lsh_seed: int = 42,
 ) -> str:
-    from .operators.similarity import projection_matrix
+    from .operators.similarity import hyperplanes, projection_matrix
 
     mat = projection_matrix(in_dim, out_dim, seed)
     comps = ", ".join(
@@ -1516,6 +1562,16 @@ def _projected_rerank_oracle(
             n=in_dim, row=", ".join(repr(x) for x in row)
         )
         for row in mat
+    )
+    tables = [
+        hyperplanes(in_dim, lsh_planes, lsh_seed + 1000 * t)
+        for t in range(lsh_tables)
+    ]
+    fmt = lambda v: "[" + ", ".join(repr(float(x)) for x in v) + "]"  # noqa: E731
+    plane_rows = ", ".join(
+        f"({t}, {b}, {fmt(p)})"
+        for t, planes in enumerate(tables)
+        for b, p in enumerate(planes)
     )
     def cos(a, b, dim):
         dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
@@ -1535,10 +1591,22 @@ def _projected_rerank_oracle(
     ),
     q AS (SELECT vec_id AS query_id, emb AS q_emb, proj AS q_proj
           FROM p WHERE vec_id < {n_queries}),
+    planes(tbl, bit, pvec) AS (VALUES {plane_rows}),
+    cb AS (
+      SELECT vec_id, tbl,
+             SUM(CASE WHEN list_dot_product(emb, pvec) > 0
+                      THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
+      FROM p CROSS JOIN planes GROUP BY vec_id, tbl),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+      FROM cb JOIN cb qb USING (tbl, bucket)
+      WHERE qb.vec_id < {n_queries} AND cb.vec_id <> qb.vec_id),
     s1 AS (
-      SELECT q.query_id, c.vec_id AS corpus_id, c.emb AS c_emb, q.q_emb,
+      SELECT cand.query_id, cand.corpus_id, c.emb AS c_emb, q.q_emb,
              ROUND({cos("c.proj", "q.q_proj", out_dim)}, 6) AS proj_cosine
-      FROM p c, q WHERE c.vec_id <> q.query_id
+      FROM cand
+      JOIN p c ON c.vec_id = cand.corpus_id
+      JOIN q ON q.query_id = cand.query_id
     ),
     s2 AS (
       SELECT *, row_number() OVER (
@@ -1564,14 +1632,15 @@ def _projected_rerank_oracle(
 def similarity_projected_rerank_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Two-stage ANN: 16-d JL-projected cosine shortlists 100
-    candidates per query, exact 64-d cosine re-ranks to top-10 (4x
-    less stage-1 arithmetic than full-dim; the synthetic corpus is
-    uniform-random — JL's worst case — so the shortlist is sized for
-    recall >0.5 there; structured real embeddings need far less). Both
-    stages rank on rounded scores with id tiebreaks so the oracle
-    (same projection matrix as literals) reproduces ranks exactly;
-    recall vs exact top-k is asserted in tests/test_similarity.py."""
+    """Three-stage ANN: multi-table hyperplane LSH (4 bits × 8 tables)
+    generates candidates with a bucket-co-partitioned join — never an
+    all-pairs nested loop — then 16-d JL-projected cosine shortlists
+    100 per query (4× less arithmetic than full-dim), then exact 64-d
+    cosine re-ranks to top-10. Both ranking stages order on rounded
+    scores with id tiebreaks so the oracle (projection matrix AND LSH
+    planes embedded as literals) reproduces buckets, shortlist, and
+    ranks exactly; recall vs exact top-k is asserted in
+    tests/test_similarity.py."""
     from .operators.similarity import projected_rerank_topk
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
@@ -1579,7 +1648,8 @@ def similarity_projected_rerank_query(
         "vec_id AS query_id", "embedding"
     )
     return projected_rerank_topk(
-        embeddings, queries, k=10, shortlist=100, in_dim=64, out_dim=16, seed=7
+        embeddings, queries, k=10, shortlist=100, in_dim=64, out_dim=16,
+        seed=7, lsh_planes=4, lsh_tables=8, lsh_seed=42,
     )
 
 

@@ -178,10 +178,13 @@ EXPECTATIONS = {
     "events_resample_locf": (4, None),
     # narrow tokenize + sequence explode + slice; fan_out only
     "text_chunk_windows": (1, None),
-    # stage-1 keyless broadcast of the projected query set (a
-    # BroadcastNestedLoopJoin, like similarity_bruteforce_topk) + two
-    # query-partitioned windows sharing the query_id exchange
-    "similarity_projected_rerank": (2, "BroadcastNestedLoopJoin"),
+    # LSH-bucketed candidate join (equi on table+bucket — no nested
+    # loop) + candidate distinct + two query-partitioned windows
+    # sharing the query_id exchange
+    "similarity_projected_rerank": (3, "BroadcastHashJoin"),
+    # LSH-blocked self-join: bucket-equi candidates + distinct; never
+    # an all-pairs nested loop
+    "dedup_embedding_cosine": (2, "HashJoin"),
     # tiny per-stratum mix aggregate broadcast back onto the corpus;
     # the corpus path itself is scan + filter, no corpus shuffle
     "sample_mix_rebalance": (3, "BroadcastHashJoin"),
@@ -200,6 +203,19 @@ def test_plan_shape(spark, name):
         assert fragment in simple_plan(df), (
             f"{name}: expected {fragment} in plan:\n{simple_plan(df)}"
         )
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_embedding_cosine", "similarity_projected_rerank"]
+)
+def test_no_all_pairs_nested_loop(spark, name):
+    """Round-2 verdict called these two out as the only all-pairs
+    (BroadcastNestedLoopJoin) catalog plans; both are LSH-blocked now
+    and must stay that way."""
+    df = qc.QUERIES[name](spark, SF_SMOKE)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
 
 
 def test_scans_prune_columns(spark):

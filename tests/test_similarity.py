@@ -174,6 +174,72 @@ def test_random_projection_preserves_distances(spark, embeddings):
     assert (np.abs(ratios - 1.0) < 1.0).mean() > 0.9
 
 
+def test_embedding_near_dup_lsh_subset_and_recall(spark, embeddings):
+    """The LSH-blocked near-dup (the registered/production form) must
+    emit only true pairs (subset of all-pairs at the same threshold,
+    identical cosines) and catch most of them — the all-pairs form is
+    the recall oracle."""
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    # 0.2 sits in the body of the near-random cosine distribution, so
+    # the recall denominator is populated at sf0.001
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(embeddings, threshold=0.2).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs_lsh(
+            embeddings, dim=64, threshold=0.2, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert exact, "threshold too high — recall test has no denominator"
+    for key, cos in blocked.items():
+        assert key in exact, f"LSH emitted a non-pair {key}"
+        assert abs(cos - exact[key]) < 1e-9
+    # hyperplane LSH at cos≥0.2 (θ≤78°): per-table hit ≈ 0.32⁴, 8
+    # tables → modest per-pair recall; the catalog's 0.4 threshold
+    # pairs are hit far harder. Assert a conservative floor.
+    assert len(blocked) / len(exact) > 0.3
+
+
+def test_projected_rerank_lsh_mode_subset_and_recall(spark, embeddings):
+    """LSH-shortlisted rerank (the registered/production form): scores
+    are exact cosines and recall vs exact top-k stays useful."""
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        projected_rerank_topk,
+    )
+
+    queries = embeddings.filter("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=10)
+    approx = projected_rerank_topk(
+        embeddings, queries, k=10, shortlist=100, out_dim=16,
+        lsh_planes=4, lsh_tables=8,
+    )
+    exact_scores = {
+        (r["query_id"], r["corpus_id"]): round(r["cosine"], 6)
+        for r in exact.collect()
+    }
+    exact_sets = {}
+    for (q, c) in exact_scores:
+        exact_sets.setdefault(q, set()).add(c)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        key = (r["query_id"], r["corpus_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 2e-6
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.4
+
+
 def test_projected_rerank_recall_vs_exact(spark, embeddings):
     from mapreduce_join_comparison_spark.operators.similarity import (
         projected_rerank_topk,
