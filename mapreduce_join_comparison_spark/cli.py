@@ -15,6 +15,12 @@ surface, so a user of the reference can run the same workflows here:
                    a pair, run the strategies, append one CSV row of
                    timings+counts. Failures raise instead of recording
                    0 ns (reference bug, SURVEY.md §4.3).
+  * ``report``   — the reference's R analysis scripts (``data/skew.R``,
+                   ``data/speedup.R``, ``data/skew_large.R``) as a
+                   markdown-table generator over ``simulate`` CSVs
+                   and/or ``bench.py``'s BENCH_DETAIL.json skew curve
+                   (no plotting libs in the container; the tables carry
+                   the same skew-curve / scaleup comparisons).
 
 Usage:  python -m mapreduce_join_comparison_spark.cli join \
             --strategy repartition t1.csv 0 t2.csv 0 out/
@@ -145,6 +151,99 @@ def cmd_simulate(args: argparse.Namespace) -> None:
         out_f.close()
 
 
+def _report_rows_from_csv(paths: list[str]) -> list[dict]:
+    """(rows, skew, strategy, seconds) records from simulate CSVs.
+    Header lines are auto-detected so files appended with --no-header
+    and files with repeated headers both parse."""
+    records = []
+    for path in paths:
+        with open(path, newline="") as f:
+            for row in csv.DictReader(f):
+                if row.get("seconds") in (None, "seconds"):
+                    continue
+                records.append({
+                    "rows": int(row["rows"]),
+                    "skew": float(row["skew"]) if row["skew"] else 0.0,
+                    "strategy": row["strategy"],
+                    "seconds": float(row["seconds"]),
+                })
+    return records
+
+
+def _report_rows_from_detail(path: str) -> list[dict]:
+    """Flatten BENCH_DETAIL.json's skew_curve {rows: {skew: {strategy:
+    sec}}} into the same record shape as the simulate CSV."""
+    import json
+
+    with open(path) as f:
+        detail = json.load(f)
+    records = []
+    for rows, per_rows in (detail.get("skew_curve") or {}).items():
+        for skew, timing in per_rows.items():
+            for strategy, sec in timing.items():
+                records.append({
+                    "rows": int(rows),
+                    "skew": float(skew),
+                    "strategy": strategy,
+                    "seconds": float(sec),
+                })
+    return records
+
+
+def _pivot_markdown(records: list[dict], row_key: str, title: str) -> list[str]:
+    """One markdown table: row_key values × strategies, fastest cell
+    starred — the textual equivalent of the reference's per-strategy
+    ggplot curves."""
+    strategies = sorted({r["strategy"] for r in records})
+    cells: dict[float, dict[str, float]] = {}
+    for r in records:
+        cells.setdefault(r[row_key], {})[r["strategy"]] = r["seconds"]
+    lines = [f"### {title}", "", "| " + row_key + " | " +
+             " | ".join(strategies) + " |",
+             "|" + "---|" * (len(strategies) + 1)]
+    for key in sorted(cells):
+        timing = cells[key]
+        best = min(timing.values())
+        def fmt(s):
+            if s not in timing:
+                return ""
+            v = timing[s]
+            return f"**{v:.3f}**" if v == best else f"{v:.3f}"
+        lines.append(f"| {key} | " + " | ".join(fmt(s) for s in strategies) + " |")
+    lines.append("")
+    return lines
+
+
+def cmd_report(args: argparse.Namespace) -> None:
+    records = _report_rows_from_csv(args.csv)
+    if args.detail:
+        records += _report_rows_from_detail(args.detail)
+    if not records:
+        raise SystemExit("no simulate records found (see --detail / CSV args)")
+
+    lines = ["# Join-strategy benchmark report",
+             "",
+             "Bold = fastest strategy for the row. Sources: "
+             + ", ".join(args.csv + ([args.detail] if args.detail else [])),
+             ""]
+    # skew curves (reference skew.R): one table per generated size
+    for rows in sorted({r["rows"] for r in records}):
+        sub = [r for r in records if r["rows"] == rows]
+        if len({r["skew"] for r in sub}) > 1:
+            lines += _pivot_markdown(sub, "skew", f"Skew curve at {rows:,} rows")
+    # scaleup (reference speedup.R): one table per skew level
+    for skew in sorted({r["skew"] for r in records}):
+        sub = [r for r in records if r["skew"] == skew]
+        if len({r["rows"] for r in sub}) > 1:
+            lines += _pivot_markdown(sub, "rows", f"Scaleup at skew {skew}")
+    out = "\n".join(lines)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    else:
+        print(out)
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from . import queries_catalog as qc
 
@@ -215,6 +314,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--no-header", action="store_true")
     s.add_argument("--no-broadcast-join", action="store_true")
     s.set_defaults(func=cmd_simulate)
+
+    r = sub.add_parser(
+        "report",
+        help="markdown skew/scaleup tables from simulate CSVs (data/*.R analog)",
+    )
+    r.add_argument("csv", nargs="*", help="simulate output CSVs")
+    r.add_argument("--detail", default=None,
+                   help="BENCH_DETAIL.json to include its skew_curve")
+    r.add_argument("--out", default=None, help="write markdown here (default stdout)")
+    r.set_defaults(func=cmd_report)
 
     q = sub.add_parser(
         "query", help="run any catalog query ('query list' to enumerate)"

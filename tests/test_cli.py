@@ -66,6 +66,34 @@ def test_cli_generate_and_simulate(spark, tmp_path):
     assert all(len(counts) == 1 for counts in by_step.values())
     assert {r["rows"] for r in rows} == {"400", "500"}
 
+    # report (reference data/*.R analog): scaleup table over the two
+    # steps, fastest strategy bolded, all three strategies columned
+    report = str(tmp_path / "report.md")
+    main(["report", results, "--out", report])
+    with open(report) as f:
+        md = f.read()
+    assert "Scaleup at skew 0.8" in md
+    assert "| rows | broadcast | merge | repartition |" in md
+    assert "| 400 |" in md and "| 500 |" in md
+    assert "**" in md  # a fastest cell is highlighted
+
+
+def test_cli_report_from_bench_detail(tmp_path, capsys):
+    import json
+
+    detail = str(tmp_path / "BENCH_DETAIL.json")
+    with open(detail, "w") as f:
+        json.dump({"skew_curve": {
+            "1000000": {
+                "0.5": {"repartition": 2.0, "broadcast": 1.0, "merge": 3.0},
+                "1.2": {"repartition": 2.5, "broadcast": 1.1, "merge": 9.0},
+            }
+        }}, f)
+    main(["report", "--detail", detail])
+    md = capsys.readouterr().out
+    assert "Skew curve at 1,000,000 rows" in md
+    assert "**1.000**" in md and "9.000" in md
+
 
 def test_cli_query_run_and_list(spark, tmp_path, capsys):
     main(["query", "list"])
