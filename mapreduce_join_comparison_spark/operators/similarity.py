@@ -16,6 +16,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.io import fan_out
+
 
 def _as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -62,7 +64,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+    )
     scored = (
         c.join(F.broadcast(q))
         .withColumn("cosine", cosine_expr("c_vec", "q_vec"))
@@ -78,6 +82,36 @@ def brute_force_topk(
     )
 
 
+def dlit(values: list[float]) -> Column:
+    """array<double> literal built in ONE Py4J call.
+
+    Both ``F.array(*[F.lit(x) ...])`` and ``F.lit(list)`` issue a JVM
+    round-trip per ELEMENT; with thousands of embedded constants
+    (LSH planes, JL matrices, IVF centroids) that made DataFrame
+    construction — not execution — the dominant cost of every
+    similarity query (measured 7-9 s per build at sf0.1, ~6x the
+    execution). Parsing one SQL string is one round-trip; the
+    CAST('repr' AS DOUBLE) round-trips every float exactly."""
+    return F.expr(_arr_sql(values))
+
+
+def _arr_sql(values: list[float]) -> str:
+    return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+
+
+def _dot_sql(col: str, values: list[float]) -> str:
+    """SQL text of ``dot_expr(col, literal)`` — the identical
+    expression tree (transform-cast the data side, zip_with multiply,
+    left fold), produced without any per-lambda Py4J traffic. The
+    remaining build cost after dlit was ~10 ms per HIGHER-ORDER
+    function for the Python→JVM lambda plumbing (~400 of them in one
+    LSH query); parsing the whole dot as one string removes it."""
+    return (
+        "aggregate(zip_with(transform(`{c}`, x -> CAST(x AS DOUBLE)), {arr}, "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    ).format(c=col, arr=_arr_sql(values))
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Seeded random hyperplanes (unit-free; only the sign matters).
     Deterministic so oracles can embed the same constants."""
@@ -85,20 +119,17 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[float(v) for v in row] for row in rng.randn(n_planes, dim)]
 
 
-def lsh_bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
+def lsh_bucket_expr(vec: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(v · r_i); packed into a
-    bigint bucket id."""
-    bits = [
-        F.when(
-            dot_expr(vec, F.array(*[F.lit(x) for x in plane])) > 0,
-            F.lit(1 << i).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
+    bigint bucket id. ``vec`` is a column NAME; the whole signature is
+    one parsed SQL expression (see ``_dot_sql`` — per-lambda Py4J
+    round-trips made plan construction the dominant LSH cost)."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec, plane)} > CAST(0.0 AS DOUBLE) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i, plane in enumerate(planes)
-    ]
-    out = F.lit(0).cast("bigint")
-    for b in bits:
-        out = out + b
-    return out
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {bits}")
 
 
 def projection_matrix(
@@ -135,9 +166,7 @@ def random_projection(
     """
     mat = projection_matrix(in_dim, out_dim, seed)
     comps = [
-        F.round(
-            dot_expr(vec_col, F.array(*[F.lit(x) for x in row])), 6
-        ).alias(f"rp{j}")
+        F.expr(f"round({_dot_sql(vec_col, row)}, 6)").alias(f"rp{j}")
         for j, row in enumerate(mat)
     ]
     return df.select(F.col(id_col), *comps)
@@ -182,21 +211,23 @@ def projected_rerank_topk(
 
     mat = projection_matrix(in_dim, out_dim, seed)
 
-    def proj(col: Column | str) -> Column:
-        return F.array(*[
-            dot_expr(col, F.array(*[F.lit(x) for x in row])) for row in mat
-        ])
+    def proj(col: str) -> Column:
+        return F.expr(
+            "array(" + ", ".join(_dot_sql(col, row) for row in mat) + ")"
+        )
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         proj(vec_col).alias("q_proj"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("c_vec"),
-        proj(vec_col).alias("c_proj"),
-    )
+    # fan_out: a single-file local scan is ONE partition — the
+    # interpreted projection/bucket folds must spread across cores
+    # (no-op on a multi-split source at scale)
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("c_vec"))
+    ).withColumn("c_proj", proj("c_vec"))
     if lsh_planes is not None:
         tables = [
             hyperplanes(in_dim, lsh_planes, lsh_seed + 1000 * t)
@@ -211,21 +242,26 @@ def projected_rerank_topk(
                 for t, planes in enumerate(tables)
             ]
         )
+        # candidate join + distinct on IDS ONLY (the projected/full
+        # vectors re-attach by id afterwards): deduplicating int pairs
+        # is far cheaper than hashing 64+16-float payloads per
+        # pre-distinct row, and the id joins broadcast here / stay
+        # plain equi-joins at scale
         ch = (
             c.withColumn("tb", F.explode(bucket_arr("c_vec")))
-            .select("corpus_id", "c_vec", "c_proj", "tb.table", "tb.bucket")
+            .select("corpus_id", "tb.table", "tb.bucket")
         )
         qh = (
             q.withColumn("tb", F.explode(bucket_arr("q_vec")))
-            .select("query_id", "q_vec", "q_proj", "tb.table", "tb.bucket")
+            .select("query_id", "tb.table", "tb.bucket")
         )
-        cand = (
+        cand_ids = (
             ch.join(F.broadcast(qh), ["table", "bucket"])
             .filter(F.col("corpus_id") != F.col("query_id"))
-            .select("query_id", "q_vec", "q_proj",
-                    "corpus_id", "c_vec", "c_proj")
+            .select("query_id", "corpus_id")
             .distinct()
         )
+        cand = cand_ids.join(c, "corpus_id").join(F.broadcast(q), "query_id")
     else:
         cand = c.join(F.broadcast(q)).filter(
             F.col("corpus_id") != F.col("query_id")
@@ -290,20 +326,19 @@ def train_ivf_centroids(
     return [[float(v) for v in row] for row in cents]
 
 
-def _nearest_cells_expr(vec: Column | str, cents: list[list[float]],
+def _nearest_cells_expr(vec: str, cents: list[list[float]],
                         nprobe: int) -> Column:
     """Indices of the nprobe nearest centroids (by dot product; cosine
     assuming unit centroids) as an array<int> — JVM-side sort of a
-    small struct array, no UDF."""
-    scored = F.array(*[
-        F.struct(
-            (-dot_expr(vec, F.array(*[F.lit(x) for x in c]))).alias("neg"),
-            F.lit(i).alias("cell"),
-        )
+    small struct array, no UDF. ``vec`` is a column NAME; one parsed
+    SQL expression (see ``_dot_sql``)."""
+    structs = ", ".join(
+        f"named_struct('neg', -({_dot_sql(vec, c)}), 'cell', {i})"
         for i, c in enumerate(cents)
-    ])
-    return F.slice(
-        F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, nprobe
+    )
+    return F.expr(
+        f"slice(transform(array_sort(array({structs})), s -> s.cell), "
+        f"1, {nprobe})"
     )
 
 
@@ -332,8 +367,10 @@ def ivf_topk(
     cents = centroids or train_ivf_centroids(
         corpus, dim, n_cells, seed=seed, vec_col=vec_col
     )
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
+        )
     ).withColumn(
         "cell", F.element_at(_nearest_cells_expr("c_vec", cents, 1), 1)
     )
@@ -394,7 +431,8 @@ def lsh_topk(
         ]
     )
     c = (
-        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+        fan_out(corpus.select(F.col(id_col).alias("corpus_id"),
+                              F.col(vec_col).alias("c_vec")))
         .withColumn("tb", F.explode(bucket_arr("c_vec")))
         .select("corpus_id", "c_vec", "tb.table", "tb.bucket")
     )

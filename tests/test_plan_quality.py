@@ -57,10 +57,13 @@ EXPECTATIONS = {
     "dedup_exact": (1, None),
     "dedup_ngram_jaccard": (3, None),
     "dedup_simhash": (4, None),
-    "dedup_embedding_cosine": (0, None),  # tiny-table self-join: broadcast
-    "similarity_bruteforce_topk": (1, None),
-    "similarity_ivf_ann": (1, None),
-    "similarity_lsh_ann": (2, None),
+    # similarity family: +1 everywhere for fan_out's RoundRobin spread
+    # of the single-file local corpus scan (absent on a multi-split
+    # source at scale) + the query_id top-k window exchange
+    "similarity_bruteforce_topk": (2, None),
+    "similarity_ivf_ann": (2, None),
+    # + the bucket-candidate distinct
+    "similarity_lsh_ann": (3, None),
     "sort_total_order": (1, None),   # range partition + local sort only
     "window_functions": (1, None),
     "window_analytics": (1, None),
@@ -179,12 +182,16 @@ EXPECTATIONS = {
     # narrow tokenize + sequence explode + slice; fan_out only
     "text_chunk_windows": (1, None),
     # LSH-bucketed candidate join (equi on table+bucket — no nested
-    # loop) + candidate distinct + two query-partitioned windows
-    # sharing the query_id exchange
-    "similarity_projected_rerank": (3, "BroadcastHashJoin"),
-    # LSH-blocked self-join: bucket-equi candidates + distinct; never
-    # an all-pairs nested loop
-    "dedup_embedding_cosine": (2, "HashJoin"),
+    # loop): id-only candidate distinct + two query-partitioned
+    # windows sharing the query_id exchange + fan_out of the corpus
+    # scan (its subtree repeats statically under the id re-joins;
+    # runtime exchange reuse collapses the copies)
+    "similarity_projected_rerank": (4, "BroadcastHashJoin"),
+    # LSH-blocked self-join: bucket-equi candidates, id-only distinct,
+    # vectors re-attached by id (broadcast) — never an all-pairs
+    # nested loop; fan_out subtree repeats statically ×3, reused at
+    # runtime
+    "dedup_embedding_cosine": (5, "HashJoin"),
     # tiny per-stratum mix aggregate broadcast back onto the corpus;
     # the corpus path itself is scan + filter, no corpus shuffle
     "sample_mix_rebalance": (3, "BroadcastHashJoin"),
