@@ -101,16 +101,16 @@ def _pipeline_oracle() -> str:
     """
 
 
-@register("pipeline_training_data", _pipeline_oracle())
-def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pretraining-data pipeline: featurize → quality-gate
-    (≥ 0.55) → exact-dedup (min-doc_id survivor per content
-    fingerprint) → deterministic 80/20 content-hash split → per-split ×
-    per-language corpus stats. One scan, three shuffles total."""
+def training_data_report(documents: DataFrame) -> DataFrame:
+    """The composed pretraining-data pipeline over any documents frame:
+    featurize → quality-gate (≥ 0.55) → exact-dedup (min-doc_id
+    survivor per content fingerprint) → deterministic 80/20
+    content-hash split → per-split × per-language corpus stats. One
+    scan, three shuffles total. (`tools/stress.py` drives this same
+    body over a replicated 500 k-doc corpus.)"""
     from .operators.sampling import hash_bucket
     from .operators.text import text_features
 
-    (documents,) = _load(spark, sf_dir, "documents")
     feats = text_features(documents).select(
         "doc_id", "n_tokens", "fingerprint", "lang_pred", "quality"
     )
@@ -131,6 +131,14 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("quality"), 5).alias("avg_quality"),
     )
+
+
+@register("pipeline_training_data", _pipeline_oracle())
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: `training_data_report` over the driver's
+    documents table."""
+    (documents,) = _load(spark, sf_dir, "documents")
+    return training_data_report(documents)
 
 
 @register(
