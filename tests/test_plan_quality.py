@@ -225,6 +225,44 @@ def test_no_all_pairs_nested_loop(spark, name):
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
 
 
+# Every catalog plan allowed to contain a nested-loop join, with the
+# reason it is NOT an O(N²) scale problem. Anything else sprouting a
+# BNLJ/CartesianProduct is a regression toward all-pairs compute.
+_NESTED_LOOP_ALLOWED = {
+    "join_cross": "cross join BY DEFINITION (reference-absent row)",
+    "similarity_bruteforce_topk": "exact baseline, documented O(N·Q)",
+    "join_range_bands": "tiny band-table broadcast; large-large twin "
+                        "(join_band_large) is bucket-equi",
+    "events_resample_locf": "one-row bounds frame broadcast onto the grid",
+    "text_tfidf_topterms": "one-row corpus-count broadcast (crossJoin of "
+                           "an aggregate scalar)",
+    "tpch_q11_important_stock": "scalar subquery (HAVING > total*frac)",
+    "tpch_q22_sleeping_customers": "scalar subquery (avg acctbal)",
+    "sql_subqueries": "scalar subquery demonstration",
+    "join_strategy_advisor": "bounded advisor scenarios, not data-scaled",
+    "stats_analyze_table": "scalar count broadcast",
+}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(qc.QUERIES) if not n.startswith("events_stream")]
+)
+def test_catalog_wide_nested_loop_allowlist(spark, name):
+    """No catalog query may introduce a nested-loop join unless it is
+    on the documented allowlist above (streaming queries excluded —
+    their driver-side setup executes rather than returns a plan)."""
+    df = qc.QUERIES[name](spark, SF_SMOKE)
+    plan = simple_plan(df)
+    has_nl = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if name in _NESTED_LOOP_ALLOWED:
+        return  # allowed (presence may vary with AQE/scale estimates)
+    assert not has_nl, (
+        f"{name} grew a nested-loop join — either make it key-blocked "
+        f"(bucket/LSH/band-equi) or add it to _NESTED_LOOP_ALLOWED with "
+        f"a scale justification:\n{plan}"
+    )
+
+
 def test_scans_prune_columns(spark):
     """Catalog queries that project few columns must not scan all of
     them (ReadSchema pruned to what's referenced)."""
