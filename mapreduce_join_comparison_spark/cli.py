@@ -214,6 +214,122 @@ def _pivot_markdown(records: list[dict], row_key: str, title: str) -> list[str]:
     return lines
 
 
+# Fixed strategy→color map (validated 3-slot categorical palette; color
+# follows the entity, never its rank, so every chart paints a strategy
+# the same hue). Extra strategies take the remaining validated slots in
+# first-appearance order — never generated hues.
+_SERIES_COLORS = {"repartition": "#2a78d6", "broadcast": "#eb6834",
+                  "merge": "#1baf7a"}
+_EXTRA_SLOTS = ["#eda100", "#e87ba4", "#008300", "#4a3aa7", "#e34948"]
+
+
+def _render_line_svg(records: list[dict], row_key: str, title: str) -> str:
+    """One static SVG line chart: x = row_key (numeric), y = seconds,
+    one 2px line per strategy. Styling follows the repo's chart rules:
+    single axis, recessive 1px grid, 8px markers with a 2px surface
+    ring, legend + direct end labels in text ink (the aqua slot sits
+    below 3:1 on this surface, so labels are the required relief),
+    native ``<title>`` tooltips per marker."""
+    strategies = sorted({r["strategy"] for r in records})
+    colors = dict(_SERIES_COLORS)
+    extras = [s for s in strategies if s not in colors]
+    for i, s in enumerate(extras):
+        colors[s] = _EXTRA_SLOTS[i % len(_EXTRA_SLOTS)]
+    xs = sorted({r[row_key] for r in records})
+    by_s = {
+        s: {r[row_key]: r["seconds"] for r in records if r["strategy"] == s}
+        for s in strategies
+    }
+    w, h, ml, mr, mt, mb = 640, 400, 56, 110, 70, 44
+    pw, ph = w - ml - mr, h - mt - mb
+    ymax = max(r["seconds"] for r in records) * 1.08 or 1.0
+    xmin, xmax = min(xs), max(xs)
+    xspan = (xmax - xmin) or 1.0
+
+    def X(v):
+        return ml + (v - xmin) / xspan * pw
+
+    def Y(v):
+        return mt + ph - v / ymax * ph
+
+    out = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {w} {h}" '
+        f'font-family="system-ui, sans-serif">',
+        f'<rect width="{w}" height="{h}" fill="#fcfcfb"/>',
+        f'<text x="{ml}" y="24" font-size="15" font-weight="600" '
+        f'fill="#0b0b0b">{title}</text>',
+        f'<text x="{ml}" y="42" font-size="12" fill="#52514e">seconds '
+        f'per join vs {row_key}</text>',
+    ]
+    # recessive grid + y labels
+    for i in range(5):
+        gv = ymax * i / 4
+        gy = Y(gv)
+        out.append(
+            f'<line x1="{ml}" y1="{gy:.1f}" x2="{ml + pw}" y2="{gy:.1f}" '
+            f'stroke="#e7e6e2" stroke-width="1"/>'
+        )
+        out.append(
+            f'<text x="{ml - 8}" y="{gy + 4:.1f}" font-size="11" '
+            f'fill="#52514e" text-anchor="end">{gv:.2g}</text>'
+        )
+    for v in xs:
+        out.append(
+            f'<text x="{X(v):.1f}" y="{mt + ph + 18}" font-size="11" '
+            f'fill="#52514e" text-anchor="middle">{v:g}</text>'
+        )
+    # legend row (always present: >= 2 series), its own band between
+    # the subtitle (y 42) and the plot top so nothing collides
+    lx = ml
+    for s in strategies:
+        out.append(
+            f'<rect x="{lx}" y="{mt - 18}" width="10" height="10" rx="2" '
+            f'fill="{colors[s]}"/>'
+        )
+        out.append(
+            f'<text x="{lx + 14}" y="{mt - 9}" font-size="11" '
+            f'fill="#0b0b0b">{s}</text>'
+        )
+        lx += 14 + 7 * len(s) + 24
+    # series: 2px line, 8px markers with 2px surface ring
+    ends = []
+    for s in strategies:
+        pts = [(X(v), Y(by_s[s][v])) for v in xs if v in by_s[s]]
+        if not pts:
+            continue
+        path = " ".join(
+            f"{'M' if i == 0 else 'L'}{x:.1f},{y:.1f}"
+            for i, (x, y) in enumerate(pts)
+        )
+        out.append(
+            f'<path d="{path}" fill="none" stroke="{colors[s]}" '
+            f'stroke-width="2" stroke-linejoin="round"/>'
+        )
+        for v in xs:
+            if v not in by_s[s]:
+                continue
+            out.append(
+                f'<circle cx="{X(v):.1f}" cy="{Y(by_s[s][v]):.1f}" r="4" '
+                f'fill="{colors[s]}" stroke="#fcfcfb" stroke-width="2">'
+                f"<title>{s} · {row_key} {v:g} · {by_s[s][v]:.3f}s</title>"
+                f"</circle>"
+            )
+        ends.append([s, pts[-1][0], pts[-1][1]])
+    # direct end labels (the contrast-relief requirement for the aqua
+    # slot), pushed ≥14px apart where converging lines would collide
+    ends.sort(key=lambda e: e[2])
+    for i in range(1, len(ends)):
+        if ends[i][2] - ends[i - 1][2] < 14:
+            ends[i][2] = ends[i - 1][2] + 14
+    for s, ex, ey in ends:
+        out.append(
+            f'<text x="{ex + 10:.1f}" y="{ey + 4:.1f}" font-size="11" '
+            f'fill="#0b0b0b">{s}</text>'
+        )
+    out.append("</svg>")
+    return "\n".join(out)
+
+
 def cmd_report(args: argparse.Namespace) -> None:
     records = _report_rows_from_csv(args.csv)
     if args.detail:
@@ -226,16 +342,29 @@ def cmd_report(args: argparse.Namespace) -> None:
              "Bold = fastest strategy for the row. Sources: "
              + ", ".join(args.csv + ([args.detail] if args.detail else [])),
              ""]
+    svgs: list[tuple[str, str]] = []
     # skew curves (reference skew.R): one table per generated size
     for rows in sorted({r["rows"] for r in records}):
         sub = [r for r in records if r["rows"] == rows]
         if len({r["skew"] for r in sub}) > 1:
-            lines += _pivot_markdown(sub, "skew", f"Skew curve at {rows:,} rows")
+            title = f"Skew curve at {rows:,} rows"
+            lines += _pivot_markdown(sub, "skew", title)
+            svgs.append((f"skew_{rows}.svg", _render_line_svg(sub, "skew", title)))
     # scaleup (reference speedup.R): one table per skew level
     for skew in sorted({r["skew"] for r in records}):
         sub = [r for r in records if r["skew"] == skew]
         if len({r["rows"] for r in sub}) > 1:
-            lines += _pivot_markdown(sub, "rows", f"Scaleup at skew {skew}")
+            title = f"Scaleup at skew {skew}"
+            lines += _pivot_markdown(sub, "rows", title)
+            svgs.append((f"scaleup_{skew}.svg", _render_line_svg(sub, "rows", title)))
+    if args.svg:
+        os.makedirs(args.svg, exist_ok=True)
+        for fname, svg in svgs:
+            with open(os.path.join(args.svg, fname), "w") as f:
+                f.write(svg + "\n")
+        lines.append(
+            f"SVG charts: {', '.join(os.path.join(args.svg, f) for f, _ in svgs)}"
+        )
     out = "\n".join(lines)
     if args.out:
         with open(args.out, "w") as f:
@@ -323,6 +452,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--detail", default=None,
                    help="BENCH_DETAIL.json to include its skew_curve")
     r.add_argument("--out", default=None, help="write markdown here (default stdout)")
+    r.add_argument("--svg", default=None, metavar="DIR",
+                   help="also write one SVG line chart per table into DIR "
+                        "(the ggsave analog of the reference's R scripts)")
     r.set_defaults(func=cmd_report)
 
     q = sub.add_parser(

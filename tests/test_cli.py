@@ -94,6 +94,18 @@ def test_cli_report_from_bench_detail(tmp_path, capsys):
     assert "Skew curve at 1,000,000 rows" in md
     assert "**1.000**" in md and "9.000" in md
 
+    # --svg: one line chart per table (ggsave analog), entity-stable
+    # colors, legend + markers present
+    svg_dir = str(tmp_path / "charts")
+    main(["report", "--detail", detail, "--svg", svg_dir, "--out",
+          str(tmp_path / "r.md")])
+    svg = open(os.path.join(svg_dir, "skew_1000000.svg")).read()
+    assert svg.startswith("<svg ")
+    assert svg.count("<path ") == 3            # one line per strategy
+    assert '"#2a78d6"' in svg and '"#eb6834"' in svg  # fixed slot colors
+    assert "<title>broadcast" in svg           # native tooltips
+    assert svg.count(">merge</text>") == 2     # legend + direct end label
+
 
 def test_cli_query_run_and_list(spark, tmp_path, capsys):
     main(["query", "list"])
