@@ -606,7 +606,8 @@ def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_summary_stats",
     """
     SELECT CAST(COUNT(l_quantity) AS BIGINT) AS n,
-           ROUND(AVG(l_quantity), 4) AS mean,
+           CAST((2 * SUM(CAST(l_quantity AS BIGINT)) * 10000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 10000 AS mean,
            ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median,
            CAST(MIN(l_quantity) AS DOUBLE) AS min,
            CAST(MAX(l_quantity) AS DOUBLE) AS max
@@ -616,16 +617,27 @@ def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — the reference's mean/median/max task-time stats
     (JoinSimulation.java:34-70) as distributed aggregates; median is the
-    exact continuous percentile."""
+    exact continuous percentile. The mean rounds in BIGINT arithmetic
+    (quantities are integer-valued, so the sum is exact) — engines
+    disagree on rounding a DOUBLE quotient at a half boundary (see
+    tpch_q1)."""
     from pyspark.sql import functions as F
 
     (lineitem,) = _load(spark, sf_dir, "lineitem")
-    return lineitem.agg(
+    agged = lineitem.agg(
         F.count("l_quantity").cast("bigint").alias("n"),
-        F.round(F.avg("l_quantity"), 4).alias("mean"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("_sq"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median"),
         F.min("l_quantity").cast("double").alias("min"),
         F.max("l_quantity").cast("double").alias("max"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return agged.select(
+        "n",
+        F.expr(
+            "CAST((2 * _sq * 10000 + _cnt) div (2 * _cnt) AS DOUBLE) / 10000"
+        ).alias("mean"),
+        "median", "min", "max",
     )
 
 
@@ -634,10 +646,16 @@ def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+                          * (1 - CAST(l_discount AS DECIMAL(12, 2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST((2 * SUM(CAST(l_quantity AS BIGINT)) * 10000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 10000 AS avg_qty,
+           CAST((2 * CAST(SUM(CAST(l_discount AS DECIMAL(12, 2))) * 1000000
+                          AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -645,17 +663,32 @@ def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped hash aggregate: map-side partial agg, one shuffle
-    on the (low-cardinality) group keys — the shape that survives 100 TB."""
+    on the (low-cardinality) group keys — the shape that survives
+    100 TB. Money sums follow the exact-DECIMAL convention (double
+    summation order flips rounded cents cross-engine at ~10⁵-row
+    groups) and averages round in BIGINT arithmetic (see tpch_q1)."""
     from pyspark.sql import functions as F
 
     (lineitem,) = _load(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+    d2 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    agged = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").cast("double").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.sum(d2("l_extendedprice")), 2).cast("double")
+         .alias("sum_base_price"),
+        F.round(F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))), 2)
+         .cast("double").alias("sum_disc_price"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("_nq"),
+        (F.sum(d2("l_discount")) * F.lit(1000000)).cast("long").alias("_nd"),
         F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+    return agged.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price",
+        F.expr("CAST((2 * _nq * 10000 + count_order) div (2 * count_order)"
+               " AS DOUBLE) / 10000").alias("avg_qty"),
+        F.expr("CAST((2 * _nd + count_order) div (2 * count_order)"
+               " AS DOUBLE) / 1000000").alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -116,12 +116,15 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * (1 - CAST(l_discount AS DECIMAL(12, 2)))
                           * (1 + CAST(l_tax AS DECIMAL(12, 2)))), 2)
                 AS DOUBLE) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12, 2))) AS DOUBLE)
-                 / COUNT(*), 5) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))) AS DOUBLE)
-                 / COUNT(*), 5) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12, 2))) AS DOUBLE)
-                 / COUNT(*), 5) AS avg_disc,
+           CAST((2 * CAST(SUM(CAST(l_quantity AS DECIMAL(12, 2))) * 100000
+                          AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 100000 AS avg_qty,
+           CAST((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))) * 100000
+                          AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 100000 AS avg_price,
+           CAST((2 * CAST(SUM(CAST(l_discount AS DECIMAL(12, 2))) * 100000
+                          AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 100000 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -137,8 +140,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulations anywhere in the suite, so every money aggregate uses
     the exact-decimal convention established by Q9: 2-decimal inputs
     cast to DECIMAL(12,2), exact order-independent SUMs, one exact
-    round; averages divide the exact (engine-identical) sum as double
-    by the count."""
+    round. The 5-dp AVERAGES round in pure BIGINT arithmetic —
+    round_half_up(n/d) = (2n+d) div (2d) on the 1e5-scaled exact sum —
+    because no engine pair agrees on rounding a DOUBLE quotient at a
+    half boundary (sf0.001's (O,A) group averages exactly 0.050375:
+    Spark's round on the binary value gave 0.05037, DuckDB's
+    shortest-repr round gave 0.05038) and decimal division invites
+    double rounding via the intermediate quotient scale."""
     (lineitem,) = _load(spark, sf_dir, "lineitem")
     d2 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
     qty_sum = F.sum(d2("l_quantity"))
@@ -150,7 +158,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) + d2("l_tax"))
     )
     cnt = F.count(F.lit(1))
-    return (
+    agged = (
         lineitem.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -158,13 +166,23 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(base_sum, 2).cast("double").alias("sum_base_price"),
             F.round(disc_price_sum, 2).cast("double").alias("sum_disc_price"),
             F.round(charge_sum, 2).cast("double").alias("sum_charge"),
-            F.round(qty_sum.cast("double") / cnt, 5).alias("avg_qty"),
-            F.round(base_sum.cast("double") / cnt, 5).alias("avg_price"),
-            F.round(F.sum(d2("l_discount")).cast("double") / cnt, 5).alias(
-                "avg_disc"
-            ),
+            (qty_sum * F.lit(100000)).cast("long").alias("_nq"),
+            (base_sum * F.lit(100000)).cast("long").alias("_nb"),
+            (F.sum(d2("l_discount")) * F.lit(100000)).cast("long").alias("_nd"),
             cnt.alias("count_order"),
         )
+    )
+    avg5 = lambda n: F.expr(  # noqa: E731
+        f"CAST((2 * {n} + count_order) div (2 * count_order) AS DOUBLE)"
+        " / 100000"
+    )
+    return agged.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        avg5("_nq").alias("avg_qty"),
+        avg5("_nb").alias("avg_price"),
+        avg5("_nd").alias("avg_disc"),
+        "count_order",
     )
 
 
