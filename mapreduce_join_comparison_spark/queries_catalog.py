@@ -3377,13 +3377,17 @@ _DRIVER_PRIORITY = [
     #     DuckDB HUGEINT vs Spark BIGINT — oracle SUMs now CAST to
     #     BIGINT (tpch_queries.py), needs a green row to prove it
     "tpch_q12_late_lines",
-    # (3) green rows whose SEMANTICS changed in round 3 and must be
-    #     re-proved: mix_rebalance dropped the floor() in its bucket
-    #     filter (ADVICE keep_frac clamp), and the two all-pairs
-    #     similarity queries were re-routed through LSH blocking
+    # (3) green rows whose SEMANTICS or formulation changed in round 3
+    #     and must be re-proved: mix_rebalance dropped the floor() in
+    #     its bucket filter (ADVICE keep_frac clamp), the two all-pairs
+    #     similarity queries were re-routed through LSH blocking, and
+    #     q1's averages moved to exact-BIGINT rounding (agg_groupby /
+    #     agg_summary_stats changed too but already sit inside the
+    #     50-slot window via registration order)
     "sample_mix_rebalance",
     "similarity_projected_rerank",
     "dedup_embedding_cosine",
+    "tpch_q1_pricing_summary",
     # remaining slots of the driver's 50-query window fall through to
     # registration order — all already-green rows re-verify on rotation
 ]
