@@ -575,3 +575,120 @@ def connected_components(
     return labels.select(
         F.col("u").alias("vertex"), F.col("label").alias("component")
     )
+
+
+def semdedup_dropped(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic dedup via coarse cluster
+    cells. Every vector is assigned to its nearest centroid (one
+    narrow pass over literal centroids — same coarse quantizer as
+    IVF), then near-duplicate pairs are searched only WITHIN a cell:
+    the pair join is cell-co-partitioned, candidates ≈ Σ_cell
+    |cell|² instead of N², and cell population is controlled by the
+    centroid count, so the plan has no BroadcastNestedLoopJoin and
+    survives a 100× corpus (size n_cells ≈ N / target_cell_rows; a
+    10⁹-row corpus wants ~10⁵ cells, trained k-means centroids via
+    ``similarity.train_ivf_centroids``).
+
+    A vector is DROPPED when some lower-id cell-mate has cosine ≥ tau
+    (deterministic keep-lowest-id rule; the paper keeps the member
+    farthest from the centroid — any fixed rule works, lowest-id makes
+    the result engine-replayable). Returns one row per dropped vector
+    with its smallest-id keeper and the cosine evidence.
+    """
+    from .similarity import _nearest_cells_expr, dot_expr, norm_expr
+
+    assigned = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).withColumn(
+        "cell", F.element_at(_nearest_cells_expr("v", centroids, 1), 1)
+    ).withColumn("nrm", norm_expr("v"))
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"), "cell",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"), "cell",
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            # threshold on the ROUNDED cosine: borderline pairs stay
+            # ulp-stable across engines (oracle replays the same round)
+            F.round(
+                (dot_expr("v_a", "v_b")
+                 / (F.col("nrm_a") * F.col("nrm_b"))).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+    w = Window.partitionBy("id_b").orderBy(F.col("id_a").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("id_a").alias("dup_of"),
+            "cosine",
+        )
+    )
+
+
+def substring_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 16,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Long-n-gram containment pairs — the scalable stand-in for exact
+    substring dedup (Lee et al. '22 use a suffix array; its bucketed
+    relational analog is: two docs share a duplicated passage iff they
+    share a long token n-gram). Shape: explode distinct k-token
+    shingle hashes, drop shingles appearing in more than ``max_df``
+    docs (hot shingles are non-discriminative boilerplate AND the
+    skew bombs of the pair join — the cap bounds every bucket, making
+    candidate count linear in corpus size), then a shingle-hash
+    co-partitioned self-join counts shared shingles per pair.
+    Containment |A∩B| / |A| is asymmetric — it catches B quoting a
+    passage of A even when B is much larger (Jaccard would dilute).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k)).alias("s"),
+    ).select("id", md5_hash32(F.col("s")).alias("h"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    ok = sh.join(dfreq.filter(F.col("df") <= max_df), "h")
+    pairs = (
+        ok.join(
+            ok.select(F.col("id").alias("id_b"), "h"), "h"
+        )
+        .filter(F.col("id") < F.col("id_b"))
+        .groupBy(F.col("id").alias("id_a"), "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("id_a"),
+                                F.col("n_shingles").alias("n_a")), "id_a")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("shared").cast("long").alias("shared_ngrams"),
+            F.round(F.col("shared") / F.col("n_a"), 6).alias("containment"),
+        )
+    )

@@ -489,3 +489,98 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_n)
         .select(F.col("id").alias(id_col), "term", "tfidf", "rnk")
     )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-frequency boilerplate detection (the n-gram analog of
+    CCNet/RefinedWeb line-level dedup — this corpus has no line
+    structure, so the repeated-content unit is the k-token shingle):
+    a shingle occurring in ≥ ``min_docs`` distinct documents is
+    boilerplate; per-doc output counts total vs boilerplate shingles
+    and their ratio — the "duplicated-content fraction" a quality
+    gate thresholds on.
+
+    Scale shape: shingles are distinct per doc, so the document
+    frequency is a plain COUNT per hash with map-side partial agg;
+    the join back to doc shingles is hash-co-partitioned. Two
+    shuffles total (by shingle hash, then by doc id), each on
+    bounded-width integer keys — no all-pairs stage anywhere, and
+    the ``min_docs`` threshold never materializes a per-doc×per-doc
+    structure. At 100 TB the only concern is re-scanning the corpus
+    for the second exploded pass; persist ``sh`` or let the two
+    branches share the shuffle output under AQE.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k)).alias("s"),
+    ).select("id", md5_hash32(F.col("s")).alias("h"))
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= min_docs, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+            F.round(
+                F.col("n_boilerplate") / F.col("n_shingles"), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+# Hashing-trick linear classifier (fastText-style quality scorer):
+# token → bucket via md5 (engine-portable), bucket → weight via a
+# Knuth multiplicative hash into integer MILLI-units. Keeping the
+# fold in int64 makes the margin EXACT — no float summation order
+# to disagree on across engines — and one final division produces
+# the identical double everywhere.
+CLASSIFIER_BUCKETS = 4096
+CLASSIFIER_KNUTH = 2654435761
+
+
+def classifier_margin_milli(col: Column | str) -> Column:
+    """Σ w(token) in integer milli-units: w(t) = ((md5_32(t) mod B)
+    · KNUTH mod 2001) − 1000 ∈ [−1000, 1000]. A frozen random linear
+    model — stand-in for trained fastText/logistic weights, which
+    would ship as a broadcast bucket→weight table with identical plan
+    shape. JVM-side fold, no UDF, no shuffle."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    weights = F.transform(
+        toks,
+        lambda t: (
+            (md5_hash32(t) % CLASSIFIER_BUCKETS) * CLASSIFIER_KNUTH
+        ) % 2001 - 1000,
+    )
+    return F.aggregate(
+        weights, F.lit(0).cast("bigint"), lambda acc, w: acc + w
+    )
+
+
+def classifier_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Model-scoring pass: per-doc mean token weight (the linear
+    margin) and a keep/drop verdict at margin ≥ 0 — the shape of
+    every classifier-based quality filter (fastText LM filtering,
+    DCLM-style quality classifiers) run as a narrow, shuffle-free
+    projection over the corpus."""
+    n = token_count(text_col)
+    margin = classifier_margin_milli(text_col)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(margin / (n * 1000.0), 6).alias("score"),
+        (margin >= 0).alias("keep"),
+    )

@@ -1,0 +1,159 @@
+"""Round-3 scale-extension operators: SemDeDup cells, long-n-gram
+containment, boilerplate detection, hashing-trick classifier scoring,
+SCD2 history. Known-answer literal tests plus the invariants each
+operator's docstring promises (cell-bounded candidates, asymmetric
+containment, exact integer margins, run compression)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.operators import cdc, dedup, text
+
+
+# --- SemDeDup ------------------------------------------------------------
+
+def test_semdedup_drops_within_cell_only(spark):
+    # axis-aligned centroids; vectors 1/2 are near-dups in cell 0,
+    # vector 3 is a near-dup of 1 but lives in cell 1 — cross-cell
+    # pairs are (by design) invisible to cell-blocked dedup
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0, 0.1]),
+        (2, [1.0, 0.0, 0.11]),   # cosine(1,2) ≈ 1 → dropped, dup_of=1
+        (3, [0.1, 1.0, 0.0]),    # different cell, survives
+        (4, [0.0, 1.0, 0.9]),    # cell 1, far from 3 at tau=0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = dedup.semdedup_dropped(df, cents, tau=0.99).collect()
+    assert [(r["vec_id"], r["dup_of"], r["cell"]) for r in out] == [(2, 1, 0)]
+
+
+def test_semdedup_keeps_lowest_id_chain(spark):
+    # three mutual near-dups in one cell: 2 and 3 both drop against 1
+    cents = [[1.0, 0.0]]
+    rows = [(i, [1.0, 0.001 * i]) for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {(r["vec_id"], r["dup_of"])
+           for r in dedup.semdedup_dropped(df, cents, tau=0.99).collect()}
+    assert out == {(2, 1), (3, 1)}
+
+
+# --- substring containment ----------------------------------------------
+
+PASSAGE = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+def test_containment_is_asymmetric(spark):
+    # doc 2 quotes doc 1's full passage inside a larger body: the
+    # shared 8-gram count equals doc 1's shingle count → containment
+    # w.r.t. doc 1 is 1.0 even though doc 2 is much larger
+    big = "one two three four five six seven eight nine ten " + PASSAGE + \
+          " eleven twelve thirteen fourteen fifteen sixteen"
+    df = spark.createDataFrame(
+        [(1, PASSAGE), (2, big), (3, "unrelated words entirely here now")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.substring_containment_pairs(df, k=8, max_df=16, min_shared=1)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment"] == 1.0  # all of doc 1's shingles are shared
+
+
+def test_containment_hot_shingle_cap(spark):
+    # the same passage in max_df+1 docs: every shingle exceeds the df
+    # cap, so no pairs emerge — boilerplate never floods the pair join
+    docs = [(i, PASSAGE) for i in range(1, 6)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = dedup.substring_containment_pairs(df, k=8, max_df=4, min_shared=1)
+    assert out.count() == 0
+
+
+# --- boilerplate ---------------------------------------------------------
+
+def test_boilerplate_ratio_bounds_and_known_answer(spark):
+    footer = "subscribe to our newsletter today"  # 5 tokens → 2 4-gram shingles
+    docs = [
+        (1, "unique alpha text body one " + footer),
+        (2, "different beta words entirely two " + footer),
+        (3, "third gamma body of text three " + footer),
+        (4, "no shared content in this document at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           text.boilerplate_stats(df, k=4, min_docs=3).collect()}
+    # the footer's own 2 shingles appear in 3 docs → boilerplate; the
+    # bridge shingles (body…subscribe) differ per doc → not
+    for d in (1, 2, 3):
+        assert out[d]["n_boilerplate"] == 2
+        assert 0 < out[d]["boilerplate_ratio"] < 1
+    assert out[4]["n_boilerplate"] == 0
+    assert out[4]["boilerplate_ratio"] == 0.0
+
+
+# --- classifier ----------------------------------------------------------
+
+def test_classifier_margin_exact_and_order_free(spark):
+    # integer milli-margin: permuting tokens must not change the score
+    df = spark.createDataFrame(
+        [(1, "spark duck table row"), (2, "row table duck spark")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.classifier_score(df).collect()}
+    assert out[1]["score"] == out[2]["score"]
+    assert out[1]["keep"] == (out[1]["score"] >= 0)
+    assert -1.0 <= out[1]["score"] <= 1.0
+
+
+def test_classifier_weight_formula(spark):
+    # replay one token's weight in python and compare
+    import hashlib
+
+    tok = "spark"
+    h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+    w = ((h % text.CLASSIFIER_BUCKETS) * text.CLASSIFIER_KNUTH) % 2001 - 1000
+    df = spark.createDataFrame([(1, tok)], "doc_id bigint, text string")
+    r = text.classifier_score(df).collect()[0]
+    assert r["score"] == round(w / 1000.0, 6)
+
+
+# --- SCD2 ----------------------------------------------------------------
+
+def test_scd2_compresses_runs_and_builds_intervals(spark):
+    rows = [
+        # key, attr, version, tiebreak
+        (1, "bronze", 10, 1),
+        (1, "bronze", 20, 2),   # same attr → compressed away
+        (1, "silver", 30, 3),
+        (1, "gold", 40, 4),
+        (2, "gold", 15, 5),
+    ]
+    df = spark.createDataFrame(rows, "k int, status string, v int, t int")
+    out = cdc.scd2_history(df, key="k", attr="status",
+                           version_col="v", tiebreak="t")
+    got = sorted(
+        [(r["k"], r["status"], r["valid_from"], r["valid_to"],
+          r["version"], r["is_current"]) for r in out.collect()],
+        key=lambda t: (t[0], t[4]),
+    )
+    assert got == [
+        (1, "bronze", 10, 30, 1, False),
+        (1, "silver", 30, 40, 2, False),
+        (1, "gold", 40, None, 3, True),
+        (2, "gold", 15, None, 1, True),
+    ]
+
+
+def test_scd2_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 1)], "k int, status string, v int, t int"
+    )
+    plan = cdc.scd2_history(
+        df, key="k", attr="status", version_col="v", tiebreak="t"
+    )._jdf.queryExecution().executedPlan().toString()
+    # lag-compression and lead/row_number share one (key × order)
+    # exchange — a second one would mean the windows didn't align
+    assert plan.count("Exchange hashpartitioning") == 1
