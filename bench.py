@@ -160,6 +160,12 @@ HEADLINE = [
     "dedup_contamination",
     "dedup_incremental_minhash",
     "events_resample_locf",
+    "dedup_semdedup_cells",
+    "dedup_substring_containment",
+    "text_boilerplate_ngrams",
+    "text_quality_classifier",
+    "cdc_scd2_history",
+    "embedding_topic_tag",
 ]
 
 

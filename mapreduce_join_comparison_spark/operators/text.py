@@ -507,35 +507,47 @@ def boilerplate_stats(
     gate thresholds on.
 
     Scale shape: shingles are distinct per doc, so the document
-    frequency is a plain COUNT per hash with map-side partial agg;
-    the join back to doc shingles is hash-co-partitioned. Two
-    shuffles total (by shingle hash, then by doc id), each on
-    bounded-width integer keys — no all-pairs stage anywhere, and
-    the ``min_docs`` threshold never materializes a per-doc×per-doc
-    structure. At 100 TB the only concern is re-scanning the corpus
-    for the second exploded pass; persist ``sh`` or let the two
-    branches share the shuffle output under AQE.
+    frequency is a plain COUNT per hash with map-side partial agg.
+    Only the (small) set of hashes ABOVE the threshold flows back —
+    broadcast-joined against the exploded shingles, so the corpus-
+    side explode never shuffles for the match; per-doc totals come
+    from a separate fully narrow pass (array size, no explode). No
+    all-pairs stage anywhere, and the ``min_docs`` threshold never
+    materializes a per-doc×per-doc structure. At true boilerplate
+    scale the hot-hash set stays broadcastable by definition
+    (boilerplate = few distinct shingles repeated massively); if it
+    ever outgrows the broadcast budget, the join degrades to a plain
+    hash-partitioned equi-join, nothing worse.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, k)).alias("s"),
     ).select("id", md5_hash32(F.col("s")).alias("h"))
-    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    return (
-        sh.join(dfreq, "h")
+    boiler_hashes = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    n_boiler = (
+        sh.join(F.broadcast(boiler_hashes), "h")
         .groupBy("id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("df") >= min_docs, 1).otherwise(0)
-            ).alias("n_boilerplate"),
-        )
+        .agg(F.count("*").alias("n_boilerplate"))
+    )
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(text_col, k)).cast("long").alias("n_shingles"),
+    )
+    return (
+        sizes.join(n_boiler, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+            "n_shingles",
+            F.coalesce(F.col("n_boilerplate"), F.lit(0))
+            .cast("long").alias("n_boilerplate"),
             F.round(
-                F.col("n_boilerplate") / F.col("n_shingles"), 6
+                F.coalesce(F.col("n_boilerplate"), F.lit(0))
+                / F.col("n_shingles"), 6
             ).alias("boilerplate_ratio"),
         )
     )
