@@ -673,8 +673,10 @@ def substring_containment_pairs(
     cap: a bucket never exceeds ``max_df`` ids, so no collect_list
     skew bomb) and pairs are generated locally inside each bucket.
     Doc sizes come from a second, fully narrow pass (no explode).
-    Two shuffles + one small-key join. Measured 22 s → 3.5 s.
+    Two shuffles + one small-key join, shingling spread across cores
+    by ``fan_out``. Measured 22 s → 1.8 s warm at sf0.1.
     """
+    df = fan_out(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, k)).alias("s"),

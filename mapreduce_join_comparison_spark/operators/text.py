@@ -223,7 +223,10 @@ def repetition_metrics(
       bigram count
     - ``keep``             distinct_ratio ≥ τ₁ AND top_bigram_frac ≤ τ₂
 
-    Plan shape: FULLY NARROW — no explode, no shuffle, no join. The
+    Plan shape: FULLY NARROW — no explode, no join; the only possible
+    exchange is ``fan_out``'s local-mode repartition (a single-file
+    scan would otherwise run every interpreted fold on one core —
+    measured 8×; a no-op on any multi-split source at scale). The
     max multiplicity of a term list is the longest equal-run in its
     sorted form, computed per-row by a JVM-side ``aggregate`` fold
     (struct state: previous term / current run / best run) inside
@@ -233,6 +236,9 @@ def repetition_metrics(
     scales with scan bandwidth alone. Bigrams use the same shifted-zip
     construction as ``shingles``.
     """
+    from ..sources.io import fan_out
+
+    df = fan_out(df)
     toks_low = F.transform(tokens(text_col), lambda t: F.lower(t))
     n = F.size(toks_low)
     bigrams = F.slice(
@@ -519,6 +525,9 @@ def boilerplate_stats(
     ever outgrows the broadcast budget, the join degrades to a plain
     hash-partitioned equi-join, nothing worse.
     """
+    from ..sources.io import fan_out
+
+    df = fan_out(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, k)).alias("s"),
@@ -588,6 +597,9 @@ def classifier_score(df: DataFrame, text_col: str = "text",
     every classifier-based quality filter (fastText LM filtering,
     DCLM-style quality classifiers) run as a narrow, shuffle-free
     projection over the corpus."""
+    from ..sources.io import fan_out
+
+    df = fan_out(df)
     n = token_count(text_col)
     margin = classifier_margin_milli(text_col)
     return df.select(

@@ -38,7 +38,19 @@ def normalize(value):
 
 def main() -> int:
     keys = sys.argv[1:] or list(qc.ORACLES)
-    spark = get_spark()
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # replica of the DRIVER's session: no repo configs applied —
+        # every query must survive default AQE/partitions/timezone
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("parity-vanilla")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
