@@ -709,6 +709,8 @@ def substring_containment_pairs(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
             F.col("shared").cast("long").alias("shared_ngrams"),
-            F.round(F.col("shared") / F.col("n_a"), 6).alias("containment"),
+            # unrounded int/int quotient — bit-identical cross-engine;
+            # rounding diverges at decimal half-boundaries
+            (F.col("shared") / F.col("n_a")).alias("containment"),
         )
     )

@@ -277,14 +277,15 @@ def repetition_metrics(
         F.size(bigrams).alias("_n_bi"),
         max_run(bigrams).alias("_top_bi_cnt"),
     )
-    distinct_ratio = F.round(F.col("_n_distinct") / F.col("_n"), 6)
-    top_token_frac = F.round(F.col("_top_cnt") / F.col("_n"), 6)
-    top_bigram_frac = F.round(
-        F.coalesce(
-            F.when(F.col("_n_bi") > 0, F.col("_top_bi_cnt") / F.col("_n_bi")),
-            F.lit(0.0),
-        ),
-        6,
+    # int/int quotients are bit-identical across engines — and must NOT
+    # be rounded: these exact rationals land on decimal half-boundaries
+    # (e.g. 29/80 = 0.3625) where Spark rounds the shortest decimal
+    # string and DuckDB rounds the binary value, disagreeing by 1e-6
+    distinct_ratio = F.col("_n_distinct") / F.col("_n")
+    top_token_frac = F.col("_top_cnt") / F.col("_n")
+    top_bigram_frac = F.coalesce(
+        F.when(F.col("_n_bi") > 0, F.col("_top_bi_cnt") / F.col("_n_bi")),
+        F.lit(0.0),
     )
     return base.select(
         id_col,
@@ -366,7 +367,9 @@ def data_mix_report(
         source_col,
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        # unrounded: the int/int quotient is bit-identical cross-engine;
+        # rounding it is what diverges at decimal half-boundaries
+        (F.col("n_tokens") / total).alias("token_share"),
     )
 
 
@@ -554,9 +557,11 @@ def boilerplate_stats(
             "n_shingles",
             F.coalesce(F.col("n_boilerplate"), F.lit(0))
             .cast("long").alias("n_boilerplate"),
-            F.round(
+            # unrounded int/int quotient — bit-identical cross-engine;
+            # rounding diverges at decimal half-boundaries
+            (
                 F.coalesce(F.col("n_boilerplate"), F.lit(0))
-                / F.col("n_shingles"), 6
+                / F.col("n_shingles")
             ).alias("boilerplate_ratio"),
         )
     )
@@ -605,6 +610,87 @@ def classifier_score(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.round(margin / (n * 1000.0), 6).alias("score"),
+        # unrounded: margin and n are exact ints, so the quotient is
+        # bit-identical in any engine; rounding a quotient that can sit
+        # exactly on a decimal half-boundary is what diverges
+        (margin / (n * 1000.0)).alias("score"),
         (margin >= 0).alias("keep"),
+    )
+
+
+def bigram_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    known_min_count: int = 2,
+) -> DataFrame:
+    """Count-based language-model fluency filter (the deterministic
+    relative of CCNet's LM-perplexity gate): score each document by
+    how typical its token transitions are under the corpus's own
+    bigram statistics.
+
+    Per bigram occurrence: trans_milli = ⌊1000·C(w₁w₂) / C₁(w₁)⌋ —
+    the corpus conditional transition frequency in integer MILLI-units
+    (integer floor-division, so per-doc sums are EXACT and engine-
+    order-free; a float log-prob sum would drift with aggregation
+    order). Per doc: mean transition score, fraction of bigrams seen
+    ≥ ``known_min_count`` times corpus-wide, and a keep flag.
+
+    Scale shape: one exploded pass over doc bigrams feeds two counts
+    (bigram, prefix) with map-side partial agg; both join back
+    co-partitioned on their keys; the per-doc re-agg is the final
+    shuffle. Hot bigrams are exactly the well-known ones — skew splits
+    under AQE, and no stage is ever pairwise in documents.
+    """
+    from ..sources.io import fan_out
+
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    n = F.size(toks)
+    bigram_arr = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(n - 1, F.lit(0)),
+    )
+    occ = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(bigram_arr).alias("bg"),
+    ).withColumn("pfx", F.split(F.col("bg"), " ")[0])
+    bg_counts = occ.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    pfx_counts = occ.groupBy("pfx").agg(F.count("*").alias("c_pfx"))
+    scored = (
+        occ.join(bg_counts, "bg")
+        .join(pfx_counts, "pfx")
+        .withColumn(
+            "trans_milli", F.expr("(c_bg * 1000) div c_pfx").cast("bigint")
+        )
+        .withColumn(
+            "known", F.when(F.col("c_bg") >= known_min_count, 1).otherwise(0)
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("trans_milli").alias("_sum_tm"),
+            F.sum("known").alias("_n_known"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            # unrounded: exact-int quotients are bit-identical in any
+            # engine; ROUND is what diverges when the rational lands on
+            # a decimal half-boundary (2613/80000 = 0.0326625 did)
+            (
+                F.col("_sum_tm") / (F.col("n_bigrams") * 1000.0)
+            ).alias("fluency"),
+            (F.col("_n_known") / F.col("n_bigrams")).alias("known_frac"),
+            (
+                (F.col("_sum_tm") / (F.col("n_bigrams") * 1000.0) >= 0.05)
+                & (F.col("_n_known") / F.col("n_bigrams") >= 0.5)
+            ).alias("keep"),
+        )
     )

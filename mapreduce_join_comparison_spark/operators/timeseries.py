@@ -84,3 +84,66 @@ def resample_locf(
             F.last("last_v", ignorenulls=True).over(w_fill), 4
         ).alias("value_locf"),
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_us: int = 24 * 3600 * 1_000_000,
+    min_points: int = 30,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Time-range rolling z-score anomaly detection: per series, each
+    point is scored against the mean/std of the trailing ``window_us``
+    interval (RANGE frame over epoch micros — event-time, not
+    row-count, so irregular series are handled correctly).
+
+    Cross-engine determinism: values are quantized to integer
+    MILLI-units first, so the windowed Σv and Σv² are EXACT int64
+    window aggregates (no float summation-order drift); mean and
+    population variance are then derived with the identical expression
+    tree in both engines, and the threshold compares the ROUNDED
+    z-score. One shuffle (the series × time sort); at 100 TB the state
+    per series is one running frame — the streaming analog is the
+    watermarked sliding window.
+    """
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy("_us")
+        .rangeBetween(-window_us, 0)
+    )
+    vm = F.col("_vm")
+    base = df.select(
+        F.col(id_col),
+        F.col(series_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.round(F.col(value_col) * 1000).cast("bigint").alias("_vm"),
+    )
+    stats = base.select(
+        id_col,
+        series_col,
+        "_us",
+        "_vm",
+        F.sum(vm).over(w).alias("_s1"),
+        F.sum(vm * vm).over(w).alias("_s2"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    z = F.round((vm - mean) / F.sqrt(var), 4)
+    return (
+        stats.filter((F.col("_n") >= min_points) & (var > 0))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= z_threshold)
+        .select(
+            F.col(id_col),
+            F.col(series_col),
+            F.col("_us").alias("ts_us"),
+            (vm / 1000.0).alias("value"),
+            "zscore",
+            F.col("_n").cast("long").alias("n_window"),
+        )
+    )

@@ -21,6 +21,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+# set once _reorder_for_driver has run; late registrations (a module
+# that imports `pipeline` FIRST makes its self-registrations land
+# AFTER the catalog body via the circular import) re-apply the order
+_REORDERED = False
+
+
 def register(name: str, oracle: str | None = None):
     """Register a query; ``oracle=None`` → rows-only check (for
     non-SQL-expressible ops like generators / streaming)."""
@@ -29,6 +35,8 @@ def register(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if _REORDERED:
+            _reorder_for_driver()
         return fn
 
     return deco
@@ -1972,12 +1980,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT u.doc_id,
            CAST(u.n_tokens AS BIGINT) AS n_tokens,
-           ROUND(u.n_distinct / u.n_tokens, 6) AS distinct_ratio,
-           ROUND(u.top_cnt / u.n_tokens, 6) AS top_token_frac,
-           ROUND(COALESCE(bi.top_bi_cnt / bi.n_bigrams, 0.0), 6)
+           u.n_distinct / u.n_tokens AS distinct_ratio,
+           u.top_cnt / u.n_tokens AS top_token_frac,
+           COALESCE(bi.top_bi_cnt / bi.n_bigrams, 0.0)
              AS top_bigram_frac,
-           (ROUND(u.n_distinct / u.n_tokens, 6) >= 0.3
-            AND ROUND(COALESCE(bi.top_bi_cnt / bi.n_bigrams, 0.0), 6) <= 0.12)
+           (u.n_distinct / u.n_tokens >= 0.3
+            AND COALESCE(bi.top_bi_cnt / bi.n_bigrams, 0.0) <= 0.12)
              AS keep
     FROM u LEFT JOIN bi ON u.doc_id = bi.doc_id
     """,
@@ -2080,7 +2088,7 @@ def sample_mix_rebalance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS token_share
+           n_tokens / SUM(n_tokens) OVER () AS token_share
     FROM a
     """,
 )
@@ -3409,7 +3417,7 @@ pairs AS (
   FROM ok a JOIN ok b ON a.hh = b.hh AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING count(*) >= {_SUBSTR_MIN_SHARED})
 SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_ngrams,
-       ROUND(shared / s.n_shingles, 6) AS containment
+       shared / s.n_shingles AS containment
 FROM pairs JOIN sizes s ON s.doc_id = doc_a
 """
 
@@ -3457,8 +3465,8 @@ SELECT h.doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN df >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_boilerplate,
-       ROUND(sum(CASE WHEN df >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
-             / count(*), 6) AS boilerplate_ratio
+       sum(CASE WHEN df >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+             / count(*) AS boilerplate_ratio
 FROM h JOIN dfreq USING (hh)
 GROUP BY h.doc_id
 """
@@ -3494,7 +3502,7 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       ROUND(margin / (n_tokens * 1000.0), 6) AS score,
+       margin / (n_tokens * 1000.0) AS score,
        margin >= 0 AS keep
 FROM m
 """
@@ -3560,6 +3568,90 @@ def cdc_scd2_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         "version", "is_current",
     )
+
+
+_ANOMALY_WINDOW_US = 24 * 3600 * 1_000_000
+
+_ANOMALY_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts::TIMESTAMP) AS us,
+         CAST(ROUND(value * 1000) AS BIGINT) AS vm
+  FROM events
+),
+w AS (
+  SELECT *, SUM(vm) OVER win AS s1, SUM(vm * vm) OVER win AS s2,
+         COUNT(*) OVER win AS n
+  FROM e WINDOW win AS (
+    PARTITION BY event_type ORDER BY us
+    RANGE BETWEEN {_ANOMALY_WINDOW_US} PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT event_id, event_type, us AS ts_us, vm / 1000.0 AS value,
+         ROUND((vm - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
+           AS zscore,
+         CAST(n AS BIGINT) AS n_window
+  FROM w WHERE n >= 30 AND s2 / n - (s1 / n) * (s1 / n) > 0
+)
+SELECT * FROM z WHERE abs(zscore) >= 3.0
+"""
+
+
+@register("events_anomaly_zscore", _ANOMALY_ORACLE)
+def events_anomaly_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling anomaly detection: per event_type, each point
+    scored against the trailing 24 h (RANGE frame over epoch micros —
+    the only catalog query exercising interval frames; irregular
+    series need event-time, not row-count, windows). Values quantize
+    to integer milli-units so the windowed Σv/Σv² are exact int64 —
+    mean/variance/z then derive from identical integers in both
+    engines. One shuffle."""
+    from .operators.timeseries import rolling_zscore_anomalies
+
+    (events,) = _load(spark, sf_dir, "events")
+    return rolling_zscore_anomalies(events, window_us=_ANOMALY_WINDOW_US)
+
+
+_BIGRAM_FLUENCY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t
+),
+o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS pfx FROM occ),
+bgc AS (SELECT bg, count(*) AS c_bg FROM o2 GROUP BY bg),
+pfc AS (SELECT pfx, count(*) AS c_pfx FROM o2 GROUP BY pfx),
+s AS (
+  SELECT o2.doc_id, (c_bg * 1000) // c_pfx AS tm,
+         CASE WHEN c_bg >= 2 THEN 1 ELSE 0 END AS known
+  FROM o2 JOIN bgc USING (bg) JOIN pfc USING (pfx)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       SUM(tm) / (count(*) * 1000.0) AS fluency,
+       SUM(known) / count(*) AS known_frac,
+       (SUM(tm) / (count(*) * 1000.0) >= 0.05
+        AND SUM(known) / count(*) >= 0.5) AS keep
+FROM s GROUP BY doc_id
+"""
+
+
+@register("text_bigram_fluency", _BIGRAM_FLUENCY_ORACLE)
+def text_bigram_fluency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based LM fluency gate (deterministic relative of CCNet's
+    perplexity filter): per-doc mean corpus transition frequency of
+    its bigrams plus known-bigram fraction. Transition scores are
+    integer milli-units via floor division, so per-doc sums are exact
+    in any aggregation order — a float log-prob sum would drift.
+    Explode → two counts → co-partitioned joins → per-doc re-agg;
+    nothing pairwise in documents."""
+    from .operators.text import bigram_fluency
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return bigram_fluency(documents)
 
 
 def _topic_vectors() -> list[list[float]]:
@@ -3692,6 +3784,14 @@ _DRIVER_PRIORITY = [
     "text_quality_classifier",
     "cdc_scd2_history",
     "embedding_topic_tag",
+    "events_anomaly_zscore",
+    "text_bigram_fluency",
+    # (5) green rows whose VALUES changed in round 3's second pass:
+    #     exact-int ratio outputs are now emitted UNROUNDED (quotients
+    #     of identical integers are bit-identical cross-engine; ROUND
+    #     was the divergence at decimal half-boundaries) — re-prove
+    "text_repetition_metrics",
+    "text_data_mix",
     # remaining slots of the driver's 50-query window fall through to
     # registration order — all already-green rows re-verify on rotation
 ]
@@ -3701,6 +3801,8 @@ def _reorder_for_driver() -> None:
     """Rebuild the registries in driver-check priority order, in place
     (in place so references imported via ``from ... import QUERIES``
     keep observing the reordered dicts)."""
+    global _REORDERED
+    _REORDERED = True
     for reg in (QUERIES, ORACLES):
         pri = [k for k in _DRIVER_PRIORITY if k in reg]
         ordered = pri + [k for k in reg if k not in set(pri)]

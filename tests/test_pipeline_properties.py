@@ -35,12 +35,13 @@ def test_repetition_metrics_match_counter_reference(spark, texts):
         bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         r = got[i]
         assert r["n_tokens"] == len(toks)
-        assert r["distinct_ratio"] == round(len(set(toks)) / len(toks), 6)
-        assert r["top_token_frac"] == round(
-            max(collections.Counter(toks).values()) / len(toks), 6
+        # unrounded exact quotients: python's x/y is the same IEEE double
+        assert r["distinct_ratio"] == len(set(toks)) / len(toks)
+        assert r["top_token_frac"] == (
+            max(collections.Counter(toks).values()) / len(toks)
         )
         expect_bi = (
-            round(max(collections.Counter(bigrams).values()) / len(bigrams), 6)
+            max(collections.Counter(bigrams).values()) / len(bigrams)
             if bigrams
             else 0.0
         )

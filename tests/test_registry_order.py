@@ -57,3 +57,27 @@ def test_unverified_queries_lead_the_registry():
 
 def test_every_query_has_oracle():
     assert set(qc.ORACLES) == set(qc.QUERIES)
+
+
+def test_pipeline_first_import_keeps_priority_order():
+    """Importing the self-registering `pipeline` module FIRST drives the
+    catalog body through a circular import: its own `from . import
+    pipeline` then returns the partially-initialized module, and the
+    pipeline queries register AFTER _reorder_for_driver(). register()
+    must re-apply the ordering for those late arrivals — otherwise the
+    pipeline queries silently fall out of the driver's check window."""
+    import subprocess
+    import sys
+
+    code = (
+        "import mapreduce_join_comparison_spark.pipeline\n"
+        "from mapreduce_join_comparison_spark import queries_catalog as qc\n"
+        "pri = set(qc._DRIVER_PRIORITY)\n"
+        "leading = list(qc.QUERIES)[:len(pri)]\n"
+        "missing = pri - set(leading)\n"
+        "assert not missing, f'displaced: {missing}'\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, capture_output=True, text=True
+    )
+    assert res.returncode == 0, res.stderr[-2000:]

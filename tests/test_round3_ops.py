@@ -157,3 +157,89 @@ def test_scd2_single_shuffle(spark):
     # lag-compression and lead/row_number share one (key × order)
     # exchange — a second one would mean the windows didn't align
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- rolling z-score anomalies ------------------------------------------
+
+def test_rolling_zscore_flags_the_spike(spark):
+    import datetime
+
+    from mapreduce_join_comparison_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 40 calm points at ~10.0, then one 1000.0 spike inside the window
+    for i in range(40):
+        rows.append((i, "cpu", base + datetime.timedelta(minutes=i),
+                     10.0 + (i % 3) * 0.5))
+    rows.append((99, "cpu", base + datetime.timedelta(minutes=41), 1000.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    out = rolling_zscore_anomalies(df, min_points=30, z_threshold=3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["zscore"] > 3
+    assert out[0]["n_window"] == 41
+
+
+def test_rolling_zscore_respects_time_range(spark):
+    import datetime
+
+    from mapreduce_join_comparison_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # same spike, but the calm history is >24h old → window has < 30
+    # points at the spike → no anomaly reported
+    rows = [(i, "cpu", base + datetime.timedelta(minutes=i), 10.0)
+            for i in range(40)]
+    rows.append((99, "cpu", base + datetime.timedelta(days=2), 1000.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    out = rolling_zscore_anomalies(df, min_points=30, z_threshold=3.0).collect()
+    assert out == []
+
+
+# --- bigram fluency ------------------------------------------------------
+
+def test_bigram_fluency_known_answer(spark):
+    from mapreduce_join_comparison_spark.operators.text import bigram_fluency
+
+    # corpus bigram counts: "a b"×3; "b c","b d","x y","y z" once each.
+    # prefix counts: a→3, b→2 ("b c","b d"), x→1, y→1.
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x y z"), (4, "a b d")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_fluency(df, known_min_count=2).collect()}
+    # doc 2: single bigram "a b": C=3, prefix "a" C1=3 → 1000 milli
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["fluency"] == 1.0
+    assert out[2]["known_frac"] == 1.0
+    # doc 3: "x y","y z" each unique → trans 1000 (C=1, C1=1), known 0
+    assert out[3]["fluency"] == 1.0
+    assert out[3]["known_frac"] == 0.0
+    # doc 1: "a b" (3·1000//3=1000), "b c" (1·1000//2=500)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["fluency"] == (1000 + 500) / 2000
+    assert out[1]["known_frac"] == 0.5
+
+
+def test_bigram_fluency_sum_is_order_free(spark):
+    from mapreduce_join_comparison_spark.operators.text import bigram_fluency
+
+    df = spark.createDataFrame(
+        [(1, "p q r s p q"), (2, "q p s r q p")],
+        "doc_id bigint, text string",
+    )
+    out = bigram_fluency(df).collect()
+    # integer milli sums: repartitioning must never change the scores
+    out2 = bigram_fluency(
+        df.repartition(7)
+    ).collect()
+    key = lambda rows: sorted((r["doc_id"], r["fluency"]) for r in rows)  # noqa: E731
+    assert key(out) == key(out2)

@@ -181,9 +181,10 @@ def test_repetition_metrics_known_answers(spark):
     # doc 1: 9 tokens, 8 distinct ("the" x2), 8 distinct bigrams
     r = rows[1]
     assert r["n_tokens"] == 9
-    assert abs(r["distinct_ratio"] - round(8 / 9, 6)) < 1e-9
-    assert abs(r["top_token_frac"] - round(2 / 9, 6)) < 1e-9
-    assert abs(r["top_bigram_frac"] - 0.125) < 1e-9
+    # unrounded exact quotients: python's x/y is the same IEEE double
+    assert r["distinct_ratio"] == 8 / 9
+    assert r["top_token_frac"] == 2 / 9
+    assert r["top_bigram_frac"] == 0.125
     assert r["keep"] is False  # 0.125 > 0.12 bigram threshold
 
     # doc 2: degenerate loop — 1 distinct token, "spam spam" x3 of 3
@@ -197,7 +198,7 @@ def test_repetition_metrics_known_answers(spark):
     # doc 3: all-distinct healthy text passes both thresholds
     r = rows[3]
     assert r["distinct_ratio"] == 1.0
-    assert abs(r["top_bigram_frac"] - round(1 / 9, 6)) < 1e-9
+    assert r["top_bigram_frac"] == 1 / 9
     assert r["keep"] is True
 
 
