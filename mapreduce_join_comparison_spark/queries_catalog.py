@@ -825,8 +825,8 @@ def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_custkey, o_totalprice,
            NTILE(4) OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
            FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
@@ -848,8 +848,11 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_totalprice",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # unrounded: (rank−1)/(n−1) and rank/n are exact-int quotients,
+        # bit-identical cross-engine; ROUND diverges when the rational
+        # needs >6 digits with a finite expansion (denominator 2^a·5^b)
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
     )
 
@@ -3792,6 +3795,7 @@ _DRIVER_PRIORITY = [
     #     was the divergence at decimal half-boundaries) — re-prove
     "text_repetition_metrics",
     "text_data_mix",
+    "window_analytics",
     # remaining slots of the driver's 50-query window fall through to
     # registration order — all already-green rows re-verify on rotation
 ]
