@@ -166,6 +166,8 @@ HEADLINE = [
     "text_quality_classifier",
     "cdc_scd2_history",
     "embedding_topic_tag",
+    "events_anomaly_zscore",
+    "text_bigram_fluency",
 ]
 
 

@@ -283,3 +283,94 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 shard + cumsum arithmetic."""
     (documents,) = _load(spark, sf_dir, "documents")
     return sequence_packing(documents)
+
+
+def corpus_card(documents: DataFrame) -> DataFrame:
+    """Per-source 'dataset card' statistics in ONE lazy plan — the
+    summary a data team reviews before admitting a source into the
+    training mix: volume, classifier keep rate, exact-duplicate rate,
+    and a token-weighted mean classifier weight.
+
+    Every output number is derived from exact integers (counts, int64
+    milli-margins), so the card is bit-identical in any engine with no
+    rounding anywhere. Plan: fingerprint window (shuffle 1) → source
+    aggregate (shuffle 2); the classifier margin rides along as a
+    narrow column. At 100 TB the fingerprint window is the only
+    corpus-wide exchange, and it is the same one exact dedup pays.
+    """
+    from .operators.text import (
+        classifier_margin_milli,
+        document_fingerprint,
+        token_count,
+    )
+
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    per_doc = (
+        documents.select(
+            "doc_id",
+            "source",
+            token_count("text").alias("_n_tok"),
+            classifier_margin_milli("text").alias("_margin"),
+            document_fingerprint("text").alias("_fp"),
+        )
+        .withColumn("_dup", (F.row_number().over(w) > 1).cast("int"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("_margin") >= 0, 1).otherwise(0)).alias("_n_keep"),
+            F.sum("_dup").alias("_n_dup"),
+            F.sum("_margin").alias("_sum_margin"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            # unrounded exact-int quotients — bit-identical cross-engine
+            (F.col("_n_keep") / F.col("n_docs")).alias("keep_rate"),
+            (F.col("_n_dup") / F.col("n_docs")).alias("dup_rate"),
+            (
+                F.col("_sum_margin") / (F.col("n_tokens") * 1000.0)
+            ).alias("mean_token_weight"),
+        )
+    )
+
+
+_CARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source, fp,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(toks,
+           x -> ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096)
+                 * 2654435761) % 2001 - 1000)) AS BIGINT) AS margin,
+         CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       SUM(CASE WHEN margin >= 0 THEN 1 ELSE 0 END) / count(*) AS keep_rate,
+       SUM(dup) / count(*) AS dup_rate,
+       CAST(SUM(margin) AS BIGINT) / (CAST(SUM(n_tok) AS BIGINT) * 1000.0)
+         AS mean_token_weight
+FROM d GROUP BY source
+"""
+
+
+@register("pipeline_corpus_card", _CARD_ORACLE)
+def pipeline_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card report per source: volume, classifier keep rate,
+    exact-dup rate, token-weighted mean classifier weight — the
+    admission review a 100 TB mix build runs per source, composed as
+    one two-shuffle lazy plan over the corpus."""
+    (documents,) = _load(spark, sf_dir, "documents")
+    return corpus_card(documents)

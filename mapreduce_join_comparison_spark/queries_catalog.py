@@ -3796,6 +3796,7 @@ _DRIVER_PRIORITY = [
     "text_repetition_metrics",
     "text_data_mix",
     "window_analytics",
+    "pipeline_corpus_card",
     # remaining slots of the driver's 50-query window fall through to
     # registration order — all already-green rows re-verify on rotation
 ]

@@ -125,3 +125,117 @@ def test_resample_locf_matches_serial_reference(spark, events):
                 assert v == expect
             else:
                 assert abs(v - expect) < 1e-9
+
+
+@given(texts=st.lists(DOC, min_size=1, max_size=8))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_classifier_score_matches_md5_reference(spark, texts):
+    """Random corpora: the JVM fold must equal a direct python replay
+    of bucket → Knuth weight → milli margin."""
+    import hashlib
+
+    from mapreduce_join_comparison_spark.operators.text import (
+        CLASSIFIER_BUCKETS,
+        CLASSIFIER_KNUTH,
+        classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in classifier_score(df).collect()}
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+
+        def w(t):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            return ((h % CLASSIFIER_BUCKETS) * CLASSIFIER_KNUTH) % 2001 - 1000
+
+        margin = sum(w(t) for t in toks)
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["score"] == margin / (len(toks) * 1000.0)
+        assert r["keep"] == (margin >= 0)
+
+
+@given(texts=st.lists(DOC, min_size=1, max_size=8))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bigram_fluency_matches_counter_reference(spark, texts):
+    """Random corpora: transition milli-scores and known flags must
+    equal a Counter-based python replay (floor division, corpus-wide
+    counts)."""
+    from mapreduce_join_comparison_spark.operators.text import bigram_fluency
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_fluency(df).collect()}
+    all_bigrams = collections.Counter()
+    prefix = collections.Counter()
+    per_doc: dict[int, list[str]] = {}
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        per_doc[i] = bgs
+        all_bigrams.update(bgs)
+        prefix.update(bg.split(" ")[0] for bg in bgs)
+    for i, bgs in per_doc.items():
+        if not bgs:
+            assert i not in got  # no bigrams → no output row
+            continue
+        tm = sum((all_bigrams[bg] * 1000) // prefix[bg.split(" ")[0]]
+                 for bg in bgs)
+        known = sum(1 for bg in bgs if all_bigrams[bg] >= 2)
+        r = got[i]
+        assert r["n_bigrams"] == len(bgs)
+        assert r["fluency"] == tm / (len(bgs) * 1000.0)
+        assert r["known_frac"] == known / len(bgs)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3),                      # key
+                  st.sampled_from(["a", "b", "c"]),        # attr
+                  st.integers(0, 50)),                     # version
+        min_size=1, max_size=30, unique=True,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_matches_python_replay(spark, rows):
+    """Random change logs: interval build must equal a direct replay
+    (sort, compress runs, lead intervals). Tiebreak is a synthetic
+    unique id so duplicate (key, version) pairs stay deterministic."""
+    from mapreduce_join_comparison_spark.operators.cdc import scd2_history
+
+    data = [(k, a, v, i) for i, (k, a, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, a string, v int, t int")
+    got = sorted(
+        ((r["k"], r["a"], r["valid_from"], r["valid_to"], r["version"],
+          r["is_current"]) for r in scd2_history(
+            df, key="k", attr="a", version_col="v", tiebreak="t"
+        ).collect())
+    )
+    expect = []
+    bykey: dict[int, list] = collections.defaultdict(list)
+    for k, a, v, t in data:
+        bykey[k].append((v, t, a))
+    for k, log in bykey.items():
+        log.sort()
+        changes = [e for i, e in enumerate(log)
+                   if i == 0 or e[2] != log[i - 1][2]]
+        for j, (v, t, a) in enumerate(changes):
+            nxt = changes[j + 1][0] if j + 1 < len(changes) else None
+            expect.append((k, a, v, nxt, j + 1, nxt is None))
+    assert got == sorted(expect)

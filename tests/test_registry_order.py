@@ -81,3 +81,14 @@ def test_pipeline_first_import_keeps_priority_order():
         [sys.executable, "-c", code], cwd=REPO, capture_output=True, text=True
     )
     assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_priority_block_fits_the_driver_window():
+    """The driver verifies ~50 queries per round in registration order;
+    a priority list longer than the window would silently push its own
+    tail out of this round's check — the exact failure mode the list
+    exists to prevent."""
+    assert len(qc._DRIVER_PRIORITY) <= 50, (
+        f"{len(qc._DRIVER_PRIORITY)} priority keys exceed the driver's "
+        "50-query window; trim re-check entries or split across rounds"
+    )

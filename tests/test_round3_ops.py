@@ -243,3 +243,25 @@ def test_bigram_fluency_sum_is_order_free(spark):
     ).collect()
     key = lambda rows: sorted((r["doc_id"], r["fluency"]) for r in rows)  # noqa: E731
     assert key(out) == key(out2)
+
+
+# --- corpus card ---------------------------------------------------------
+
+def test_corpus_card_known_answer_and_two_shuffles(spark):
+    from mapreduce_join_comparison_spark.pipeline import corpus_card
+
+    docs = [
+        (1, "alpha beta gamma", "web"),
+        (2, "Alpha  beta GAMMA", "web"),     # exact dup of 1 (normalized)
+        (3, "delta epsilon", "web"),
+        (4, "zeta eta theta iota", "books"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in corpus_card(df).collect()}
+    assert out["web"]["n_docs"] == 3
+    assert out["web"]["n_tokens"] == 8
+    assert out["web"]["dup_rate"] == 1 / 3     # doc 2 flagged, doc 1 kept
+    assert out["books"]["dup_rate"] == 0.0
+    assert 0.0 <= out["web"]["keep_rate"] <= 1.0
+    plan = corpus_card(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2

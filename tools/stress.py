@@ -44,7 +44,11 @@ def main() -> None:
         minhash_lsh_pairs,
         minhash_signatures,
     )
-    from mapreduce_join_comparison_spark.operators.text import redact_pii
+    from mapreduce_join_comparison_spark.operators.text import (
+        boilerplate_stats,
+        classifier_score,
+        redact_pii,
+    )
     from mapreduce_join_comparison_spark.pipeline import training_data_report
     from mapreduce_join_comparison_spark.session import get_spark
     from mapreduce_join_comparison_spark.sources.io import load_table
@@ -95,6 +99,14 @@ def main() -> None:
         sec = timed(contamination_check(corpus, documents.limit(2000)))
         results["decontaminate_docs_per_sec"] = round(n_docs / sec)
         results["decontaminate_sec"] = round(sec, 2)
+
+        sec = timed(classifier_score(corpus))
+        results["classifier_docs_per_sec"] = round(n_docs / sec)
+        results["classifier_sec"] = round(sec, 2)
+
+        sec = timed(boilerplate_stats(corpus))
+        results["boilerplate_docs_per_sec"] = round(n_docs / sec)
+        results["boilerplate_sec"] = round(sec, 2)
 
         # LSH verify throughput is pairs/s (quadratic in the clique
         # size by construction here — see module docstring)
