@@ -3718,6 +3718,67 @@ def embedding_topic_tag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_csv_malformed",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness (the operational upgrade over the
+    reference's naive ``String.split(",")`` which crashes or silently
+    mis-parses bad rows, RepartitionJoin.java:28): customer staged as
+    headerless CSV with every 7th row deterministically corrupted (the
+    key column replaced by a non-numeric token), read back under
+    PERMISSIVE mode with an explicit schema + corrupt-record column —
+    bad rows are captured, not fatal, and the clean rows pass through
+    value-exact (doubles survive the text roundtrip via shortest-repr
+    formatting). The oracle is simply the non-corrupted subset of the
+    source table. At 100 TB this is the difference between a 3 am
+    pipeline page and a quarantine bucket."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    (customer,) = _load(spark, sf_dir, "customer")
+    lines = customer.select(
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("BAD_"), F.col("c_custkey").cast("string"),
+                     F.lit(","), F.col("c_name")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("c_custkey").cast("string"),
+                F.col("c_name"),
+                F.col("c_acctbal").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_csv_malformed")
+    lines.write.mode("overwrite").text(path)
+    # text scan + per-line from_csv: the quarantine idiom. A raw
+    # .csv(path) scan refuses count()-style queries that prune down to
+    # only the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # parsing the line column keeps the original text available for the
+    # quarantine bucket at no restriction.
+    schema_ddl = ("c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, "
+                  "_corrupt STRING")
+    parsed = spark.read.text(path).select(
+        F.from_csv(
+            F.col("value"), schema_ddl,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    )
+    return (
+        parsed.filter(F.col("r._corrupt").isNull())
+        .select("r.c_custkey", "r.c_name", "r.c_acctbal")
+    )
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------
@@ -3797,6 +3858,7 @@ _DRIVER_PRIORITY = [
     "text_data_mix",
     "window_analytics",
     "pipeline_corpus_card",
+    "source_csv_malformed",
     # remaining slots of the driver's 50-query window fall through to
     # registration order — all already-green rows re-verify on rotation
 ]

@@ -265,3 +265,33 @@ def test_corpus_card_known_answer_and_two_shuffles(spark):
     assert 0.0 <= out["web"]["keep_rate"] <= 1.0
     plan = corpus_card(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# --- malformed CSV -------------------------------------------------------
+
+def test_malformed_csv_quarantines_bad_rows(spark):
+    """The PERMISSIVE read must capture exactly the injected corrupt
+    rows (every 7th key) — none fatal, none silently parsed."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from mapreduce_join_comparison_spark.queries_catalog import QUERIES
+    from mapreduce_join_comparison_spark import queries_catalog as qc
+
+    sf = "/root/testdata/sf0.001"
+    good = QUERIES["source_csv_malformed"](spark, sf)
+    from mapreduce_join_comparison_spark.sources import load_table
+
+    customer = load_table(spark, sf, "customer")
+    n_total = customer.count()
+    n_bad = customer.filter(F.col("c_custkey") % 7 == 0).count()
+    assert good.count() == n_total - n_bad
+    # and the staged path really contains the corrupt lines
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_csv_malformed")
+    corrupt = (
+        spark.read.text(path)
+        .filter(F.col("value").startswith("BAD_"))
+        .count()
+    )
+    assert corrupt == n_bad
