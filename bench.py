@@ -168,6 +168,7 @@ HEADLINE = [
     "embedding_topic_tag",
     "events_anomaly_zscore",
     "text_bigram_fluency",
+    "pipeline_corpus_card",
 ]
 
 
