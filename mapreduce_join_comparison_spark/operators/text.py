@@ -694,3 +694,92 @@ def bigram_fluency(
             ).alias("keep"),
         )
     )
+
+
+def positional_shingles(col: Column | str, k: int = 4) -> Column:
+    """Array of k-token shingles WITH position: element i (0-based) is
+    the shingle starting at token i+1. Same shifted-zip construction
+    as ``shingles`` but without the distinct — positions matter here."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    n = F.size(toks)
+    z = toks
+    for j in range(2, k + 1):
+        shifted = F.slice(toks, j, F.greatest(n - j + 1, F.lit(0)))
+        z = F.zip_with(z, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(z, 1, F.greatest(n - k + 1, F.lit(1)))
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate REMOVAL (not just flagging): every token covered by
+    a corpus-frequent k-shingle is cut from the document — the
+    RefinedWeb/CCNet passage-scrub rewritten as positional array
+    surgery, entirely in JVM higher-order functions.
+
+    Shape: (1) distinct-shingle document frequency → the small
+    over-threshold hash set, broadcast (boilerplate is by definition
+    few shingles repeated massively); (2) positional shingle explode
+    joins that set → per-doc sorted start positions (one doc-id
+    shuffle); (3) narrow rewrite — token j survives unless some start
+    s covers it (s ≤ j ≤ s+k−1), then the survivors re-concatenate.
+    BOTH engines must block on the same 32-bit shingle hash
+    (``md5_hash32``): at corpus scale hash collisions are expected and
+    must replicate, or a collision-merged document frequency crosses
+    the threshold in one engine only.
+    """
+    from ..sources.io import fan_out
+
+    df = fan_out(df)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k)).alias("s"),
+    ).select("id", md5_hash32(F.col("s")).alias("h"))
+    boiler_hashes = (
+        sh.groupBy("h").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positional_shingles(text_col, k)).alias("p0", "s"),
+    ).select("id", (F.col("p0") + 1).alias("start"),
+             md5_hash32(F.col("s")).alias("h"))
+    starts = (
+        pos.join(F.broadcast(boiler_hashes), "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("start")).alias("_starts"))
+    )
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    n = F.size(toks)
+    starts_arr = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    # materialize the covered-position set FIRST, then membership-test:
+    # a nested lambda (filter(seq, j -> exists(starts, s -> s<=j<=s+k)))
+    # mis-binds the outer lambda variable inside the inner one
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                starts_arr,
+                lambda s: F.sequence(s, F.least(s + F.lit(k - 1), n)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda j: ~F.array_contains(covered, j),
+    )
+    return (
+        df.join(starts, df[id_col] == starts["id"], "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform(kept, lambda j: F.element_at(toks, j))
+            ).alias("clean_text"),
+            n.cast("long").alias("n_tokens"),
+            (n - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

@@ -106,9 +106,17 @@ def rolling_zscore_anomalies(
     window aggregates (no float summation-order drift); mean and
     population variance are then derived with the identical expression
     tree in both engines, and the threshold compares the ROUNDED
-    z-score. One shuffle (the series × time sort); at 100 TB the state
-    per series is one running frame — the streaming analog is the
-    watermarked sliding window.
+    z-score. One shuffle (the series × time sort).
+
+    Cost model: Spark evaluates BOUNDED-START range frames by
+    re-aggregating each row's frame (sums are not retractable), so the
+    window pass is O(rows × frame_rows) per series — fine while frames
+    hold thousands of points (sf0.1: ~2.5 s for 100 k rows × ~670-row
+    frames), but at very high event rates the scale path is the
+    standard two-level form: pre-aggregate exact per-bin Σv/Σv²/n into
+    coarse time bins (one narrow agg), then a dense ROWS frame over
+    bins — O(rows + bins × bins_per_window) with identical integer
+    exactness. The streaming analog is the watermarked sliding window.
     """
     w = (
         Window.partitionBy(series_col)

@@ -3718,6 +3718,77 @@ def embedding_topic_tag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_REMOVAL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+psh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - {_BOILER_K} + 1, 1) + 1),
+           i -> struct_pack(
+             start := i,
+             hh := ('0x' || substr(md5(
+               array_to_string(toks[i:i+{_BOILER_K - 1}], ' ')), 1, 8)
+             )::BIGINT))) AS u
+  FROM t
+),
+p AS (SELECT doc_id, u.start AS start, u.hh AS hh FROM psh),
+dfreq AS (
+  SELECT hh, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, hh FROM p) GROUP BY hh
+),
+boiler AS (SELECT hh FROM dfreq WHERE df >= {_BOILER_MIN_DOCS}),
+starts AS (
+  SELECT doc_id, list_sort(list(start)) AS ss
+  FROM p JOIN boiler USING (hh) GROUP BY doc_id
+),
+cov AS (
+  SELECT t.doc_id, toks,
+         -- covered-position set materialized FIRST (nested lambdas
+         -- referencing the outer variable are unreliable — same fix
+         -- as the Spark side), membership-tested second
+         list_distinct(flatten(list_transform(COALESCE(ss, []),
+           s -> range(s, least(s + {_BOILER_K - 1}, len(toks)) + 1))))
+           AS covered
+  FROM t LEFT JOIN starts USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1),
+           j -> NOT list_contains(covered, j)) AS ks
+  FROM cov
+)
+SELECT doc_id,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws ''
+       COALESCE(array_to_string(list_transform(ks, j -> toks[j]), ' '), '')
+         AS clean_text,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(ks) AS BIGINT) AS n_removed
+FROM kept
+"""
+
+
+@register("text_boilerplate_removal", _BOILER_REMOVAL_ORACLE)
+def text_boilerplate_removal_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boilerplate REMOVAL — the rewrite stage after detection: every
+    token covered by a corpus-frequent 4-shingle is cut and the doc
+    re-concatenated, as pure JVM positional array surgery (posexplode
+    start positions → broadcast-joined hash set → per-doc covered-
+    position filter). Both engines block on the same 32-bit shingle
+    hash so corpus-scale hash collisions replicate instead of
+    diverging the document frequencies."""
+    from .operators.text import remove_boilerplate
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return remove_boilerplate(
+        documents, k=_BOILER_K, min_docs=_BOILER_MIN_DOCS
+    )
+
+
 @register(
     "source_csv_malformed",
     """
@@ -3859,6 +3930,7 @@ _DRIVER_PRIORITY = [
     "window_analytics",
     "pipeline_corpus_card",
     "source_csv_malformed",
+    "text_boilerplate_removal",
     # remaining slots of the driver's 50-query window fall through to
     # registration order — all already-green rows re-verify on rotation
 ]

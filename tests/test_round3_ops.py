@@ -295,3 +295,36 @@ def test_malformed_csv_quarantines_bad_rows(spark):
         .count()
     )
     assert corrupt == n_bad
+
+
+def test_boilerplate_removal_cuts_covered_tokens(spark):
+    from mapreduce_join_comparison_spark.operators.text import remove_boilerplate
+
+    footer = "subscribe to our newsletter"            # one 4-gram
+    docs = [
+        (1, "unique alpha body " + footer),
+        (2, "different beta words " + footer),
+        (3, "third gamma text " + footer),
+        (4, "no shared content here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(df, k=4, min_docs=3).collect()}
+    # the footer 4-gram appears in 3 docs → its 4 tokens cut everywhere
+    assert out[1]["clean_text"] == "unique alpha body"
+    assert out[2]["clean_text"] == "different beta words"
+    assert out[1]["n_removed"] == 4
+    # untouched doc passes through verbatim (lowercased tokens)
+    assert out[4]["clean_text"] == "no shared content here at all"
+    assert out[4]["n_removed"] == 0
+
+
+def test_boilerplate_removal_empties_exact_clique(spark):
+    from mapreduce_join_comparison_spark.operators.text import remove_boilerplate
+
+    text = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id bigint, text string"
+    )
+    out = remove_boilerplate(df, k=4, min_docs=3).collect()
+    assert all(r["clean_text"] == "" and r["n_removed"] == 5 for r in out)
