@@ -3614,6 +3614,64 @@ def events_anomaly_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore_anomalies(events, window_us=_ANOMALY_WINDOW_US)
 
 
+@register("events_stream_anomaly", _ANOMALY_ORACLE)
+def events_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING rolling anomaly detection: the events table staged as
+    three TIME-ORDERED micro-batches (split on timestamp thresholds so
+    equal instants never straddle a batch), then a custom stateful
+    operator (applyInPandasWithState) keeps the trailing 24 h per
+    event_type as exact integer arrays and scores each arriving event.
+    The cumulative stream output must equal the batch RANGE-window
+    query value-for-value — so this streaming query carries the SAME
+    full relational oracle as events_anomaly_zscore, the strongest
+    check a streaming op can have."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .streaming.events import (
+        load_events_stream,
+        rolling_anomaly_stateful,
+        run_stream_to_memory,
+    )
+
+    (events,) = _load(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    workdir = tempfile.mkdtemp(prefix="stream_anomaly_")
+    stage = _os.path.join(workdir, "chunks")
+    _os.makedirs(stage)
+    # chunk the NORMALIZED frame (load_table already unified the ts
+    # physical type) on µs thresholds — equal instants can never
+    # straddle a chunk, which the stateful tie-group logic requires.
+    # Write µs timestamps: Spark's INT96 default reads back through
+    # pyarrow as timestamp[ns] and trips the stream loader's ns branch
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    bounds = [(lo, t1), (t1, t2), (t2, hi + 1)]
+    for i, (a, b) in enumerate(bounds):
+        out = _os.path.join(workdir, f"chunk{i}")
+        (
+            events.filter(
+                (F.unix_micros("ts") >= a) & (F.unix_micros("ts") < b)
+            )
+            .coalesce(1)
+            .write.parquet(out)
+        )
+        (part,) = _glob.glob(_os.path.join(out, "part-*.parquet"))
+        shutil.copy(part, _os.path.join(stage, f"c{i}.parquet"))
+    stream = load_events_stream(spark, stage, max_files_per_trigger=1)
+    final = run_stream_to_memory(rolling_anomaly_stateful(stream))
+    return final.select(
+        "event_id", "event_type", "ts_us", "value", "zscore", "n_window"
+    )
+
+
 _BIGRAM_FLUENCY_ORACLE = """
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -3931,6 +3989,7 @@ _DRIVER_PRIORITY = [
     "pipeline_corpus_card",
     "source_csv_malformed",
     "text_boilerplate_removal",
+    "events_stream_anomaly",
     # remaining slots of the driver's 50-query window fall through to
     # registration order — all already-green rows re-verify on rotation
 ]

@@ -414,3 +414,127 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(qname)
+
+
+ANOMALY_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts_us", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("zscore", T.DoubleType()),
+    T.StructField("n_window", T.LongType()),
+])
+_ANOM_STATE_SCHEMA = T.StructType([
+    T.StructField("us", T.ArrayType(T.LongType())),
+    T.StructField("vm", T.ArrayType(T.LongType())),
+])
+
+
+def rolling_anomaly_stateful(
+    events: DataFrame,
+    window_us: int = 24 * 3600 * 1_000_000,
+    min_points: int = 30,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming form of ``timeseries.rolling_zscore_anomalies``: per
+    event_type, ``applyInPandasWithState`` keeps the trailing 24 h of
+    (epoch-µs, milli-value) pairs as integer arrays; each arriving
+    event evicts expired entries, joins its equal-timestamp tie group
+    (a RANGE frame includes ALL rows at the same instant, also the
+    ones arriving later in the batch), and scores against the exact
+    running Σv/Σv²/n. Because the state is integers and the mean/var/z
+    expression tree matches the batch operator term for term, the
+    stream's cumulative output EQUALS the batch query — so this
+    streaming query carries the full relational oracle, like
+    ``events_stream_upsert``.
+
+    Requires TIME-ORDERED micro-batches per key (the staging chunker
+    splits on timestamp thresholds, so equal timestamps can never
+    straddle a batch boundary). State is O(events in 24 h) per series
+    — bounded by ingest rate, not stream length.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = [f.name for f in ANOMALY_SCHEMA.fields]
+
+    def _vm(value: float) -> int:
+        # replicate Spark's round(value*1000): BigDecimal.valueOf
+        # rounds the SHORTEST DECIMAL string HALF_UP — python repr()
+        # produces the identical shortest string
+        return int(
+            Decimal(repr(value * 1000)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def update(key, pdf_iter, state: GroupState):
+        (etype,) = key
+        pdf = pd.concat(list(pdf_iter))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us_new = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).tolist()
+        ids = pdf["event_id"].tolist()
+        vms = [_vm(v) for v in pdf["value"].tolist()]
+        if state.exists:
+            d_us, d_vm = state.get
+            d_us, d_vm = list(d_us), list(d_vm)
+        else:
+            d_us, d_vm = [], []
+        s1, s2 = sum(d_vm), sum(v * v for v in d_vm)
+        rows = []
+        i = 0
+        while i < len(us_new):
+            # tie group: all events at this exact instant enter the
+            # frame together before any of them is scored
+            j = i
+            while j < len(us_new) and us_new[j] == us_new[i]:
+                j += 1
+            for g in range(i, j):
+                d_us.append(us_new[g])
+                d_vm.append(vms[g])
+                s1 += vms[g]
+                s2 += vms[g] * vms[g]
+            # evict strictly-older-than-frame entries (frame start
+            # us - window_us is INCLUSIVE, matching RANGE ... PRECEDING)
+            lo = us_new[i] - window_us
+            k = 0
+            while d_us[k] < lo:
+                s1 -= d_vm[k]
+                s2 -= d_vm[k] * d_vm[k]
+                k += 1
+            if k:
+                d_us, d_vm = d_us[k:], d_vm[k:]
+            n = len(d_us)
+            if n >= min_points:
+                mean = s1 / n
+                var = s2 / n - mean * mean
+                if var > 0:
+                    for g in range(i, j):
+                        z = round((vms[g] - mean) / math.sqrt(var), 4)
+                        if abs(z) >= z_threshold:
+                            rows.append([
+                                ids[g], etype, us_new[g],
+                                vms[g] / 1000.0, z, n,
+                            ])
+            i = j
+        state.update((d_us, d_vm))
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=_ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -152,3 +152,67 @@ def test_stream_static_enrich_equals_batch(spark, events_batch):
 
     streamed = run_stream_to_memory(agg(stream), output_mode="complete")
     assert rows_set(streamed) == rows_set(agg(events_batch))
+
+
+def test_rolling_anomaly_stream_equals_batch(spark):
+    """The stateful streaming anomaly detector must reproduce the batch
+    RANGE-window operator value-for-value when fed time-ordered
+    batches — including a synthetic tie group at the spike instant
+    (RANGE frames include ALL rows at the same timestamp)."""
+    import datetime
+
+    from mapreduce_join_comparison_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+    from mapreduce_join_comparison_spark.streaming.events import (
+        rolling_anomaly_stateful,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append((i, "cpu", base + datetime.timedelta(minutes=i),
+                     10.0 + (i % 3) * 0.5))
+    spike_ts = base + datetime.timedelta(minutes=41)
+    rows.append((97, "cpu", spike_ts, 900.0))   # tie group of two
+    rows.append((98, "cpu", spike_ts, 950.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    batch = sorted(
+        (r["event_id"], r["zscore"], r["n_window"])
+        for r in rolling_zscore_anomalies(
+            df, min_points=30, z_threshold=3.0
+        ).collect()
+    )
+    assert [e for e, _, _ in batch] == [97, 98]  # both ties flagged
+
+    # stream the same rows as one availableNow batch through the
+    # stateful operator via a memory-backed rate-free source: use the
+    # file-source path the catalog query uses, simplified to one chunk
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="anomaly_stream_test_")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    df.withColumn("user_id", F.lit(0)).withColumn(
+        "props", F.lit("{}")
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/c0")
+    import glob as g
+    import shutil
+
+    os.makedirs(d + "/stage")
+    (part,) = g.glob(d + "/c0/part-*.parquet")
+    shutil.copy(part, d + "/stage/c0.parquet")
+    from mapreduce_join_comparison_spark.streaming.events import (
+        load_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = load_events_stream(spark, d + "/stage")
+    out = run_stream_to_memory(
+        rolling_anomaly_stateful(stream, min_points=30, z_threshold=3.0)
+    )
+    got = sorted(
+        (r["event_id"], r["zscore"], r["n_window"]) for r in out.collect()
+    )
+    assert got == batch
