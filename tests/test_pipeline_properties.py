@@ -239,3 +239,97 @@ def test_scd2_matches_python_replay(spark, rows):
             nxt = changes[j + 1][0] if j + 1 < len(changes) else None
             expect.append((k, a, v, nxt, j + 1, nxt is None))
     assert got == sorted(expect)
+
+
+def _md5_32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_shingles(text: str, k: int) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+@given(texts=st.lists(DOC, min_size=2, max_size=8))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_containment_matches_python_reference(spark, texts):
+    """Random corpora: the bucket-local pair generation must equal the
+    direct python computation (distinct shingle hashes, df cap, shared
+    counts, containment vs |A|)."""
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        substring_containment_pairs,
+    )
+
+    K, MAX_DF, MIN_SHARED = 3, 4, 1
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["shared_ngrams"], r["containment"])
+        for r in substring_containment_pairs(
+            df, k=K, max_df=MAX_DF, min_shared=MIN_SHARED
+        ).collect()
+    )
+    by_doc = {i: {_md5_32(s) for s in _py_shingles(t, K)}
+              for i, t in enumerate(texts)}
+    dfreq: dict[int, int] = collections.Counter(
+        h for hs in by_doc.values() for h in hs
+    )
+    expect = []
+    for a in by_doc:
+        for b in by_doc:
+            if a >= b:
+                continue
+            shared = sum(
+                1 for h in by_doc[a] & by_doc[b] if dfreq[h] <= MAX_DF
+            )
+            if shared >= MIN_SHARED:
+                expect.append(
+                    (a, b, shared, shared / len(by_doc[a]))
+                )
+    assert got == sorted(expect)
+
+
+@given(texts=st.lists(DOC, min_size=2, max_size=8))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_boilerplate_removal_matches_python_reference(spark, texts):
+    """Random corpora: positional cover + rewrite must equal a direct
+    python replay (distinct-shingle df, covered positions, surviving
+    tokens re-joined)."""
+    from mapreduce_join_comparison_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    K, MIN_DOCS = 3, 2
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in remove_boilerplate(df, k=K, min_docs=MIN_DOCS).collect()}
+    dfreq = collections.Counter(
+        h for t in texts
+        for h in {_md5_32(s) for s in _py_shingles(t, K)}
+    )
+    boiler = {h for h, c in dfreq.items() if c >= MIN_DOCS}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        n = len(toks)
+        covered: set[int] = set()
+        sh = _py_shingles(t, K)
+        for p, s in enumerate(sh, start=1):
+            if _md5_32(s) in boiler:
+                covered.update(range(p, min(p + K - 1, n) + 1))
+        kept = [toks[j - 1] for j in range(1, n + 1) if j not in covered]
+        assert got[i] == (" ".join(kept), n, n - len(kept))
