@@ -195,6 +195,31 @@ EXPECTATIONS = {
     # tiny per-stratum mix aggregate broadcast back onto the corpus;
     # the corpus path itself is scan + filter, no corpus shuffle
     "sample_mix_rebalance": (3, "BroadcastHashJoin"),
+    # ---- round-3 scale extensions ----
+    # lag-compression and lead/row_number share ONE (key × time) sort
+    "cdc_scd2_history": (1, "Window"),
+    # cell assignment narrow; cell-co-partitioned pair join + the
+    # keeper window + fan_out — candidates Σ|cell|², never N²
+    "dedup_semdedup_cells": (3, None),
+    # shingle-hash buckets (collect bounded by the df cap) + pair agg
+    # + broadcast size join + fan_out; NO self-join of the explode
+    "dedup_substring_containment": (4, "BroadcastHashJoin"),
+    # fully narrow: 8 literal-anchor dots in one sorted-struct pass
+    "embedding_topic_tag": (0, None),
+    # ONE series×time exchange feeds the RANGE-frame window
+    "events_anomaly_zscore": (1, "Window"),
+    # df-count shuffle + broadcast of the over-threshold set + per-doc
+    # agg + fan_out; corpus never shuffles for the match
+    "text_boilerplate_ngrams": (5, "BroadcastHashJoin"),
+    # detection plan + positional-start collect + the narrow rewrite
+    "text_boilerplate_removal": (5, "BroadcastHashJoin"),
+    # narrow integer folds; fan_out is the only exchange
+    "text_quality_classifier": (1, None),
+    # bigram + prefix counts (co-partitioned joins) + per-doc re-agg
+    "text_bigram_fluency": (6, "BroadcastHashJoin"),
+    # fingerprint window + per-source agg — one corpus-wide exchange
+    # plus the tiny source aggregate
+    "pipeline_corpus_card": (2, "Window"),
 }
 
 
