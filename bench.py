@@ -248,6 +248,7 @@ def main() -> None:
     # the cold/skew detail in a sidecar file + a preceding line.
     detail = {
         "queries_cold": queries_cold,
+        "queries_warm": queries_warm,
         "total_cold_sec": total_cold,
         "total_warm_sec": total_warm,
         "skew_curve": skew_curve,

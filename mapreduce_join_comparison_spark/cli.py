@@ -190,6 +190,32 @@ def _report_rows_from_detail(path: str) -> list[dict]:
     return records
 
 
+def _query_table_from_detail(path: str) -> list[str]:
+    """Markdown cold/warm per-query table from BENCH_DETAIL.json —
+    the per-query analog of the skew/scaleup pivots (warm column
+    present for detail files written after round 3)."""
+    import json
+
+    with open(path) as f:
+        detail = json.load(f)
+    cold = detail.get("queries_cold") or {}
+    warm = detail.get("queries_warm") or {}
+    if not cold:
+        return []
+    lines = ["", "## Per-query wall time (sec)", "",
+             "| query | cold | warm |", "|---|---|---|"]
+    order = sorted(cold, key=lambda k: -(warm.get(k, cold[k])))
+    for k in order:
+        w = f"{warm[k]:.3f}" if k in warm else "—"
+        lines.append(f"| `{k}` | {cold[k]:.3f} | {w} |")
+    lines.append("")
+    lines.append(
+        f"Totals: cold {detail.get('total_cold_sec', '—')} s, "
+        f"warm {detail.get('total_warm_sec', '—')} s."
+    )
+    return lines
+
+
 def _pivot_markdown(records: list[dict], row_key: str, title: str) -> list[str]:
     """One markdown table: row_key values × strategies, fastest cell
     starred — the textual equivalent of the reference's per-strategy
@@ -332,9 +358,11 @@ def _render_line_svg(records: list[dict], row_key: str, title: str) -> str:
 
 def cmd_report(args: argparse.Namespace) -> None:
     records = _report_rows_from_csv(args.csv)
+    query_table: list[str] = []
     if args.detail:
         records += _report_rows_from_detail(args.detail)
-    if not records:
+        query_table = _query_table_from_detail(args.detail)
+    if not records and not query_table:
         raise SystemExit("no simulate records found (see --detail / CSV args)")
 
     lines = ["# Join-strategy benchmark report",
@@ -357,6 +385,7 @@ def cmd_report(args: argparse.Namespace) -> None:
             title = f"Scaleup at skew {skew}"
             lines += _pivot_markdown(sub, "rows", title)
             svgs.append((f"scaleup_{skew}.svg", _render_line_svg(sub, "rows", title)))
+    lines += query_table
     if args.svg:
         os.makedirs(args.svg, exist_ok=True)
         for fname, svg in svgs:
