@@ -333,3 +333,75 @@ def test_boilerplate_removal_matches_python_reference(spark, texts):
                 covered.update(range(p, min(p + K - 1, n) + 1))
         kept = [toks[j - 1] for j in range(1, n + 1) if j not in covered]
         assert got[i] == (" ".join(kept), n, n - len(kept))
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 1),                      # cell-ish direction
+            st.floats(0.01, 1.0, allow_nan=False),  # magnitude
+            st.floats(-0.3, 0.3, allow_nan=False),  # off-axis noise
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_semdedup_matches_python_replay(spark, vecs):
+    """Random 2-d vectors vs a python replay of the full SemDeDup rule:
+    top-1 cell by dot (cell-index tiebreak), within-cell pairs at
+    ROUNDED cosine ≥ tau (HALF_UP on the shortest decimal repr — the
+    exact Spark semantics), dropped = higher id, keeper = smallest
+    qualifying lower id."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        semdedup_dropped,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (i, [mag if ax == 0 else noise, mag if ax == 1 else noise])
+        for i, (ax, mag, noise) in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    tau = 0.9
+    got = sorted(
+        (r["vec_id"], r["cell"], r["dup_of"], r["cosine"])
+        for r in semdedup_dropped(df, cents, tau=tau).collect()
+    )
+
+    def spark_round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                      rounding=ROUND_HALF_UP)
+        )
+
+    def cell_of(v):
+        dots = [sum(a * b for a, b in zip(v, c)) for c in cents]
+        best = max(dots)
+        return dots.index(best)  # first index wins ties, like the sort
+
+    def cos(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(a * a for a in v))
+        return dot / (nu * nv)
+
+    cells = {i: cell_of(v) for i, v in rows}
+    expect = []
+    for i, vi in rows:
+        hits = [
+            (j, spark_round6(cos(vj, vi)))
+            for j, vj in rows
+            if j < i and cells[j] == cells[i]
+            and spark_round6(cos(vj, vi)) >= tau
+        ]
+        if hits:
+            j, c = min(hits)
+            expect.append((i, cells[i], j, c))
+    assert got == sorted(expect)
