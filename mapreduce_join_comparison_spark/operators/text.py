@@ -456,13 +456,16 @@ def tfidf_top_terms(
     statistic (keyword extraction / quality signals) the reference has
     no analog for.
 
-    tf = term count / doc length; idf = ln(N / docfreq). Three
-    shuffles total: (id,term) counts, term docfreq, and the per-doc
-    top-k window; the docfreq (vocabulary-sized) side and the one-row
-    corpus count are BROADCAST into the scoring join, so the big
-    per-doc-term stream shuffles only twice. Ranking uses the
-    6dp-ROUNDED score (desc, then term asc) so rank boundaries are
-    reproducible across engines' last-ulp ln() differences.
+    tf = term count / doc length; idf = ln(N / docfreq). Shuffles:
+    (id,term) counts, term docfreq, the docfreq scoring join, and the
+    per-doc top-k window. The docfreq side is O(vocabulary) — at
+    corpus scale that is billions of distinct terms, so it is NOT
+    force-broadcast: AQE broadcasts it when its runtime size is small
+    and falls back to a shuffle join on ``term`` when it isn't.  Only
+    the one-ROW corpus count carries an explicit broadcast hint.
+    Ranking uses the 6dp-ROUNDED score (desc, then term asc) so rank
+    boundaries are reproducible across engines' last-ulp ln()
+    differences.
     """
     from pyspark.sql.window import Window
 
@@ -480,7 +483,7 @@ def tfidf_top_terms(
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     ndocs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .select(
             F.col("id"),
@@ -739,8 +742,12 @@ def remove_boilerplate(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, k)).alias("s"),
     ).select("id", md5_hash32(F.col("s")).alias("h"))
+    # document frequency counts DOCS per hash: two distinct shingle
+    # strings colliding to one 32-bit hash inside the same doc must
+    # count that doc once, exactly like the oracle's DISTINCT
+    # (doc_id, hh) — count_distinct keeps the map-side partial dedup.
     boiler_hashes = (
-        sh.groupBy("h").agg(F.count("*").alias("df"))
+        sh.groupBy("h").agg(F.count_distinct("id").alias("df"))
         .filter(F.col("df") >= min_docs)
         .select("h")
     )

@@ -3650,21 +3650,34 @@ def events_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # physical type) on µs thresholds — equal instants can never
     # straddle a chunk, which the stateful tie-group logic requires.
     # Write µs timestamps: Spark's INT96 default reads back through
-    # pyarrow as timestamp[ns] and trips the stream loader's ns branch
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-                   "TIMESTAMP_MICROS")
-    bounds = [(lo, t1), (t1, t2), (t2, hi + 1)]
-    for i, (a, b) in enumerate(bounds):
-        out = _os.path.join(workdir, f"chunk{i}")
-        (
-            events.filter(
-                (F.unix_micros("ts") >= a) & (F.unix_micros("ts") < b)
+    # pyarrow as timestamp[ns] and trips the stream loader's ns branch.
+    # Save/restore the session conf so the staging write doesn't leak
+    # a different parquet physical type into later queries in the same
+    # session (driver rotation / parity sweeps are order-sensitive).
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    try:
+        prev_ts_type = spark.conf.get(_TS_KEY)
+    except Exception:
+        prev_ts_type = None
+    spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    try:
+        bounds = [(lo, t1), (t1, t2), (t2, hi + 1)]
+        for i, (a, b) in enumerate(bounds):
+            out = _os.path.join(workdir, f"chunk{i}")
+            (
+                events.filter(
+                    (F.unix_micros("ts") >= a) & (F.unix_micros("ts") < b)
+                )
+                .coalesce(1)
+                .write.parquet(out)
             )
-            .coalesce(1)
-            .write.parquet(out)
-        )
-        (part,) = _glob.glob(_os.path.join(out, "part-*.parquet"))
-        shutil.copy(part, _os.path.join(stage, f"c{i}.parquet"))
+            (part,) = _glob.glob(_os.path.join(out, "part-*.parquet"))
+            shutil.copy(part, _os.path.join(stage, f"c{i}.parquet"))
+    finally:
+        if prev_ts_type is None:
+            spark.conf.unset(_TS_KEY)
+        else:
+            spark.conf.set(_TS_KEY, prev_ts_type)
     stream = load_events_stream(spark, stage, max_files_per_trigger=1)
     final = run_stream_to_memory(rolling_anomaly_stateful(stream))
     return final.select(

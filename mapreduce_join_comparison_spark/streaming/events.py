@@ -517,7 +517,18 @@ def rolling_anomaly_stateful(
                 var = s2 / n - mean * mean
                 if var > 0:
                     for g in range(i, j):
-                        z = round((vms[g] - mean) / math.sqrt(var), 4)
+                        # Spark F.round / DuckDB ROUND are HALF_UP on
+                        # the shortest decimal string; Python round()
+                        # is half-to-even on the binary double — use
+                        # the same Decimal(repr) idiom as _vm so the
+                        # stream matches the batch value bit-for-bit
+                        z = float(
+                            Decimal(
+                                repr((vms[g] - mean) / math.sqrt(var))
+                            ).quantize(
+                                Decimal("0.0001"), rounding=ROUND_HALF_UP
+                            )
+                        )
                         if abs(z) >= z_threshold:
                             rows.append([
                                 ids[g], etype, us_new[g],

@@ -211,8 +211,10 @@ EXPECTATIONS = {
     # df-count shuffle + broadcast of the over-threshold set + per-doc
     # agg + fan_out; corpus never shuffles for the match
     "text_boilerplate_ngrams": (5, "BroadcastHashJoin"),
-    # detection plan + positional-start collect + the narrow rewrite
-    "text_boilerplate_removal": (5, "BroadcastHashJoin"),
+    # detection plan (+1 for the count_distinct(doc) two-phase agg —
+    # collision-safe doc frequency) + positional-start collect + the
+    # narrow rewrite
+    "text_boilerplate_removal": (6, "BroadcastHashJoin"),
     # narrow integer folds; fan_out is the only exchange
     "text_quality_classifier": (1, None),
     # bigram + prefix counts (co-partitioned joins) + per-doc re-agg
@@ -300,3 +302,33 @@ def test_scans_prune_columns(spark):
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag",
     }
+
+
+def test_tfidf_docfreq_join_not_force_broadcast(spark):
+    """The TF-IDF docfreq side is O(vocabulary) — billions of terms at
+    corpus scale — so it must NOT carry a forced broadcast hint (a
+    forced hint OOMs instead of degrading). Proof: with the size-based
+    broadcast threshold disabled, the term join must plan as a shuffle
+    join; only the one-ROW corpus-count crossJoin keeps its explicit
+    broadcast. (Round-3 verdict, What's-wrong #1.)"""
+    from mapreduce_join_comparison_spark.operators.text import (
+        tfidf_top_terms,
+    )
+    from mapreduce_join_comparison_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = simple_plan(tfidf_top_terms(docs))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan, (
+        f"docfreq join still force-broadcast:\n{plan}"
+    )
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    # the single-row corpus count legitimately keeps its broadcast
+    assert "BroadcastNestedLoopJoin" in plan, plan
