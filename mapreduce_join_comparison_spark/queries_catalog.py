@@ -3929,91 +3929,46 @@ from . import tpch_queries  # noqa: E402,F401  (self-registering)
 
 # --------------------------------------------------------------------------
 # Driver-check ordering. The driver verifies queries in registration
-# order and caps each round's run (round 1 stopped after 50 of 101), so
-# queries WITHOUT a green CORRECTNESS row yet go first — the three
-# round-1 reds (now fixed), then every driver-unchecked oracle-backed
-# query — and the 47 already-green round-1 rows come last. Coverage
-# accumulates across rounds; pytest (test_oracle_parity) still checks
-# all of them every run regardless of order.
+# order under a ~50-query/round cap, so ordering decides which queries
+# earn a fresh hard CORRECTNESS row this round. The order is DERIVED,
+# not hand-maintained: plans/fingerprint.py hashes each query's source
+# closure (its function, same-module helpers, oracle SQL, and every
+# package module it transitively imports) and compares against
+# FINGERPRINTS.json — the fingerprint each key had at its latest
+# driver-green round (rebuilt by tools/update_fingerprints.py from the
+# CORRECTNESS_r*.json history at each round's graded commit). Policy:
+#
+#   1. never driver-green           (new queries)        -> first
+#   2. source changed since green   (stale hard signal)  -> oldest
+#      last-green round first
+#   3. unchanged greens             (rotation)           -> oldest
+#      last-green round first
+#
+# Coverage accumulates across rounds; the local oracle-parity pytest
+# replica still checks ALL queries every run regardless of order.
 # --------------------------------------------------------------------------
 
-_DRIVER_PRIORITY = [
-    # Round-3 ordering, derived from the union of green keys in
-    # CORRECTNESS_r01 + r02 (97 checked, 96 green). Three blocks:
-    #
-    # (1) the 21 queries that have NEVER had a driver CORRECTNESS row
-    #     (they pass the local oracle-parity replica; the hard signal
-    #     is missing). Cheapest first, stateful streaming last — if
-    #     the driver's 50-query cap is time-based, ascending cost
-    #     maximizes verdicts per round; under a count cap the order
-    #     within the block is irrelevant.
-    "tpch_q9_product_profit",
-    "source_csv_roundtrip",
-    "tpch_q5_local_supplier",
-    "tpch_q8_market_share",
-    "events_funnel",
-    "dedup_contamination",
-    "tpch_q11_important_stock",
-    "tpch_q21_waiting_supplier",
-    "pipeline_training_data",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q20_excess_stock",
-    "layout_zorder_roundtrip",
-    "generator_zipf_pair_join",
-    "layout_partitioned_dpp",
-    "multimodal_decode_stub",
-    "graph_pagerank",
-    "events_stream_upsert",
-    "text_tfidf_topterms",
-    "events_stream_windowed",
-    "events_stream_enriched",
-    "events_stream_interval_join",
-    # (2) round 2's one red: values matched, the hash tripped on
-    #     DuckDB HUGEINT vs Spark BIGINT — oracle SUMs now CAST to
-    #     BIGINT (tpch_queries.py), needs a green row to prove it
-    "tpch_q12_late_lines",
-    # (3) green rows whose SEMANTICS or formulation changed in round 3
-    #     and must be re-proved: mix_rebalance dropped the floor() in
-    #     its bucket filter (ADVICE keep_frac clamp), the two all-pairs
-    #     similarity queries were re-routed through LSH blocking, and
-    #     q1's averages moved to exact-BIGINT rounding (agg_groupby /
-    #     agg_summary_stats changed too but already sit inside the
-    #     50-slot window via registration order)
-    "sample_mix_rebalance",
-    "similarity_projected_rerank",
-    "dedup_embedding_cosine",
-    "tpch_q1_pricing_summary",
-    # (4) round-3 NEW queries — never driver-checked by definition
-    "dedup_semdedup_cells",
-    "dedup_substring_containment",
-    "text_boilerplate_ngrams",
-    "text_quality_classifier",
-    "cdc_scd2_history",
-    "embedding_topic_tag",
-    "events_anomaly_zscore",
-    "text_bigram_fluency",
-    # (5) green rows whose VALUES changed in round 3's second pass:
-    #     exact-int ratio outputs are now emitted UNROUNDED (quotients
-    #     of identical integers are bit-identical cross-engine; ROUND
-    #     was the divergence at decimal half-boundaries) — re-prove
-    "text_repetition_metrics",
-    "text_data_mix",
-    "window_analytics",
-    "pipeline_corpus_card",
-    "source_csv_malformed",
-    "text_boilerplate_removal",
-    "events_stream_anomaly",
-    # remaining slots of the driver's 50-query window fall through to
-    # registration order — all already-green rows re-verify on rotation
-]
+_DRIVER_PRIORITY: list[str] = []
+
+
+def _derive_driver_priority() -> list[str]:
+    try:
+        from .plans.fingerprint import derive_priority
+
+        return derive_priority(QUERIES, ORACLES)
+    except Exception:
+        # never let a fingerprinting surprise break the driver import —
+        # plain registration order is a safe fallback
+        return []
 
 
 def _reorder_for_driver() -> None:
     """Rebuild the registries in driver-check priority order, in place
     (in place so references imported via ``from ... import QUERIES``
     keep observing the reordered dicts)."""
-    global _REORDERED
+    global _REORDERED, _DRIVER_PRIORITY
     _REORDERED = True
+    _DRIVER_PRIORITY = _derive_driver_priority()
     for reg in (QUERIES, ORACLES):
         pri = [k for k in _DRIVER_PRIORITY if k in reg]
         ordered = pri + [k for k in reg if k not in set(pri)]

@@ -1,9 +1,12 @@
 """Registry-order guards: the driver verifies queries in registration
-order under a cap (50/round so far), so the priority list must stay
-consistent with the registry AND with the accumulated CORRECTNESS
-results — a typo'd or forgotten key would silently push an unverified
-query out of the checked window, and a stale list (pinned to an old
-round's file) would waste the window re-proving greens."""
+order under a cap (~50/round), so the ordering decides which queries
+earn a fresh hard CORRECTNESS row. Since round 4 the order is DERIVED
+from source fingerprints (plans/fingerprint.py + FINGERPRINTS.json):
+never-green first, then changed-since-last-green (oldest green round
+first), then unchanged greens in green-age rotation. These tests pin
+that mechanism — a broken manifest or a fingerprinting regression
+would silently waste the driver window re-proving fresh greens while
+stale ones rot."""
 
 from __future__ import annotations
 
@@ -12,6 +15,7 @@ import json
 import os
 
 from mapreduce_join_comparison_spark import queries_catalog as qc
+from mapreduce_join_comparison_spark.plans import fingerprint as fp
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
@@ -33,26 +37,130 @@ def _green_union() -> set[str]:
     return green
 
 
+def _classify():
+    """(never, stale, fresh) key lists re-derived from first
+    principles — manifest + live fingerprints — for cross-checking
+    the catalog's import-time ordering."""
+    manifest = fp.load_manifest()
+    current = fp.compute_fingerprints(qc.QUERIES, qc.ORACLES)
+    never, stale, fresh = [], [], []
+    for k in qc.QUERIES:
+        rec = manifest.get(k)
+        if rec is None:
+            never.append(k)
+        elif rec.get("fp") != current.get(k):
+            stale.append(k)
+        else:
+            fresh.append(k)
+    return manifest, never, stale, fresh
+
+
 def test_priority_keys_registered_and_unique():
     pri = qc._DRIVER_PRIORITY
+    assert pri, "priority derivation fell back to [] — manifest broken?"
     assert len(pri) == len(set(pri)), "duplicate priority keys"
     missing = [k for k in pri if k not in qc.QUERIES]
     assert not missing, f"priority keys not registered: {missing}"
+    assert set(pri) == set(qc.QUERIES), "priority must cover the registry"
+
+
+def test_manifest_covers_all_greens():
+    """Every ever-green key must carry a manifest fingerprint —
+    otherwise it would re-enter the never-checked block and crowd the
+    window. (Run tools/update_fingerprints.py after a new
+    CORRECTNESS_r*.json lands.)"""
+    manifest = fp.load_manifest()
+    green = _green_union()
+    assert green, "no CORRECTNESS_r*.json greens found — wrong repo root?"
+    missing = [k for k in green if k in qc.QUERIES and k not in manifest]
+    assert not missing, (
+        f"green keys without manifest fingerprints {missing} — "
+        "run tools/update_fingerprints.py"
+    )
+
+
+def test_registry_order_matches_staleness_policy():
+    """The live registry ordering must be exactly: never-green block,
+    then stale block (ascending last-green round), then fresh block
+    (ascending last-green round) — each tie-broken by original
+    registration order. Re-derived here independently of
+    derive_priority()'s own sort for a genuine cross-check."""
+    manifest, never, stale, fresh = _classify()
+    order = list(qc.QUERIES)
+    pos = {k: i for i, k in enumerate(order)}
+    n_never, n_stale = len(never), len(stale)
+    assert set(order[:n_never]) == set(never), (
+        f"never-green keys must lead: {order[:n_never]} vs {never}"
+    )
+    assert set(order[n_never:n_never + n_stale]) == set(stale), (
+        "stale keys must precede fresh greens"
+    )
+    # within each green block, last-green rounds never decrease
+    for block in (order[n_never:n_never + n_stale],
+                  order[n_never + n_stale:]):
+        rounds = [manifest[k]["round"] for k in block]
+        assert rounds == sorted(rounds), f"non-monotone rounds: {block}"
 
 
 def test_unverified_queries_lead_the_registry():
-    """Every query without a green verdict in ANY round must appear in
-    the priority block (and therefore ahead of the already-green rows).
-    Reads all CORRECTNESS_r*.json, so a new round's file re-derives the
-    obligation automatically."""
+    """A query with no green verdict in ANY round must outrank every
+    green one (it is exactly what the driver window exists to check)."""
     green = _green_union()
-    assert green, "no CORRECTNESS_r*.json greens found — wrong repo root?"
-    pri = set(qc._DRIVER_PRIORITY)
-    stragglers = [k for k in qc.QUERIES if k not in green and k not in pri]
-    assert not stragglers, f"unverified queries missing from priority: {stragglers}"
-    # and the registry actually leads with them
-    leading = list(qc.QUERIES)[: len(pri)]
-    assert all(k in pri for k in leading)
+    order = list(qc.QUERIES)
+    unverified = [k for k in order if k not in green]
+    if not unverified:
+        return  # all ever-green — nothing to lead with
+    worst_unverified = max(order.index(k) for k in unverified)
+    assert worst_unverified < len(unverified) + 5, (
+        "an unverified query sits deep in the registry: "
+        f"{[k for k in unverified if order.index(k) >= len(unverified) + 5]}"
+    )
+
+
+def test_fingerprint_sensitivity():
+    """The fingerprint must move when the oracle text moves, and be
+    deterministic across recomputation (cold cache)."""
+    a = fp.compute_fingerprints(qc.QUERIES, qc.ORACLES)
+    fp.clear_cache()
+    b = fp.compute_fingerprints(qc.QUERIES, qc.ORACLES)
+    assert a == b, "fingerprints are not deterministic"
+    mutated = dict(qc.ORACLES)
+    key = "join_repartition"
+    mutated[key] = mutated[key] + " -- changed"
+    c = fp.compute_fingerprints(qc.QUERIES, mutated)
+    assert c[key] != a[key], "oracle edit did not change the fingerprint"
+    assert c["tpch_q1_pricing_summary"] == a["tpch_q1_pricing_summary"]
+
+
+def test_fingerprint_tracks_operator_modules():
+    """Each query's fingerprint must include the package modules its
+    function imports, transitively — an edit to operators/joins.py has
+    to mark every join query stale. Checked via the dependency closure
+    rather than by mutating files on disk."""
+    import mapreduce_join_comparison_spark as pkg
+
+    fn = qc.QUERIES["join_repartition"]
+    import sys
+
+    mod = sys.modules[fn.__module__]
+    pkg_dir = os.path.dirname(pkg.__file__)
+    info = fp._module_info(mod.__file__)
+    top = fn.__qualname__.split(".")[0]
+    seg = info.segments[top]
+    helpers = [info.segments[n] for n in sorted(fp._segment_names(seg))
+               if n != top and n in info.segments]
+    import ast
+
+    tree = ast.parse("\n".join([seg] + helpers))
+    direct = fp._resolve_imports(
+        tree, fn.__module__.rsplit(".", 1)[0], pkg.__name__
+    )
+    closure = fp._closure(direct, pkg.__name__, pkg_dir)
+    names = set(closure)
+    assert any(n.endswith("operators.joins") for n in names), names
+    assert any(n.endswith("sources.io") for n in names), (
+        f"_load -> sources closure missing: {names}"
+    )
 
 
 def test_every_query_has_oracle():
@@ -61,34 +169,23 @@ def test_every_query_has_oracle():
 
 def test_pipeline_first_import_keeps_priority_order():
     """Importing the self-registering `pipeline` module FIRST drives the
-    catalog body through a circular import: its own `from . import
-    pipeline` then returns the partially-initialized module, and the
-    pipeline queries register AFTER _reorder_for_driver(). register()
-    must re-apply the ordering for those late arrivals — otherwise the
-    pipeline queries silently fall out of the driver's check window."""
+    catalog body through a circular import: the pipeline queries
+    register AFTER _reorder_for_driver(). register() must re-apply the
+    derived ordering for those late arrivals — otherwise the pipeline
+    queries silently fall to the registry tail regardless of
+    staleness."""
     import subprocess
     import sys
 
     code = (
         "import mapreduce_join_comparison_spark.pipeline\n"
         "from mapreduce_join_comparison_spark import queries_catalog as qc\n"
-        "pri = set(qc._DRIVER_PRIORITY)\n"
-        "leading = list(qc.QUERIES)[:len(pri)]\n"
-        "missing = pri - set(leading)\n"
-        "assert not missing, f'displaced: {missing}'\n"
+        "order = list(qc.QUERIES)\n"
+        "pri = qc._DRIVER_PRIORITY\n"
+        "assert order == [k for k in pri if k in qc.QUERIES], (\n"
+        "    'registry order diverged from derived priority')\n"
     )
     res = subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, capture_output=True, text=True
     )
     assert res.returncode == 0, res.stderr[-2000:]
-
-
-def test_priority_block_fits_the_driver_window():
-    """The driver verifies ~50 queries per round in registration order;
-    a priority list longer than the window would silently push its own
-    tail out of this round's check — the exact failure mode the list
-    exists to prevent."""
-    assert len(qc._DRIVER_PRIORITY) <= 50, (
-        f"{len(qc._DRIVER_PRIORITY)} priority keys exceed the driver's "
-        "50-query window; trim re-check entries or split across rounds"
-    )
