@@ -205,14 +205,34 @@ def _query_table_from_detail(path: str) -> list[str]:
     lines = ["", "## Per-query wall time (sec)", "",
              "| query | cold | warm |", "|---|---|---|"]
     order = sorted(cold, key=lambda k: -(warm.get(k, cold[k])))
+    # warm-only entries (the generated zipf joins + their generation
+    # line item) follow the cold-pass rows
+    order += sorted((k for k in warm if k not in cold),
+                    key=lambda k: -warm[k])
     for k in order:
+        c = f"{cold[k]:.3f}" if k in cold else "—"
         w = f"{warm[k]:.3f}" if k in warm else "—"
-        lines.append(f"| `{k}` | {cold[k]:.3f} | {w} |")
+        lines.append(f"| `{k}` | {c} | {w} |")
     lines.append("")
     lines.append(
         f"Totals: cold {detail.get('total_cold_sec', '—')} s, "
         f"warm {detail.get('total_warm_sec', '—')} s."
     )
+    zipf = detail.get("zipf_headline") or {}
+    if zipf.get("join"):
+        lines += ["", "## Generated zipf join (join-only, median of "
+                      f"{zipf.get('repeats', '?')} runs)", "",
+                  "| strategy | median | min | max |", "|---|---|---|---|"]
+        for strat, st in zipf["join"].items():
+            lines.append(
+                f"| `{strat}` | {st['median']:.3f} | {st['min']:.3f} "
+                f"| {st['max']:.3f} |"
+            )
+        lines.append("")
+        lines.append(
+            "Generation + parquet staging (not in any join number): "
+            f"{zipf.get('generate_stage_sec', '—')} s."
+        )
     return lines
 
 
@@ -356,19 +376,29 @@ def _render_line_svg(records: list[dict], row_key: str, title: str) -> str:
     return "\n".join(out)
 
 
-def cmd_report(args: argparse.Namespace) -> None:
-    records = _report_rows_from_csv(args.csv)
+def render_report(
+    csv: list[str], detail: str | None,
+    out: str | None, svg: str | None,
+) -> None:
+    """Render the markdown benchmark report (reference data/skew.R /
+    speedup.R analog). Callable from bench.py so a bench run always
+    refreshes REPORT.md in lockstep with BENCH_DETAIL.json."""
+    records = _report_rows_from_csv(csv)
     query_table: list[str] = []
-    if args.detail:
-        records += _report_rows_from_detail(args.detail)
-        query_table = _query_table_from_detail(args.detail)
+    if detail:
+        records += _report_rows_from_detail(detail)
+        query_table = _query_table_from_detail(detail)
     if not records and not query_table:
         raise SystemExit("no simulate records found (see --detail / CSV args)")
 
+    # basenames only: the report must render byte-identically whether
+    # invoked from the CLI (relative path) or bench.py (absolute) —
+    # test_report_drift diffs a re-render against the committed file
     lines = ["# Join-strategy benchmark report",
              "",
              "Bold = fastest strategy for the row. Sources: "
-             + ", ".join(args.csv + ([args.detail] if args.detail else [])),
+             + ", ".join(os.path.basename(p)
+                         for p in csv + ([detail] if detail else [])),
              ""]
     svgs: list[tuple[str, str]] = []
     # skew curves (reference skew.R): one table per generated size
@@ -386,20 +416,24 @@ def cmd_report(args: argparse.Namespace) -> None:
             lines += _pivot_markdown(sub, "rows", title)
             svgs.append((f"scaleup_{skew}.svg", _render_line_svg(sub, "rows", title)))
     lines += query_table
-    if args.svg:
-        os.makedirs(args.svg, exist_ok=True)
-        for fname, svg in svgs:
-            with open(os.path.join(args.svg, fname), "w") as f:
-                f.write(svg + "\n")
+    if svg:
+        os.makedirs(svg, exist_ok=True)
+        for fname, svg_text in svgs:
+            with open(os.path.join(svg, fname), "w") as f:
+                f.write(svg_text + "\n")
         lines.append(
-            f"SVG charts: {', '.join(os.path.join(args.svg, f) for f, _ in svgs)}"
+            f"SVG charts: {', '.join(os.path.join(svg, f) for f, _ in svgs)}"
         )
-    out = "\n".join(lines)
-    if args.out:
-        with open(args.out, "w") as f:
-            f.write(out + "\n")
+    text = "\n".join(lines)
+    if out:
+        with open(out, "w") as f:
+            f.write(text + "\n")
     else:
-        print(out)
+        print(text)
+
+
+def cmd_report(args: argparse.Namespace) -> None:
+    render_report(args.csv, args.detail, args.out, args.svg)
 
 
 def cmd_query(args: argparse.Namespace) -> None:

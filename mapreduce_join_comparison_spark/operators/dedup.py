@@ -132,6 +132,7 @@ def contamination_check(
         F.explode(shingles(text_col, k)).alias("shingle")
     ).distinct()
     return (
+        # bounded: shingles of the EVAL set (benchmark suites are small by nature), never the corpus
         c.join(F.broadcast(e), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("overlap"))

@@ -97,6 +97,7 @@ def equi_join(
     on = _resolve_on(left, right, left_on, right_on)
     if strategy == "broadcast":
         if broadcast_side == "right":
+            # bounded: by operator contract — semi-join reduction IS a dim-keys broadcast; use the runtime bloom filter for dims beyond broadcast size
             return left.join(F.broadcast(right), on, how)
         return F.broadcast(left).join(right, on, how)
     if strategy == "repartition":
@@ -211,6 +212,7 @@ def semi_join_reduced_join(
     dim_on = dim_on or fact_on
     keys = dim.select(dim_on).distinct()
     reduced = fact.join(
+        # bounded: by operator contract — semi-join reduction IS a dim-keys broadcast; use the runtime bloom filter for dims beyond broadcast size
         F.broadcast(keys), fact[fact_on] == keys[dim_on], "left_semi"
     )
     return equi_join(reduced, dim, fact_on, dim_on, "inner", strategy)

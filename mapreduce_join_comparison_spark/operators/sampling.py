@@ -134,6 +134,7 @@ def mix_rebalance(
         (F.col("target") * F.col("alpha") / F.col("share")).alias("keep_frac"),
     )
     return (
+        # bounded: one row per stratum (coarse source labels)
         base.join(F.broadcast(fracs), "_stratum")
         # no floor: keep_frac for the most under-represented stratum is
         # exactly-1 only up to float rounding (t·α/s can evaluate to

@@ -68,6 +68,7 @@ def brute_force_topk(
         corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
     )
     scored = (
+        # bounded: query batch (ANN workload), orders smaller than the corpus
         c.join(F.broadcast(q))
         .withColumn("cosine", cosine_expr("c_vec", "q_vec"))
         .filter(F.col("corpus_id") != F.col("query_id"))
@@ -256,6 +257,7 @@ def projected_rerank_topk(
             .select("query_id", "tb.table", "tb.bucket")
         )
         cand_ids = (
+            # bounded: query batch (ANN workload), orders smaller than the corpus
             ch.join(F.broadcast(qh), ["table", "bucket"])
             .filter(F.col("corpus_id") != F.col("query_id"))
             .select("query_id", "corpus_id")
@@ -263,6 +265,7 @@ def projected_rerank_topk(
         )
         cand = cand_ids.join(c, "corpus_id").join(F.broadcast(q), "query_id")
     else:
+        # bounded: query batch (ANN workload), orders smaller than the corpus
         cand = c.join(F.broadcast(q)).filter(
             F.col("corpus_id") != F.col("query_id")
         )
@@ -380,6 +383,7 @@ def ivf_topk(
         "cell", F.explode(_nearest_cells_expr("q_vec", cents, nprobe))
     )
     scored = (
+        # bounded: query batch (ANN workload), orders smaller than the corpus
         c.join(F.broadcast(q), "cell")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr("c_vec", "q_vec"))
@@ -442,6 +446,7 @@ def lsh_topk(
         .select("query_id", "q_vec", "tb.table", "tb.bucket")
     )
     cand = (
+        # bounded: query batch (ANN workload), orders smaller than the corpus
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "q_vec", "corpus_id", "c_vec")

@@ -484,6 +484,7 @@ def tfidf_top_terms(
     ndocs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
         tf.join(docfreq, "term")
+        # bounded: single-row corpus count
         .crossJoin(F.broadcast(ndocs))
         .select(
             F.col("id"),
@@ -520,16 +521,14 @@ def boilerplate_stats(
 
     Scale shape: shingles are distinct per doc, so the document
     frequency is a plain COUNT per hash with map-side partial agg.
-    Only the (small) set of hashes ABOVE the threshold flows back —
-    broadcast-joined against the exploded shingles, so the corpus-
-    side explode never shuffles for the match; per-doc totals come
-    from a separate fully narrow pass (array size, no explode). No
-    all-pairs stage anywhere, and the ``min_docs`` threshold never
-    materializes a per-doc×per-doc structure. At true boilerplate
-    scale the hot-hash set stays broadcastable by definition
-    (boilerplate = few distinct shingles repeated massively); if it
-    ever outgrows the broadcast budget, the join degrades to a plain
-    hash-partitioned equi-join, nothing worse.
+    Only the set of hashes ABOVE the threshold flows back into the
+    match join. Its size is corpus-df-dependent (true boilerplate is
+    few shingles repeated massively, but a low ``min_docs`` over a
+    huge corpus isn't bounded), so the join carries NO forced
+    broadcast hint: AQE broadcasts it when its runtime size is small
+    and degrades to a hash-partitioned equi-join on ``h`` when it
+    isn't — never an OOM. Per-doc totals come from a separate fully
+    narrow pass (array size, no explode); no all-pairs stage anywhere.
     """
     from ..sources.io import fan_out
 
@@ -544,8 +543,11 @@ def boilerplate_stats(
         .filter(F.col("df") >= min_docs)
         .select("h")
     )
+    # the over-threshold set is corpus-df-dependent (unbounded by
+    # construction) — no forced broadcast; AQE broadcasts it when its
+    # runtime size is small and shuffle-joins on h when it isn't
     n_boiler = (
-        sh.join(F.broadcast(boiler_hashes), "h")
+        sh.join(boiler_hashes, "h")
         .groupBy("id")
         .agg(F.count("*").alias("n_boilerplate"))
     )
@@ -724,9 +726,9 @@ def remove_boilerplate(
     RefinedWeb/CCNet passage-scrub rewritten as positional array
     surgery, entirely in JVM higher-order functions.
 
-    Shape: (1) distinct-shingle document frequency → the small
-    over-threshold hash set, broadcast (boilerplate is by definition
-    few shingles repeated massively); (2) positional shingle explode
+    Shape: (1) distinct-shingle document frequency → the
+    over-threshold hash set (corpus-df-dependent, so no forced
+    broadcast — AQE picks); (2) positional shingle explode
     joins that set → per-doc sorted start positions (one doc-id
     shuffle); (3) narrow rewrite — token j survives unless some start
     s covers it (s ≤ j ≤ s+k−1), then the survivors re-concatenate.
@@ -756,8 +758,10 @@ def remove_boilerplate(
         F.posexplode(positional_shingles(text_col, k)).alias("p0", "s"),
     ).select("id", (F.col("p0") + 1).alias("start"),
              md5_hash32(F.col("s")).alias("h"))
+    # corpus-df-dependent set: AQE decides broadcast vs shuffle (see
+    # boilerplate_stats)
     starts = (
-        pos.join(F.broadcast(boiler_hashes), "h")
+        pos.join(boiler_hashes, "h")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("start")).alias("_starts"))
     )

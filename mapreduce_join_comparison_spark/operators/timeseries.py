@@ -66,6 +66,7 @@ def resample_locf(
     )
     series = binned.select("series").distinct()
     grid = series.crossJoin(
+        # bounded: single global (lo, hi) row
         F.broadcast(bounds).select(
             F.explode(F.sequence("lo", "hi")).alias("bin")
         )

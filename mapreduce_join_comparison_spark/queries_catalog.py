@@ -113,9 +113,12 @@ def join_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiway star join — beyond the reference (binary-only); dims are
-    broadcast, fact shuffles once for the aggregate. At 100 TB the fact
-    table never shuffles for the joins themselves."""
+    """Multiway star join — beyond the reference (binary-only). The
+    FIXED-size dims (nation=25, region=5 rows at every TPC-H SF) carry
+    explicit broadcast hints; customer SCALES with SF (billions of rows
+    at 100 TB), so its join is left to Catalyst/AQE — broadcast when
+    its runtime size allows, shuffle join when it doesn't, instead of a
+    forced hint that OOMs."""
     from pyspark.sql import functions as F
 
     lineitem, orders, customer, nation, region = _load(
@@ -123,7 +126,9 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        # bounded: nation/region are constant-size TPC-H tables (25/5
+        # rows at every scale factor)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -504,10 +509,11 @@ def join_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-shaped conditional aggregate over a broadcast
-    fact⋈dim join; numerator and denominator sum in exact decimal (the
-    tpch_queries money convention) so the whole-corpus accumulation is
-    engine-identical at any scale."""
+    """TPC-H Q14-shaped conditional aggregate over a fact⋈dim join
+    (strategy left to Catalyst/AQE — part scales with SF); numerator
+    and denominator sum in exact decimal (the tpch_queries money
+    convention) so the whole-corpus accumulation is engine-identical
+    at any scale."""
     from pyspark.sql import functions as F
 
     lineitem, part = _load(spark, sf_dir, "lineitem", "part")
@@ -515,8 +521,10 @@ def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
     )
-    j = lineitem.join(F.broadcast(part),
-                      lineitem.l_partkey == part.p_partkey)
+    # part SCALES with SF — no forced broadcast; Catalyst/AQE picks
+    # broadcast at small SF and degrades to a shuffle join at corpus
+    # scale instead of OOMing on a forced hint
+    j = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     return j.agg(
         F.round(
             100.0
@@ -555,6 +563,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _load(spark, sf_dir, "orders")
     bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
     j = orders.join(
+        # bounded: literal band lookup table
         F.broadcast(bands),
         (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
     )
@@ -3204,6 +3213,7 @@ def layout_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status string, status_desc string, is_closed int",
     ).filter("is_closed = 1")
     return fact.join(
+        # bounded: distinct order-status dim (constant few values)
         F.broadcast(dim), fact["o_orderstatus"] == dim["status"]
     ).select("o_orderkey", "o_totalprice", "status_desc")
 

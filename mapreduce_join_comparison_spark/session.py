@@ -19,6 +19,53 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Set runtime-settable session confs for the duration of a block,
+    restoring the previous values (or unsetting) on exit — a leaked
+    conf makes later queries in the same session order-dependent.
+    Keys use ``__`` for ``.`` when passed as kwargs, or pass a dict via
+    ``scoped_conf(spark, **{"spark.sql....": "v"})``."""
+    resolved = {k.replace("__", "."): v for k, v in confs.items()}
+    prev: dict[str, str | None] = {}
+    for k in resolved:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    for k, v in resolved.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+# AQE skew-split thresholds scaled to LOCAL data sizes. The defaults
+# (256 MB skewed-partition threshold / 64 MB advisory target) are sized
+# for cluster-scale partitions: at 100 TB a Zipf hot key blows far past
+# them and AQE splits the skewed partition automatically. A local[32]
+# sweep at 10-20 M rows keeps the hot partition in the tens of MB, so
+# the same mechanism never engages and one straggler thread eats the
+# speedup. Scaling the thresholds down (NOT disabling the factor
+# heuristic) exercises on the laptop exactly the code path the cluster
+# uses.
+LOCAL_SKEW_CONF = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # thresholds compare against COMPRESSED shuffle-partition bytes —
+    # a multi-million-row hot key lands in single-digit MB locally
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+}
+
+
 def get_spark(
     app_name: str = "mapreduce_join_comparison_spark",
     shuffle_partitions: int | None = None,

@@ -86,6 +86,7 @@ def write_zordered(
         aggs += [F.min(c).cast("double").alias(f"_min_{c}"),
                  F.max(c).cast("double").alias(f"_max_{c}")]
     bounds = df.agg(*aggs)
+    # bounded: single-row min/max bounds
     with_key = df.join(F.broadcast(bounds)).withColumn(
         "_zkey",
         zorder_key(

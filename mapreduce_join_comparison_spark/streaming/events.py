@@ -330,6 +330,7 @@ def stream_static_enrich(
     an event stream. No stream state at all: the static side is
     re-broadcast per micro-batch (picking up dim updates), the stream
     side stays append-only. Works unchanged on batch frames."""
+    # bounded: enrichment dim is a dimension table by contract; swap to a stream-stream join when it outgrows broadcast
     return stream.join(F.broadcast(dim), stream[stream_on] == dim[dim_on], "inner")
 
 

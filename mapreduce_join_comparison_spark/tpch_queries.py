@@ -222,6 +222,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_revenue_dec()).alias("total_rev"))
     )
     max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    # bounded: single-row aggregate scalar
     top = revenue.join(F.broadcast(max_rev)).filter(
         F.col("total_rev") == F.col("max_rev")
     )
@@ -267,6 +268,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
         .join(ps, F.col("p_partkey") == F.col("ps_partkey"))
         .join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
+        # bounded: constant-size TPC-H table (nation=25 / region=5 rows at every SF)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
               F.col("n_regionkey") == F.col("r_regionkey"))
@@ -307,6 +309,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     innation = (
         ps.join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(
+            # bounded: constant-size TPC-H table (nation=25 / region=5 rows at every SF)
             F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
@@ -316,6 +319,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = innation.groupBy("ps_partkey").agg(F.sum("v").alias("_sum_v"))
     total = innation.agg((F.sum("v") * 0.001).alias("_threshold"))
     return (
+        # bounded: single-row aggregate scalar
         per_part.join(F.broadcast(total))
         .filter(F.col("_sum_v") > F.col("_threshold"))
         .select("ps_partkey", F.round("_sum_v", 2).alias("value"))
@@ -378,6 +382,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supplier.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(
+            # bounded: constant-size TPC-H table (nation=25 / region=5 rows at every SF)
             F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
@@ -499,6 +504,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
+        # bounded: constant-size TPC-H table (nation=25 / region=5 rows at every SF)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
@@ -583,6 +589,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.join(lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        # bounded: constant-size TPC-H table (nation=25 / region=5 rows at every SF)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -642,6 +649,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        # bounded: constant-size TPC-H table (nation=25 / region=5 rows at every SF)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
               F.col("n1_region") == F.col("r_regionkey"))
@@ -707,6 +715,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
         .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        # bounded: constant-size TPC-H table (nation=25 / region=5 rows at every SF)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
@@ -760,6 +769,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(lineitem.filter(F.col("l_returnflag") == "R"),
               F.col("l_orderkey") == F.col("o_orderkey"))
+        # bounded: constant-size TPC-H table (nation=25 / region=5 rows at every SF)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -1058,6 +1068,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_avg = customer.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
+    # bounded: single-row aggregate scalar
     rich = customer.join(F.broadcast(pos_avg)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
     )

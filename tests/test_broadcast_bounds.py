@@ -1,0 +1,61 @@
+"""Every forced broadcast must carry a documented size bound.
+
+A forced ``F.broadcast(...)`` hint does not degrade — at 100 TB an
+unbounded side OOMs the driver/executors where an AQE-chosen join
+would have fallen back to a shuffle. Round 3's verdict found one such
+hazard (a vocabulary-sized docfreq broadcast in TF-IDF, since removed)
+and round 4's audit removed two more (SF-scaling customer/part dims
+and the corpus-df-dependent boilerplate hash set). This test makes the
+policy mechanical: each surviving call site must have a ``bounded:``
+comment within the six preceding lines stating WHY the broadcast side
+cannot grow with the corpus (single-row aggregate, constant-size
+table, caller contract, ...). New unannotated sites fail here and
+force the author to argue the bound."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+PKG = os.path.join(
+    os.path.dirname(__file__), "..", "mapreduce_join_comparison_spark"
+)
+
+
+def _call_sites():
+    for path in glob.glob(os.path.join(PKG, "**", "*.py"), recursive=True):
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines):
+            stripped = line.strip()
+            if "F.broadcast(" in line and not stripped.startswith("#"):
+                window = "\n".join(lines[max(0, i - 6): i + 1])
+                yield (os.path.relpath(path, PKG), i + 1, window)
+
+
+def test_every_forced_broadcast_documents_its_bound():
+    sites = list(_call_sites())
+    assert sites, "no F.broadcast sites found — glob broken?"
+    missing = [
+        f"{rel}:{lineno}" for rel, lineno, window in sites
+        if "bounded:" not in window
+    ]
+    assert not missing, (
+        "forced broadcast without a documented bound (add a "
+        f"'# bounded: <why this side cannot scale with the corpus>' "
+        f"comment within 6 lines above): {missing}"
+    )
+
+
+def test_no_forced_broadcast_on_known_scaling_tables():
+    """The specific regressions round 4 removed must not come back:
+    no forced broadcast of the SF-scaling TPC-H tables (customer,
+    part, orders, lineitem, supplier) or of a corpus-derived docfreq
+    aggregate."""
+    bad = []
+    for rel, lineno, window in _call_sites():
+        call_line = window.splitlines()[-1]
+        for name in ("customer", "part", "orders", "lineitem",
+                     "supplier", "docfreq", "boiler_hashes"):
+            if f"F.broadcast({name})" in call_line:
+                bad.append(f"{rel}:{lineno} broadcasts {name}")
+    assert not bad, bad

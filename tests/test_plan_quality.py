@@ -304,6 +304,36 @@ def test_scans_prune_columns(spark):
     }
 
 
+def test_zipf_bench_join_plan_budgets(spark, tmp_path):
+    """Plan-shape pins for the generated-zipf bench joins (the verdict
+    flagged a 2x warm 'regression' that was really generation cost
+    bleeding into the measured span — bench.py now stages first and
+    times joins alone; these budgets keep the join plans themselves
+    honest: same shapes as the catalog join_* trio)."""
+    from mapreduce_join_comparison_spark.generator import (
+        generate_zipf_pair,
+    )
+    from mapreduce_join_comparison_spark.operators.joins import equi_join
+
+    dim, fact = generate_zipf_pair(spark, 2000, 200, s=0.8, seed=42)
+    fact.write.parquet(str(tmp_path / "fact"))
+    dim.write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+    expected = {
+        "repartition": (2, "ShuffledHashJoin"),
+        "broadcast": (0, "BroadcastHashJoin"),
+        "merge": (2, "SortMergeJoin"),
+    }
+    for strategy, (max_shuffles, fragment) in expected.items():
+        df = equi_join(fact, dim.selectExpr("k AS dk", "a1 AS d1"),
+                       "k", "dk", "inner", strategy)
+        got = count_shuffles(df)
+        plan = simple_plan(df)
+        assert got <= max_shuffles, f"{strategy}: {got} shuffles:\n{plan}"
+        assert fragment in plan, f"{strategy}: missing {fragment}:\n{plan}"
+
+
 def test_tfidf_docfreq_join_not_force_broadcast(spark):
     """The TF-IDF docfreq side is O(vocabulary) — billions of terms at
     corpus scale — so it must NOT carry a forced broadcast hint (a
