@@ -40,6 +40,49 @@ from .text import document_fingerprint, md5_hash32, shingles
 MERSENNE_P = (1 << 31) - 1
 
 
+def auto_lsh_planes(
+    n_rows: int,
+    target_bucket_rows: int = 32,
+    floor: int = 4,
+    cap: int = 12,
+) -> int:
+    """Hyperplane-bit count sized to the corpus: b ≈ log2(N / target
+    bucket rows), clamped to [floor, cap]. Keeps expected candidates
+    ≈ L·N·target instead of L·N²/2^b with a fixed b — the docstring
+    sizing rule of ``embedding_near_dup_pairs_lsh`` promoted to code.
+    Deterministic per corpus size, and replayable in SQL as
+    LEAST(cap, GREATEST(floor, CEIL(LOG2(GREATEST(n/target, 1.0)))))
+    (exact cross-engine: ceil(log2) only lands on an integer at powers
+    of two, where both engines are exact). numpy's row-major randn
+    stream makes each tier's planes a PREFIX of the cap-tier planes,
+    so an oracle embeds one literal set and filters bit < b."""
+    import math
+
+    if n_rows <= 0:
+        return floor
+    b = math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))
+    return min(cap, max(floor, b))
+
+
+def auto_semdedup_cells(
+    n_rows: int,
+    target_cell_rows: int = 32,
+    floor: int = 16,
+    cap: int = 64,
+) -> int:
+    """Centroid-cell count sized to the corpus: n_cells ≈ N / target
+    cell rows, clamped to [floor, cap] — the ``semdedup_dropped``
+    docstring rule promoted to code (a 10⁹-row corpus at the paper's
+    scale raises ``cap`` and trains real k-means centroids; the clamp
+    keeps the catalog's seeded pool usable). SQL replay:
+    LEAST(cap, GREATEST(floor, CEIL(n/target)))."""
+    import math
+
+    if n_rows <= 0:
+        return floor
+    return min(cap, max(floor, math.ceil(n_rows / target_cell_rows)))
+
+
 def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Seeded (a, b) pairs for the universal hash family; a ∈ [1, p),
     b ∈ [0, p). Deterministic so any engine can replay them."""
@@ -443,9 +486,10 @@ def embedding_near_dup_pairs_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 8,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup, LSH-blocked (the scale path): hash
     every vector into ``n_tables`` independent random-hyperplane
@@ -459,13 +503,20 @@ def embedding_near_dup_pairs_lsh(
     N², so the plan has no BroadcastNestedLoopJoin and survives a
     100× corpus (skewed mega-buckets split by AQE). SIZE n_planes TO
     THE CORPUS: 2^b buckets per table means expected candidates
-    ≈ L·N²/2^b, so keep b ≈ log2(N / target_bucket_rows) — the catalog
-    uses b=4 for its 10³-row test corpus; a 10⁹-row corpus wants
-    b≈16-20 (and true near-dups at cosine ≥0.95 survive b=16 with
-    recall 1-(1-0.9^16)^8 ≈ 0.8; recall per true pair at angle θ is
-    1-(1-(1-θ/π)^b)^L, raise n_tables to recover recall). The
-    all-pairs form above is the recall oracle in tests."""
+    ≈ L·N²/2^b, so keep b ≈ log2(N / target_bucket_rows) — pass
+    ``n_planes=None`` to derive it via ``auto_lsh_planes`` from
+    ``n_rows`` (or a cheap ``df.count()`` when n_rows is absent —
+    parquet answers it from footer stats). A 10⁹-row corpus wants
+    b≈16-20 (raise the helper's cap; true near-dups at cosine ≥0.95
+    survive b=16 with recall 1-(1-0.9^16)^8 ≈ 0.8; recall per true
+    pair at angle θ is 1-(1-(1-θ/π)^b)^L, raise n_tables to recover
+    recall). The all-pairs form above is the recall oracle in tests."""
     from .similarity import dot_expr, hyperplanes, lsh_bucket_expr, norm_expr
+
+    if n_planes is None:
+        n_planes = auto_lsh_planes(
+            n_rows if n_rows is not None else df.count()
+        )
 
     tables = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
@@ -584,6 +635,8 @@ def semdedup_dropped(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tau: float = 0.4,
+    n_cells: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. '23): semantic dedup via coarse cluster
     cells. Every vector is assigned to its nearest centroid (one
@@ -592,9 +645,13 @@ def semdedup_dropped(
     the pair join is cell-co-partitioned, candidates ≈ Σ_cell
     |cell|² instead of N², and cell population is controlled by the
     centroid count, so the plan has no BroadcastNestedLoopJoin and
-    survives a 100× corpus (size n_cells ≈ N / target_cell_rows; a
-    10⁹-row corpus wants ~10⁵ cells, trained k-means centroids via
-    ``similarity.train_ivf_centroids``).
+    survives a 100× corpus. Pass ``n_cells=None`` (with ``centroids``
+    as the pool) to derive the cell count via ``auto_semdedup_cells``
+    from ``n_rows`` / a cheap count — n_cells ≈ N / target_cell_rows;
+    a 10⁹-row corpus wants ~10⁵ cells, trained k-means centroids via
+    ``similarity.train_ivf_centroids``. The first ``n_cells`` pool
+    entries are used, so a seeded pool gives every size tier a
+    deterministic, oracle-replayable quantizer.
 
     A vector is DROPPED when some lower-id cell-mate has cosine ≥ tau
     (deterministic keep-lowest-id rule; the paper keeps the member
@@ -603,6 +660,13 @@ def semdedup_dropped(
     with its smallest-id keeper and the cosine evidence.
     """
     from .similarity import _nearest_cells_expr, dot_expr, norm_expr
+
+    if n_cells is None:
+        n_cells = auto_semdedup_cells(
+            n_rows if n_rows is not None else df.count(),
+            cap=len(centroids),
+        )
+    centroids = centroids[:n_cells]
 
     assigned = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

@@ -328,3 +328,92 @@ def test_boilerplate_removal_empties_exact_clique(spark):
     )
     out = remove_boilerplate(df, k=4, min_docs=3).collect()
     assert all(r["clean_text"] == "" and r["n_removed"] == 5 for r in out)
+
+
+# --- corpus-sized blocking (round-4: auto_lsh_planes / auto_semdedup_cells)
+
+def _lsh_candidate_rate(spark, sf_dir: str) -> float:
+    """Candidate pairs per corpus row for the REGISTERED LSH near-dup
+    blocking at this corpus size (Σ c·(c−1)/2 over (table, bucket)
+    populations — the exact size of the bucket-equi join output before
+    the id-distinct)."""
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_expr,
+    )
+    from mapreduce_join_comparison_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "embeddings")
+    n = df.count()
+    b = dedup.auto_lsh_planes(n)
+    tables = [hyperplanes(64, b, 42 + 1000 * t) for t in range(8)]
+    hashed = df.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"),
+                     lsh_bucket_expr("embedding", planes).alias("bucket"))
+            for t, planes in enumerate(tables)
+        ])).alias("tb"),
+    ).select("vec_id", "tb.table", "tb.bucket")
+    (row,) = (
+        hashed.groupBy("table", "bucket").count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cand"))
+        .collect()
+    )
+    return float(row["cand"]) / n
+
+
+def test_auto_lsh_planes_keeps_candidates_linear(spark):
+    """The round-3 verdict's 'Done' criterion: as the corpus scales
+    (500 rows at sf0.001 → 2000 at sf0.1), the auto-sized bit count
+    must keep candidate pairs ~O(N·bucket) — i.e. the per-row
+    candidate rate roughly CONSTANT. A fixed b would grow the rate
+    linearly with N (4x here)."""
+    r_small = _lsh_candidate_rate(spark, "/root/testdata/sf0.001")
+    r_large = _lsh_candidate_rate(spark, "/root/testdata/sf0.1")
+    assert r_large <= r_small * 2.0, (
+        f"per-row candidate rate grew {r_large / r_small:.2f}x "
+        f"({r_small:.1f} -> {r_large:.1f}) — auto-sizing not engaging"
+    )
+
+
+def test_auto_semdedup_cells_keeps_cell_population_flat(spark):
+    """Same property for SemDeDup: cells scale with the corpus so the
+    mean cell population (and with it Σ|cell|²/N) stays ~flat."""
+    from mapreduce_join_comparison_spark.queries_catalog import (
+        _SEMDEDUP_POOL,
+    )
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        _nearest_cells_expr,
+    )
+    from mapreduce_join_comparison_spark.sources.io import load_table
+
+    rates = {}
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        df = load_table(spark, sf_dir, "embeddings")
+        n = df.count()
+        cents = _SEMDEDUP_POOL[: dedup.auto_semdedup_cells(n, cap=64)]
+        assigned = df.select(
+            F.element_at(
+                _nearest_cells_expr("embedding", cents, 1), 1
+            ).alias("cell")
+        )
+        (row,) = (
+            assigned.groupBy("cell").count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                 .alias("cand"))
+            .collect()
+        )
+        rates[sf_dir] = float(row["cand"]) / n
+    small, large = rates.values()
+    assert large <= small * 2.0, rates
+
+
+def test_auto_sizing_tiers():
+    assert dedup.auto_lsh_planes(500) == 4
+    assert dedup.auto_lsh_planes(2000) == 6
+    assert dedup.auto_lsh_planes(10**9) == 12      # cap
+    assert dedup.auto_lsh_planes(0) == 4           # floor
+    assert dedup.auto_semdedup_cells(500) == 16    # floor
+    assert dedup.auto_semdedup_cells(2000) == 63
+    assert dedup.auto_semdedup_cells(10**6) == 64  # cap
