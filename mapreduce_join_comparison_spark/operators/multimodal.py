@@ -7,10 +7,13 @@ metadata extraction is JVM-side (length / md5 / magic-byte prefix match
 in whole-stage codegen) so a 100 TB blob scan never crosses into
 Python. Decode / feature-extraction runs through ``mapInPandas`` with
 Arrow batches — the real distribution plumbing (schema, batch shape,
-partition mapping) is implemented and tested; the pixel/sample decode
-itself is STUBBED (no image/audio libs in this container): it uses a
-real decoder when one is importable, else a clearly-marked
-deterministic fake derived from the blob hash.
+partition mapping) is implemented and tested. Decoder tiers: PIL when
+importable (full decode), a pure-stdlib CONTAINER-HEADER parser for
+real PNG/GIF/JPEG dimensions (works in this lib-less container), and
+a clearly-marked deterministic hash-derived stub for anything neither
+tier can read (including the catalog's synthetic fixtures, keeping
+oracles replayable). Full pixel/sample decode beyond headers still
+needs PIL/ffmpeg.
 """
 
 from __future__ import annotations
@@ -114,16 +117,83 @@ def _stub_dims(b: bytes) -> tuple[int, int, int]:
     return 16 + h % 2048, 16 + (h >> 11) % 2048, 1 + (h >> 22) % 4
 
 
+# PNG color type -> channel count (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_dims_header(b: bytes, fmt: str) -> tuple[int, int, int] | None:
+    """REAL dimension extraction from container headers, pure stdlib —
+    PNG IHDR, GIF logical screen descriptor, JPEG SOF scan. Strictly
+    validated: any structural anomaly returns None (caller falls back
+    to PIL-or-stub), so synthetic magic-prefix-plus-text fixtures never
+    mis-parse. This is the middle decoder tier: full pixel decode needs
+    PIL/ffmpeg, but width/height/channels — the features this schema
+    exposes — are honestly decodable from bytes alone."""
+    import struct
+
+    try:
+        if fmt == "png":
+            # 8-byte signature | 4-byte length (must be 13) | 'IHDR' |
+            # width | height | bit depth | color type ...
+            if len(b) < 26 or b[8:12] != b"\x00\x00\x00\x0d" \
+                    or b[12:16] != b"IHDR":
+                return None
+            w, h = struct.unpack(">II", b[16:24])
+            color_type = b[25]
+            if not (0 < w < 1 << 24 and 0 < h < 1 << 24):
+                return None
+            channels = _PNG_CHANNELS.get(color_type)
+            return (w, h, channels) if channels else None
+        if fmt == "gif":
+            if len(b) < 11:
+                return None
+            w, h = struct.unpack("<HH", b[6:10])
+            # palette-indexed RGB — report the rendered channel count
+            return (w, h, 3) if w and h else None
+        if fmt == "jpeg":
+            # walk marker segments to a start-of-frame (SOF0..SOF15,
+            # minus DHT/JPG/DAC which share the range but aren't SOFs)
+            i = 2
+            while i + 9 <= len(b):
+                if b[i] != 0xFF:
+                    return None
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+                if seg_len < 2:
+                    return None
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                             0xCC):
+                    if i + 9 > len(b):
+                        return None
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    channels = b[i + 9]
+                    return (w, h, channels) if w and h else None
+                i += 2 + seg_len
+            return None
+    except Exception:
+        return None
+    return None
+
+
 def decode_image_features(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:
     """Image decode / feature extraction over Arrow batches.
 
-    Real path: PIL if importable (not in this container). Stub path:
-    deterministic fake dims from md5 (marked ``decoder='stub'``). The
-    mapInPandas contract — iterator of pandas batches in, iterator out,
-    one Python worker per partition — is the exact shape a real decoder
-    plugs into.
+    Three decoder tiers, best available per blob:
+      1. ``pil`` — full decode via PIL when importable;
+      2. ``header`` — REAL width/height/channels parsed from PNG IHDR /
+         GIF screen descriptor / JPEG SOF with stdlib only (strictly
+         validated, so malformed bytes fall through);
+      3. ``stub`` — deterministic fake dims from md5 (the catalog's
+         synthetic magic-prefix fixtures land here by design, keeping
+         the driver oracle engine-replayable).
+    The mapInPandas contract — iterator of pandas batches in, iterator
+    out, one Python worker per partition — is the exact shape any
+    further decoder plugs into.
     """
 
     def decode(batches: Iterator) -> Iterator:
@@ -150,18 +220,22 @@ def decode_image_features(
                     if b[: len(magic) // 2].hex().upper().startswith(magic):
                         fmt = name
                         break
+                decoded = None
                 if have_pil and fmt in ("png", "jpeg", "gif"):
-                    try:  # pragma: no cover
+                    try:  # pragma: no cover - PIL absent here
                         img = Image.open(_io.BytesIO(b))
-                        w, h = img.size
-                        c = len(img.getbands())
+                        decoded = (*img.size, len(img.getbands()))
                         decoders.append("pil")
                     except Exception:
-                        w, h, c = _stub_dims(b)
-                        decoders.append("stub")
-                else:
-                    w, h, c = _stub_dims(b)
+                        decoded = None
+                if decoded is None and fmt in ("png", "jpeg", "gif"):
+                    decoded = _parse_dims_header(b, fmt)
+                    if decoded is not None:
+                        decoders.append("header")
+                if decoded is None:
+                    decoded = _stub_dims(b)
                     decoders.append("stub")
+                w, h, c = decoded
                 fmts.append(fmt)
                 widths.append(w)
                 heights.append(h)

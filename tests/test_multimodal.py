@@ -87,3 +87,95 @@ def test_frame_sample_fanout(spark, blobs):
     )
     expect = hashlib.md5((blob0.hex().upper() + "2").encode()).hexdigest()
     assert one[0]["frame_md5"] == expect
+
+
+# --- real container-header decode tier (round 4) -------------------------
+
+def _make_png(w: int, h: int, color_type: int = 2) -> bytes:
+    """A fully valid (CRC'd, zlib'd) minimal PNG built with stdlib."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * (w * channels) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _make_gif(w: int, h: int) -> bytes:
+    import struct
+
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + b"\xf0\x00\x00"          # flags, bg, aspect
+            + b"\x00\x00\x00\xff\xff\xff"  # 2-entry palette
+            + b"\x3b")                  # trailer
+
+
+def _make_jpeg(w: int, h: int, channels: int = 3) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" + b"\x00" * 7
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(channels))
+    sof_payload = struct.pack(">BHHB", 8, h, w, channels) + comp
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_header_decode_real_images(spark):
+    """Real PNG/GIF/JPEG bytes decode their TRUE dimensions through the
+    stdlib header tier (decoder='header'), with or without PIL — PIL,
+    when present, reports identical dims under decoder='pil'."""
+    rows = [
+        (1, _make_png(3, 2, color_type=2)),        # 3x2 RGB
+        (2, _make_png(640, 480, color_type=6)),    # RGBA
+        (3, _make_gif(17, 9)),
+        (4, _make_jpeg(33, 21, channels=3)),
+        (5, b"\x89PNG\r\n\x1a\n" + b"not a real chunk"),  # corrupt
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    out = {r["doc_id"]: r for r in decode_image_features(df).collect()}
+    expect = {1: (3, 2, 3), 2: (640, 480, 4), 3: (17, 9, 3),
+              4: (33, 21, 3)}
+    for doc_id, (w, h, c) in expect.items():
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c), r
+        assert r["decoder"] in ("header", "pil"), r
+    # corrupt header falls through to the deterministic stub
+    r = out[5]
+    assert r["decoder"] == "stub"
+    assert (r["width"], r["height"], r["channels"]) == _stub_dims(rows[4][1])
+
+
+def test_header_parser_rejects_catalog_fixtures():
+    """The catalog's synthetic blobs (magic prefix + text payload) must
+    NEVER header-parse — the driver oracle replays stub semantics."""
+    from mapreduce_join_comparison_spark.operators.multimodal import (
+        _parse_dims_header,
+    )
+
+    png_fixture = b"\x89PNG\r\n\x1a\n" + "The quick brown fox".encode()
+    jpeg_fixture = b"\xff\xd8\xff\xe0" + "Lorem ipsum dolor".encode()
+    assert _parse_dims_header(png_fixture, "png") is None
+    assert _parse_dims_header(jpeg_fixture, "jpeg") is None
+    assert _parse_dims_header(b"", "png") is None
+    assert _parse_dims_header(b"GIF89a\x00\x00\x00\x00", "gif") is None
+
+
+def test_pil_tier_when_available(spark):
+    """When PIL IS importable the pil tier takes precedence and agrees
+    with the header parse; skipped (not failed) in lib-less containers
+    so the suite passes both with and without PIL."""
+    pytest.importorskip("PIL")
+    df = spark.createDataFrame(
+        [(1, _make_png(5, 7, color_type=2))], "doc_id bigint, blob binary"
+    )
+    (r,) = decode_image_features(df).collect()
+    assert r["decoder"] == "pil"
+    assert (r["width"], r["height"], r["channels"]) == (5, 7, 3)
