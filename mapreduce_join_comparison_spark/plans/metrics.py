@@ -106,7 +106,11 @@ def task_time_summary(spark) -> dict[str, float]:
             if n:
                 per_stage.append(sd.executorRunTime() / n)
     except Exception:
-        pass
+        # statusStore is a private JVM surface that shifts across Spark
+        # minors; task-skew telemetry is advisory, so a read failure
+        # degrades to the explicit all-zero result below rather than
+        # failing the job being measured
+        per_stage = []
     if not per_stage:
         return {"mean_task_ms": 0.0, "median_task_ms": 0.0, "max_task_ms": 0.0}
     return {
