@@ -206,6 +206,9 @@ HEADLINE = [
     "events_anomaly_zscore",
     "text_bigram_fluency",
     "pipeline_corpus_card",
+    "text_inverted_index",
+    "dedup_exact_survivor",
+    "sample_reservoir_per_group",
 ]
 
 

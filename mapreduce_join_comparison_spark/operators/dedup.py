@@ -779,3 +779,33 @@ def substring_containment_pairs(
             (F.col("shared") / F.col("n_a")).alias("containment"),
         )
     )
+
+
+def exact_dedup_survivor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    priority_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exact dedup with an explicit SURVIVORSHIP POLICY: one survivor
+    per content fingerprint, chosen by lexicographic order over
+    ``priority_cols`` (e.g. most-trusted source first) with ``id_col``
+    as the final tiebreak — the policy knob ``exact_dedup``'s min-id
+    convention lacks, and the form a real corpus merge needs (keep the
+    copy from the curated source, drop the crawl copies).
+
+    Scale: identical to ``exact_dedup`` — one hash Exchange on the
+    fingerprint; row_number and the partition-wide copy count share
+    that single Exchange (same partition key). No collect, state
+    bounded by the window sort which spills."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(c) for c in priority_cols] + [F.col(id_col)]
+    wp = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", document_fingerprint(text_col))
+        .withColumn("rn", F.row_number().over(wp.orderBy(*order)))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wp).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -151,3 +151,30 @@ def mix_rebalance(
             "n_tokens",
         )
     )
+
+
+def hash_reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 50,
+    salt: str = "rsv",
+) -> DataFrame:
+    """Deterministic per-group k-sample: rank each group's rows by
+    md5(key ∥ salt) and keep the ``k`` smallest — the distributed,
+    seed-free analogue of per-group reservoir sampling (uniform over
+    the group because the hash order is independent of the data order;
+    membership a pure function of the key, so stable under re-runs,
+    repartitioning, and engine swaps, where a true reservoir scan is
+    order-dependent and single-threaded per group).
+
+    Scale: one hash Exchange on ``group_col``; the window sort spills
+    and emits a bounded ``k`` rows per group. ``sample_rank`` (1-based
+    hash-order rank) is part of the output so downstream can shrink
+    the sample to any k' ≤ k without resampling."""
+    h = md5_hash32(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

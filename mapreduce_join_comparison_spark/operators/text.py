@@ -794,3 +794,51 @@ def remove_boilerplate(
             (n - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Term → posting-list index: ``(term, doc_freq, postings_head)``
+    where ``postings_head`` is the ``max_postings`` smallest doc ids
+    joined with ','. The classic MapReduce workload (scale extension;
+    the reference's WordCount-shaped pipelines stop at counting —
+    ``RepartitionJoin.java`` tags rows but never builds an index).
+
+    Scale plan: per-doc ``array_distinct`` makes (doc, term) pairs
+    unique WITHOUT a distinct shuffle; one hash Exchange on ``term``
+    feeds both the row_number window and the group-by (same key, so
+    Catalyst reuses the partitioning). The posting list is capped by
+    rank BEFORE collect_list, so per-group state is O(max_postings),
+    not O(doc_freq) — a hot term with 10⁹ postings costs a count and
+    a 20-element array, never an unbounded buffer."""
+    from pyspark.sql.window import Window
+
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_PATTERN))
+        ).alias("term"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") <= max_postings, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_head"),
+        )
+    )

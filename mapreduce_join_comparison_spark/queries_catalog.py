@@ -3973,6 +3973,144 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-4 scale extensions: inverted index, dedup survivorship policy,
+# per-group deterministic reservoir sampling, streaming dedup-within-
+# watermark. Same oracle conventions as the earlier families.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_inverted_index",
+    f"""
+    WITH p AS (
+      SELECT DISTINCT doc_id, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
+    ),
+    r AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM p
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           string_agg(CASE WHEN rn <= 20 THEN doc_id::VARCHAR END,
+                      ',' ORDER BY doc_id) AS postings_head
+    FROM r GROUP BY term
+    """,
+)
+def text_inverted_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → posting-list index, the classic MapReduce workload: per-
+    term document frequency plus the 20 smallest doc ids as a capped
+    posting head. The cap is applied by RANK before any list is
+    collected, so a hot term costs O(20) state, not O(doc_freq) —
+    the property that keeps the build alive on a 100 TB corpus."""
+    from .operators.text import inverted_index
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return inverted_index(documents, max_postings=20)
+
+
+@register(
+    "dedup_exact_survivor",
+    """
+    WITH f AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, doc_id, source,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM (
+      SELECT fingerprint, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY source, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+      FROM f
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_survivor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a survivorship POLICY: per content fingerprint
+    keep the copy from the lexicographically-first source (the
+    trusted-source-wins rule of a corpus merge), id as tiebreak —
+    versus dedup_exact's min-id convention. One shuffle; rank and the
+    copy count share the fingerprint Exchange."""
+    from .operators.dedup import exact_dedup_survivor
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return exact_dedup_survivor(documents).select(
+        "fingerprint", "doc_id", "source", "n_copies"
+    )
+
+
+@register(
+    "sample_reservoir_per_group",
+    """
+    SELECT source, doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM (
+      SELECT source, doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'rsv'), 1, 8))::BIGINT,
+                        doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 40
+    """,
+)
+def sample_reservoir_per_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source 40-doc sample by md5 hash order — the
+    seed-free distributed analogue of per-group reservoir sampling
+    (uniform over each group, membership a pure function of the key).
+    The oracle replays the identical md5-prefix arithmetic."""
+    from .operators.sampling import hash_reservoir_per_group
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return hash_reservoir_per_group(
+        documents, group_col="source", key_col="doc_id", k=40
+    ).select("source", "doc_id", "lang", "sample_rank")
+
+
+@register(
+    "events_stream_dedup",
+    """
+    SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us, user_id,
+           event_type, value
+    FROM events
+    """,
+)
+def events_stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: the event stream
+    unioned with itself (every row arrives twice in the micro-batch)
+    flows through dropDuplicatesWithinWatermark(event_id), which must
+    reconstruct exactly the original relation — the batch oracle is
+    simply SELECT * FROM events. Watermark caps the dedup state to the
+    1-hour horizon, the property that distinguishes this from an
+    unbounded dropDuplicates at 100 TB/day event volume."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .streaming.events import (
+        load_events_stream,
+        run_stream_to_memory,
+        stream_dedup,
+    )
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    stream = load_events_stream(spark, path)
+    doubled = stream.unionByName(load_events_stream(spark, path))
+    deduped = stream_dedup(doubled, watermark="1 hour", keys=["event_id"])
+    out = deduped.select(
+        "event_id",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+# --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------
 

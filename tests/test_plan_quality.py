@@ -222,6 +222,13 @@ EXPECTATIONS = {
     # fingerprint window + per-source agg — one corpus-wide exchange
     # plus the tiny source aggregate
     "pipeline_corpus_card": (2, "Window"),
+    # one term exchange shared by the rank window and the group-by
+    # (postings capped by rank BEFORE collect_list)
+    "text_inverted_index": (1, "Window"),
+    # rank + copy-count windows share the single fingerprint exchange
+    "dedup_exact_survivor": (1, "Window"),
+    # one group exchange; the hash-order window emits ≤ k rows/group
+    "sample_reservoir_per_group": (1, "Window"),
 }
 
 
