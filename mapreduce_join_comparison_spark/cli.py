@@ -462,6 +462,31 @@ def cmd_query(args: argparse.Namespace) -> None:
             print(row)
 
 
+def cmd_sql(args: argparse.Namespace) -> None:
+    """Ad-hoc ANSI SQL over the driver tables — the interactive surface
+    an analytics engine owes its users beyond the fixed catalog. Every
+    table registers as a temp view via the footer-normalizing loader
+    (so timestamp physical-type drift can't bite ad-hoc queries
+    either), then the statement goes straight to Catalyst."""
+    from .sources import load_tables
+
+    spark = _spark("sql", args.reducers)
+    load_tables(spark, args.sf_dir)
+    df = spark.sql(args.statement)
+    if args.explain:
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        ))
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for row in df.limit(args.limit).collect():
+            print(row)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mapreduce_join_comparison_spark",
                                 description=__doc__)
@@ -532,6 +557,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the formatted physical plan first")
     q.add_argument("--reducers", type=int, default=None)
     q.set_defaults(func=cmd_query)
+
+    a = sub.add_parser(
+        "sql", help="run ad-hoc SQL over the driver tables (temp views)"
+    )
+    from .sources.io import TABLES
+
+    a.add_argument("statement", help="ANSI SQL; tables: " + ", ".join(TABLES))
+    a.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    a.add_argument("--limit", type=int, default=20,
+                   help="rows to print (ignored with --out)")
+    a.add_argument("--out", default=None, help="write result parquet here")
+    a.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan first")
+    a.add_argument("--reducers", type=int, default=None)
+    a.set_defaults(func=cmd_sql)
     return p
 
 

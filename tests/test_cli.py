@@ -117,3 +117,24 @@ def test_cli_query_run_and_list(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "Physical Plan" in printed
     assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_sql_adhoc(spark, capsys):
+    main(["sql",
+          "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+          "--sf-dir", SF_SMOKE])
+    printed = capsys.readouterr().out
+    assert "o_orderstatus=" in printed and "n=" in printed
+
+
+def test_cli_sql_joins_documents_and_events(spark, capsys):
+    # ad-hoc SQL sees every driver table as a view, including the
+    # LLM-pipeline tables, through the footer-normalizing loader
+    main(["sql",
+          "SELECT (SELECT COUNT(*) FROM documents) AS docs, "
+          "(SELECT COUNT(*) FROM events) AS evts, "
+          "(SELECT COUNT(*) FROM embeddings) AS embs",
+          "--sf-dir", SF_SMOKE])
+    printed = capsys.readouterr().out
+    assert "docs=" in printed and "evts=" in printed and "embs=" in printed
