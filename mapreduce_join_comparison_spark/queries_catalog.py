@@ -48,6 +48,30 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+def _values_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    """Small lookup table as a VALUES relation (a LocalRelation after
+    folding) instead of ``spark.createDataFrame`` — an RDD-backed scan
+    is opaque to the planner: no pruning/pushdown and, worse, no
+    canonical identity, which silently defeats exchange reuse
+    (tests/test_plan_quality.py::test_no_rdd_backed_scans)."""
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return f"CAST({v!r} AS DOUBLE)"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        raise TypeError(f"unsupported VALUES literal: {type(v)}")
+
+    values = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t({', '.join(cols)})")
+
+
 # --------------------------------------------------------------------------
 # J1/J2/J3 — the reference's three join strategies on the same logical
 # query (customer ⋈ orders). One oracle proves strategy-independence:
@@ -561,7 +585,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     (orders,) = _load(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    bands = _values_df(spark, _BANDS, ["band", "lo", "hi"])
     j = orders.join(
         # bounded: literal band lookup table
         F.broadcast(bands),
@@ -3071,9 +3095,8 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy, _reason = advise_strategy(ldf, rdf, lk, rk,
                                             broadcast_budget_bytes=budget)
         rows.append((lname, rname, label, strategy))
-    return spark.createDataFrame(
-        rows,
-        "left_table string, right_table string, budget string, strategy string",
+    return _values_df(
+        spark, rows, ["left_table", "right_table", "budget", "strategy"]
     )
 
 
@@ -3227,9 +3250,10 @@ def layout_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), "spark_graft_dpp_orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     fact = spark.read.parquet(path)
-    dim = spark.createDataFrame(
+    dim = _values_df(
+        spark,
         [("F", "finished", 1), ("O", "open", 0), ("P", "pending", 0)],
-        "status string, status_desc string, is_closed int",
+        ["status", "status_desc", "is_closed"],
     ).filter("is_closed = 1")
     return fact.join(
         # bounded: distinct order-status dim (constant few values)

@@ -297,6 +297,31 @@ def test_catalog_wide_nested_loop_allowlist(spark, name):
     )
 
 
+# Queries allowed to carry an RDD-backed scan, with the reason.
+_RDD_SCAN_ALLOWED = {
+    "dedup_clusters": "localCheckpoint lineage truncation in the CC "
+                      "iteration (deliberate; single-use, never "
+                      "self-joined, so reuse/pruning don't apply)",
+}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(qc.QUERIES) if not n.startswith("events_stream")]
+)
+def test_no_rdd_backed_scans(spark, name):
+    """No catalog plan may contain a Python-RDD-backed scan. An RDD
+    scan's identity does not canonicalize, which silently defeats
+    exchange reuse (a self-join over it shuffles the corpus TWICE —
+    measured when a centroid pool was shipped as a
+    spark.createDataFrame crossJoin), and it is opaque to column
+    pruning / filter pushdown. Constants belong in constant-folded
+    literals or VALUES relations (queries_catalog._values_df)."""
+    if name in _RDD_SCAN_ALLOWED:
+        return
+    plan = simple_plan(qc.QUERIES[name](spark, SF_SMOKE))
+    assert "Scan ExistingRDD" not in plan, f"{name}:\n{plan}"
+
+
 def test_scans_prune_columns(spark):
     """Catalog queries that project few columns must not scan all of
     them (ReadSchema pruned to what's referenced)."""
