@@ -209,6 +209,9 @@ HEADLINE = [
     "text_inverted_index",
     "dedup_exact_survivor",
     "sample_reservoir_per_group",
+    "corpus_shuffle_shards",
+    "text_quality_prune",
+    "events_resample_interpolate",
 ]
 
 

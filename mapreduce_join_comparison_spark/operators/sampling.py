@@ -153,6 +153,39 @@ def mix_rebalance(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training-order shuffle, materialized as a
+    shard assignment: each row gets ``shard_id = h % n_shards`` and a
+    1-based ``pos_in_shard`` rank by hash order, where
+    h = md5(key ∥ salt). Reading shards round-robin by
+    (pos_in_shard, shard_id) replays a uniform global permutation of
+    the corpus — the example-order shuffle a training run needs —
+    without ever building a global sequence number.
+
+    Seed-free and engine-reproducible (pure function of the key), so
+    the epoch order is stable under re-runs, repartitioning, and
+    engine swaps; change ``salt`` per epoch for a fresh permutation.
+
+    Scale: one hash Exchange on ``shard_id`` plus a per-shard sort —
+    no global single-partition window (the classic
+    ``row_number() OVER (ORDER BY ...)`` global-position approach
+    serializes the whole corpus through one task). Size ``n_shards``
+    to ~corpus_rows / 10M so each shard's sort fits an executor."""
+    h = md5_hash32(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy("shard_id").orderBy(F.col("_h"), F.col(key_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard_id", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
+
+
 def hash_reservoir_per_group(
     df: DataFrame,
     group_col: str,

@@ -93,6 +93,55 @@ def quality_score(col: Column | str) -> Column:
     return ((len_score + sw_score + punct_pen + wordlen_score) / 4.0).cast("double")
 
 
+def quality_percentile_prune(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id", "lang"),
+    drop_pct: int = 30,
+) -> DataFrame:
+    """Drop the lowest-quality ``drop_pct`` percent of the corpus by
+    quality-score percentile — the "keep the top X% by classifier
+    score" pruning step of a training-data pipeline.
+
+    The percentile threshold is computed EXACTLY without a global sort
+    or a collect-all ``percentile()`` aggregate (both scale hazards):
+    scores quantize to integer milli-units (≤ 1001 distinct values in
+    [0, 1000]), so a groupBy histogram is a BOUNDED aggregate; the
+    threshold is the smallest milli-score whose cumulative count
+    reaches ``drop_pct``% (integer arithmetic — ``cum·100 ≥ pct·n`` —
+    so both engines pick the identical bucket), found with a window
+    over ≤ 1001 rows and broadcast back as a single-row join.
+
+    Rows AT the threshold bucket are kept (the drop is ≤ drop_pct%).
+    Plan: one narrow scoring pass feeding a bounded-cardinality
+    shuffle, a tiny window, and a broadcast filter over a second
+    narrow scan — nothing grows with corpus size except the two scans.
+    """
+    from pyspark.sql.window import Window
+
+    qm = F.round(quality_score(text_col) * 1000).cast("bigint")
+    scored = df.select(*keep_cols, qm.alias("q_milli"))
+    hist = scored.groupBy("q_milli").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = Window.orderBy("q_milli").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "q_milli",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    thr = (
+        cum.filter(F.col("_cum") * 100 >= F.lit(drop_pct) * F.col("_n"))
+        .agg(F.min("q_milli").alias("_q_thr"))
+    )
+    return (
+        # bounded: single-row threshold scalar
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("q_milli") >= F.col("_q_thr"))
+        .select(*keep_cols, "q_milli")
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Marker-lexicon language ID: argmax over per-language marker-token
     hit counts; 'und' when nothing matches. Ties break by language code

@@ -30,18 +30,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def resample_locf(
+def _dense_per_bin(
     events: DataFrame,
-    bin_micros: int = 900_000_000,
-    series_col: str = "event_type",
-    ts_col: str = "ts",
-    value_col: str = "value",
-    tiebreak_col: str = "event_id",
+    bin_micros: int,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
 ) -> DataFrame:
-    """Dense per-series timeline at ``bin_micros`` resolution:
-    (series, bin_start_us, n_events, value_locf) where gap bins carry
-    n_events = 0 and the last observed value; bins before a series'
-    first observation keep NULL."""
+    """Shared resample front half: bin events, collapse each
+    (series, bin) to (n_events, last observed value), left-join onto
+    the dense series × [min, max] bin grid (gap bins carry NULL
+    last_v). One partial-agg shuffle of the raw events; the grid is
+    O(series × bins) ≪ O(events)."""
     us = F.unix_micros(F.col(ts_col))
     binned = events.select(
         F.col(series_col).alias("series"),
@@ -71,7 +72,24 @@ def resample_locf(
             F.explode(F.sequence("lo", "hi")).alias("bin")
         )
     )
-    joined = grid.join(per_bin, ["series", "bin"], "left")
+    return grid.join(per_bin, ["series", "bin"], "left")
+
+
+def resample_locf(
+    events: DataFrame,
+    bin_micros: int = 900_000_000,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Dense per-series timeline at ``bin_micros`` resolution:
+    (series, bin_start_us, n_events, value_locf) where gap bins carry
+    n_events = 0 and the last observed value; bins before a series'
+    first observation keep NULL."""
+    joined = _dense_per_bin(
+        events, bin_micros, series_col, ts_col, value_col, tiebreak_col
+    )
     w_fill = (
         Window.partitionBy("series")
         .orderBy("bin")
@@ -84,6 +102,65 @@ def resample_locf(
         F.round(
             F.last("last_v", ignorenulls=True).over(w_fill), 4
         ).alias("value_locf"),
+    )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    bin_micros: int = 900_000_000,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """LINEAR-interpolation twin of ``resample_locf``: gap bins between
+    two observations get the straight-line value between the previous
+    and next observed (bin, value); bins after the last observation
+    carry it forward (LOCF tail); bins before the first stay NULL.
+
+    Cross-engine determinism: observed values quantize to integer
+    MILLI-units first (the ``rolling_zscore_anomalies`` convention —
+    a scale-0 round has no engine-divergent internal multiply), so
+    every subsequent step — vm0 + ((vm1 − vm0)·(bin − b0)) / (b1 − b0),
+    then /1000.0 — is a single correctly-rounded IEEE-754 op over
+    EXACTLY-representable operands: any engine reproduces the double
+    bit-for-bit, and the result ships UNROUNDED (a final ROUND(x, k)
+    is where engines disagree on .5-boundary doubles). The observed-bin
+    case is guarded by ``b1 ≤ b0`` (never a 0/0 division, whose
+    NULL-vs-NaN semantics differ between engines).
+
+    Scale: the shared ``_dense_per_bin`` shuffle, then prev/next
+    observation lookups as two opposite-frame ignore-nulls windows
+    over the SAME (series, bin) sort — one extra exchange total, grid
+    sized O(series × bins)."""
+    joined = _dense_per_bin(
+        events, bin_micros, series_col, ts_col, value_col, tiebreak_col
+    ).withColumn("_vm", F.round(F.col("last_v") * 1000).cast("bigint"))
+    w_prev = (
+        Window.partitionBy("series")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("series")
+        .orderBy("bin")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bin = F.when(F.col("_vm").isNotNull(), F.col("bin"))
+    vm0 = F.last("_vm", ignorenulls=True).over(w_prev)
+    b0 = F.last(obs_bin, ignorenulls=True).over(w_prev)
+    vm1 = F.first("_vm", ignorenulls=True).over(w_next)
+    b1 = F.first(obs_bin, ignorenulls=True).over(w_next)
+    interp_milli = (
+        F.when(vm0.isNull(), F.lit(None).cast("double"))
+        .when(vm1.isNull() | (b1 <= b0), vm0.cast("double"))
+        .otherwise(vm0 + ((vm1 - vm0) * (F.col("bin") - b0)) / (b1 - b0))
+    )
+    return joined.select(
+        "series",
+        (F.col("bin") * F.lit(bin_micros)).cast("bigint").alias("bin_start_us"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        (interp_milli / F.lit(1000.0)).alias("value_interp"),
     )
 
 

@@ -2233,6 +2233,78 @@ def events_resample_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_locf(events, bin_micros=900_000_000)
 
 
+@register(
+    "events_resample_interpolate",
+    """
+    WITH e AS (
+      SELECT event_type AS series,
+             epoch_us(ts::TIMESTAMP) // 900000000 AS bin,
+             epoch_us(ts::TIMESTAMP) AS us, value, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY series, bin ORDER BY us DESC, event_id DESC
+      ) AS rn FROM e
+    ),
+    per_bin AS (
+      SELECT series, bin, COUNT(*) AS n_events,
+             MAX(CASE WHEN rn = 1 THEN value END) AS last_v
+      FROM ranked GROUP BY series, bin
+    ),
+    bounds AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi FROM e),
+    grid AS (
+      SELECT s.series, g.bin
+      FROM (SELECT DISTINCT series FROM e) s,
+           (SELECT unnest(generate_series(lo, hi)) AS bin FROM bounds) g
+    ),
+    j AS (
+      SELECT grid.series, grid.bin, per_bin.n_events,
+             CAST(ROUND(per_bin.last_v * 1000) AS BIGINT) AS vm
+      FROM grid LEFT JOIN per_bin
+        ON grid.series = per_bin.series AND grid.bin = per_bin.bin
+    ),
+    w AS (
+      SELECT series, bin, n_events,
+             last_value(vm IGNORE NULLS) OVER (
+               PARTITION BY series ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS vm0,
+             last_value(CASE WHEN vm IS NOT NULL THEN bin END
+                        IGNORE NULLS) OVER (
+               PARTITION BY series ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS b0,
+             first_value(vm IGNORE NULLS) OVER (
+               PARTITION BY series ORDER BY bin
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vm1,
+             first_value(CASE WHEN vm IS NOT NULL THEN bin END
+                         IGNORE NULLS) OVER (
+               PARTITION BY series ORDER BY bin
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b1
+      FROM j
+    )
+    SELECT series, CAST(bin * 900000000 AS BIGINT) AS bin_start_us,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN vm0 IS NULL THEN NULL
+                     WHEN vm1 IS NULL OR b1 <= b0 THEN CAST(vm0 AS DOUBLE)
+                     ELSE vm0 + ((vm1 - vm0) * (bin - b0)) / (b1 - b0)
+                END AS DOUBLE) / 1000.0 AS value_interp
+    FROM w
+    """,
+)
+def events_resample_interpolate_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LINEAR gap-fill resample — the interpolation twin of
+    events_resample_locf (same dense grid, straight-line values in
+    interior gaps, LOCF tail). Value-checked because the interpolation
+    is one fixed IEEE-754 expression tree both engines evaluate
+    identically (operators.timeseries.resample_interpolate)."""
+    from .operators.timeseries import resample_interpolate
+
+    (events,) = _load(spark, sf_dir, "events")
+    return resample_interpolate(events, bin_micros=900_000_000)
+
+
 # --------------------------------------------------------------------------
 # Events: time-window aggregation, sessionization, JSON props — batch
 # forms here (oracle-checked); the streaming forms run the SAME plan
@@ -2655,6 +2727,87 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(
         documents, "lang", fractions, key_col="doc_id", salt="mix"
     ).select("doc_id", "lang")
+
+
+@register(
+    "corpus_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'shuf'), 1, 8))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id, CAST(hv % 8 AS INT) AS shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY hv % 8 ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle as a shard
+    assignment (shard_id, pos_in_shard by md5 hash order) — reading
+    shards round-robin replays a uniform global permutation for epoch
+    ordering without a global row_number (which would serialize the
+    corpus through one task). Seed-free md5 arithmetic, so the oracle
+    replays the identical permutation
+    (operators.sampling.shuffle_shards)."""
+    from .operators.sampling import shuffle_shards
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return shuffle_shards(documents, "doc_id", n_shards=8, salt="shuf").select(
+        "doc_id", "shard_id", "pos_in_shard"
+    )
+
+
+@register(
+    "text_quality_prune",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, t -> lower(t) IN {_STOPWORDS_SQL})) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+               / greatest(len(toks), 1) AS mean_token_len
+      FROM t
+    ), q AS (
+      SELECT doc_id, lang,
+             CAST(ROUND((least(n_tokens / 50.0, 1.0)
+                   + least(stopword_ratio * 4.0, 1.0)
+                   + greatest(0.0, 1.0 - punct_ratio * 5.0)
+                   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                          THEN 1.0 ELSE 0.5 END) / 4.0 * 1000) AS BIGINT) AS q_milli
+      FROM m
+    ), h AS (
+      SELECT q_milli, COUNT(*) AS c FROM q GROUP BY 1
+    ), c AS (
+      SELECT q_milli,
+             SUM(c) OVER (ORDER BY q_milli ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS n
+      FROM h
+    ), thr AS (
+      SELECT MIN(q_milli) AS t FROM c WHERE cum * 100 >= 30 * n
+    )
+    SELECT q.doc_id, q.lang, q.q_milli FROM q, thr WHERE q.q_milli >= thr.t
+    """,
+)
+def text_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold corpus pruning: drop the bottom ~30% of
+    documents by quality score, with the exact threshold found via a
+    BOUNDED milli-score histogram (≤ 1001 buckets) instead of a global
+    sort or collect-all percentile — the scale-safe form of "keep the
+    top X% by classifier score". Integer threshold arithmetic
+    (cum·100 ≥ 30·n) makes both engines pick the identical bucket
+    (operators.text.quality_percentile_prune)."""
+    from .operators.text import quality_percentile_prune
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return quality_percentile_prune(documents, drop_pct=30)
 
 
 def _pii_oracle() -> str:

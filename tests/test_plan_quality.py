@@ -229,6 +229,15 @@ EXPECTATIONS = {
     "dedup_exact_survivor": (1, "Window"),
     # one group exchange; the hash-order window emits ≤ k rows/group
     "sample_reservoir_per_group": (1, "Window"),
+    # one shard_id exchange feeds the per-shard rank window — no
+    # global-order single-partition window
+    "corpus_shuffle_shards": (1, "Window"),
+    # bounded milli-score histogram (≤1001 buckets) + its tiny cumsum
+    # window + single-row threshold broadcast back onto a narrow scan
+    "text_quality_prune": (2, None),
+    # the resample_locf grid shape; prev/next lookups are two
+    # opposite-frame windows over ONE (series, bin) sort
+    "events_resample_interpolate": (4, "Window"),
 }
 
 
@@ -268,6 +277,10 @@ _NESTED_LOOP_ALLOWED = {
     "join_range_bands": "tiny band-table broadcast; large-large twin "
                         "(join_band_large) is bucket-equi",
     "events_resample_locf": "one-row bounds frame broadcast onto the grid",
+    "events_resample_interpolate": "one-row bounds frame broadcast onto "
+                                   "the grid (same shape as locf)",
+    "text_quality_prune": "single-row percentile-threshold scalar "
+                          "broadcast onto the corpus scan",
     "text_tfidf_topterms": "one-row corpus-count broadcast (crossJoin of "
                            "an aggregate scalar)",
     "tpch_q11_important_stock": "scalar subquery (HAVING > total*frac)",

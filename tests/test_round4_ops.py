@@ -143,3 +143,171 @@ def test_reservoir_small_group_returns_all(spark):
         [(1, "g"), (2, "g")], "doc_id bigint, grp string"
     )
     assert hash_reservoir_per_group(df, "grp", "doc_id", k=50).count() == 2
+
+
+# --- deterministic shuffle shards ---------------------------------------
+
+from mapreduce_join_comparison_spark.operators.sampling import shuffle_shards  # noqa: E402
+
+
+def _md5_shuffle_key(doc_id: int, salt: str = "shuf") -> int:
+    return int(hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:8], 16)
+
+
+def test_shuffle_shards_python_replay(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 201)], "doc_id bigint")
+    out = shuffle_shards(df, "doc_id", n_shards=4).collect()
+    # every row assigned; shard = h % 4; pos = 1-based rank by (h, id)
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert r["shard_id"] == _md5_shuffle_key(r["doc_id"]) % 4
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, members in by_shard.items():
+        ids = [i for i in range(1, 201) if _md5_shuffle_key(i) % 4 == shard]
+        want = sorted(ids, key=lambda i: (_md5_shuffle_key(i), i))
+        got = [r["doc_id"] for r in sorted(members, key=lambda r: r["pos_in_shard"])]
+        assert got == want
+        # dense 1-based ranks within the shard
+        assert sorted(r["pos_in_shard"] for r in members) == list(
+            range(1, len(members) + 1)
+        )
+
+
+def test_shuffle_shards_stable_under_repartition_and_salt(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+    a = {(r["doc_id"], r["shard_id"], r["pos_in_shard"])
+         for r in shuffle_shards(df, "doc_id").collect()}
+    b = {(r["doc_id"], r["shard_id"], r["pos_in_shard"])
+         for r in shuffle_shards(df.repartition(17), "doc_id").collect()}
+    assert a == b
+    # a different salt yields a different permutation (fresh epoch order)
+    c = {(r["doc_id"], r["shard_id"], r["pos_in_shard"])
+         for r in shuffle_shards(df, "doc_id", salt="epoch2").collect()}
+    assert a != c
+
+
+# --- quality percentile prune -------------------------------------------
+
+from mapreduce_join_comparison_spark.operators.text import (  # noqa: E402
+    quality_percentile_prune,
+    quality_score,
+)
+
+
+def test_quality_prune_threshold_replay(spark):
+    # mixed-quality corpus: clean prose vs punctuation soup
+    rows = []
+    for i in range(1, 61):
+        if i % 3 == 0:
+            txt = "the quick brown fox jumps over the lazy dog " * 6
+        elif i % 3 == 1:
+            txt = "@@ ## !! ?? %% " * 10
+        else:
+            txt = "some words and a few of the tokens here " * 3
+        rows.append((i, "en", txt))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    q = {
+        r["doc_id"]: r["qm"]
+        for r in df.select(
+            "doc_id",
+            F.round(quality_score("text") * 1000).cast("bigint").alias("qm"),
+        ).collect()
+    }
+    # python replay of the integer threshold rule: smallest milli-score
+    # whose cumulative count reaches 30% of n (ties at threshold kept)
+    n = len(q)
+    cum = 0
+    thr = None
+    for qm in sorted(set(q.values())):
+        cum += sum(1 for v in q.values() if v == qm)
+        if cum * 100 >= 30 * n:
+            thr = qm
+            break
+    kept = quality_percentile_prune(df, drop_pct=30).collect()
+    assert {r["doc_id"] for r in kept} == {d for d, v in q.items() if v >= thr}
+    for r in kept:
+        assert r["q_milli"] == q[r["doc_id"]]
+    # the drop never exceeds the requested fraction
+    assert len(kept) >= n - (30 * n) // 100
+
+
+def test_quality_prune_separates_low_from_high(spark):
+    rows = [(i, "en", "the quick brown fox jumps over the lazy dog " * 6)
+            for i in range(1, 40)]
+    rows += [(100 + i, "en", "!! ?? @@ " * 20) for i in range(1, 15)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    # all 14 junk docs share ONE milli-score bucket (identical text) at
+    # ~26% of the corpus. drop_pct=25: the threshold lands ON that
+    # bucket (cum 14 >= 13.25) and ties at the threshold are kept ->
+    # nothing drops. drop_pct=30: the threshold passes it -> exactly
+    # the junk drops (26% <= 30%), prose survives whole.
+    kept_25 = {r["doc_id"]
+               for r in quality_percentile_prune(df, drop_pct=25).collect()}
+    assert kept_25 == {i for i, *_ in rows}
+    kept = quality_percentile_prune(df, drop_pct=30).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    assert kept_ids == set(range(1, 40))
+    dropped = {i for i, *_ in rows} - kept_ids
+    assert dropped == {100 + i for i in range(1, 15)}
+
+
+# --- linear-interpolation resample --------------------------------------
+
+from mapreduce_join_comparison_spark.operators.timeseries import (  # noqa: E402
+    resample_interpolate,
+)
+
+
+_EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z in epoch seconds
+
+
+def _events(spark, rows):
+    import datetime
+
+    data = [
+        (eid, datetime.datetime(2024, 1, 1, 0, 0, 0)
+         + datetime.timedelta(seconds=sec), series, float(v))
+        for eid, sec, series, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+
+
+def test_interpolate_known_answer(spark):
+    # 1-second bins; series 'a' observed at bins 0 (v=1.0) and 3 (v=4.0):
+    # interior gap bins 1, 2 get the straight line 2.0, 3.0
+    df = _events(spark, [(1, 0, "a", 1.0), (2, 3, "a", 4.0)])
+    out = {
+        int(r["bin_start_us"] // 1_000_000) - _EPOCH0: r["value_interp"]
+        for r in resample_interpolate(df, bin_micros=1_000_000).collect()
+    }
+    assert out == {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0}
+
+
+def test_interpolate_leading_null_and_locf_tail(spark):
+    # series 'b' spans the global grid [0, 4] via series 'a'; 'b' is
+    # observed only at bins 1 and 2 -> bin 0 NULL (before first obs),
+    # bins 3-4 carry 7.0 forward (LOCF tail)
+    df = _events(spark, [
+        (1, 0, "a", 1.0), (2, 4, "a", 1.0),
+        (3, 1, "b", 5.0), (4, 2, "b", 7.0),
+    ])
+    rows = resample_interpolate(df, bin_micros=1_000_000).collect()
+    b = {int(r["bin_start_us"] // 1_000_000) - _EPOCH0: r["value_interp"]
+         for r in rows if r["series"] == "b"}
+    assert b == {0: None, 1: 5.0, 2: 7.0, 3: 7.0, 4: 7.0}
+
+
+def test_interpolate_last_obs_in_bin_wins_and_thirds(spark):
+    # two events land in bin 0 -> the later one (v=0.0) is the bin value;
+    # gap of 3 bins to v=1.0 interpolates exact thirds in milli space
+    df = _events(spark, [
+        (1, 0, "a", 9.9), (2, 0, "a", 0.0), (3, 3, "a", 1.0),
+    ])
+    out = {int(r["bin_start_us"] // 1_000_000) - _EPOCH0: r["value_interp"]
+           for r in resample_interpolate(df, bin_micros=1_000_000).collect()}
+    assert out[0] == 0.0 and out[3] == 1.0
+    assert abs(out[1] - 1000 / 3 / 1000) < 1e-12
+    assert abs(out[2] - 2000 / 3 / 1000) < 1e-12
