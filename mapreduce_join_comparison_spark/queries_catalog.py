@@ -2976,6 +2976,39 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+@register(
+    "source_schema_evolution",
+    """
+    SELECT n_nationkey, n_regionkey, CAST(NULL AS VARCHAR) AS n_name,
+           'v1' AS vintage
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_regionkey, n_name, 'v2' AS vintage FROM nation
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across data vintages — at 100 TB a dataset is
+    written over years and columns appear mid-history. Stage the same
+    table under two partition directories with DIFFERENT schemas (v1
+    lacks ``n_name``), then one ``mergeSchema`` read unifies them:
+    missing columns surface as NULL, the ``vintage=`` directory name
+    becomes a discovered partition column, and per-file footers keep
+    column pruning/pushdown working on the columns each file has.
+    The oracle replays the union-by-name relationally."""
+    import tempfile
+
+    (nation,) = _load(spark, sf_dir, "nation")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_schema_evolution")
+    nation.select("n_nationkey", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "vintage=v1"))
+    nation.select("n_nationkey", "n_regionkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "vintage=v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.select("n_nationkey", "n_regionkey", "n_name", "vintage")
+
+
 def _generator_uniform_oracle(n_rows: int, unique: int, seed: int) -> str:
     """Full value-hash oracle for G1: replays ``k = i % N`` and the
     md5-hex pool pick over the identical literal pools (attr_pools is

@@ -238,6 +238,9 @@ EXPECTATIONS = {
     # the resample_locf grid shape; prev/next lookups are two
     # opposite-frame windows over ONE (series, bin) sort
     "events_resample_interpolate": (4, "Window"),
+    # merged-footer read is one narrow scan; no shuffle for the union
+    # of vintages (they are files of the same source)
+    "source_schema_evolution": (0, None),
 }
 
 
