@@ -3447,6 +3447,36 @@ def layout_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice", "status_desc")
 
 
+@register(
+    "layout_compaction",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction roundtrip: orders fragmented into 64 tiny
+    files, then rewritten through ONE REBALANCE-hinted exchange so AQE
+    coalesces partitions to the advisory size
+    (sources/layout.compact_files) — the operational fix for the
+    small-files problem a streaming-fed 100 TB table accretes.
+    Compaction is a storage property, so the relation must be exactly
+    the plain projection (the oracle); the file-count collapse itself
+    is asserted in tests/test_zorder_layout.py."""
+    import tempfile
+
+    from .sources.layout import compact_files
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    proj = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_compaction")
+    small = os.path.join(base, "small")
+    compacted = os.path.join(base, "compacted")
+    proj.repartition(64).write.mode("overwrite").parquet(small)
+    compact_files(
+        spark.read.parquet(small), compacted,
+        target_file_bytes=64 * 1024 * 1024,
+    )
+    return spark.read.parquet(compacted)
+
+
 # --------------------------------------------------------------------------
 # CDC / incremental maintenance (operators/cdc.py) — how a 100 TB corpus
 # is maintained rather than rebuilt.

@@ -134,3 +134,42 @@ def file_column_spans(path: str, col: str) -> list[tuple[float, float]]:
         if lo is not None:
             spans.append((float(lo), float(hi)))
     return spans
+
+
+def compact_files(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file compaction: rewrite ``df`` through one
+    REBALANCE-hinted exchange so AQE coalesces tiny shuffle partitions
+    (and SPLITS skewed ones) to the advisory partition size — output
+    files land near the target size regardless of how fragmented the
+    input was. This is the operational fix for the small-files problem
+    (a 100 TB table accreted from streaming micro-batches or per-hour
+    jobs easily reaches millions of KB-sized files, and scan planning
+    starts to cost more than the scan).
+
+    Spark-first: REBALANCE + AQE is the size-aware primitive —
+    ``coalesce(n)`` needs the caller to guess ``n`` and cannot split a
+    skewed partition; a bare ``repartition(n)`` shuffles to a FIXED
+    width that is wrong at the next table size. The advisory size is
+    applied via ``scoped_conf`` so nothing leaks into the session.
+    At scale, run per partition-directory so compaction parallelizes
+    across partitions and commits independently."""
+    from ..session import scoped_conf
+
+    spark = df.sparkSession
+    rebalanced = df.hint("rebalance")
+    if target_file_bytes is None:
+        rebalanced.write.mode("overwrite").format(fmt).save(path)
+        return
+    with scoped_conf(
+        spark,
+        **{
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+                str(target_file_bytes),
+        },
+    ):
+        rebalanced.write.mode("overwrite").format(fmt).save(path)

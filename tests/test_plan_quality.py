@@ -241,6 +241,9 @@ EXPECTATIONS = {
     # merged-footer read is one narrow scan; no shuffle for the union
     # of vintages (they are files of the same source)
     "source_schema_evolution": (0, None),
+    # the REBALANCE exchange happens inside the staged write; the
+    # returned relation is a plain scan of the compacted files
+    "layout_compaction": (0, None),
 }
 
 

@@ -67,3 +67,40 @@ def test_zorder_key_locality(spark):
     assert out[(2**16 - 1, 2**16 - 1)] == 2**32 - 1
     assert out[(1, 0)] == 1          # x occupies even bit positions
     assert out[(0, 1)] == 2          # y occupies odd bit positions
+
+
+# --- small-file compaction ----------------------------------------------
+
+def test_compaction_collapses_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from mapreduce_join_comparison_spark.sources.layout import compact_files
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "user_id", "value")
+    )
+    small = str(tmp_path / "small")
+    compacted = str(tmp_path / "compacted")
+    ev.repartition(64).write.mode("overwrite").parquet(small)
+    n_small = len(glob.glob(f"{small}/*.parquet"))
+    assert n_small == 64
+    compact_files(
+        spark.read.parquet(small), compacted,
+        target_file_bytes=64 * 1024 * 1024,
+    )
+    n_compacted = len(glob.glob(f"{compacted}/*.parquet"))
+    # the whole sf0.001 events table is far below one 64 MB target
+    # partition: AQE must coalesce the 64 fragments to a handful
+    assert n_compacted <= 4, f"{n_compacted} files after compaction"
+    assert rows_set(spark.read.parquet(compacted)) == rows_set(ev)
+
+
+def test_compaction_restores_advisory_conf(spark, tmp_path):
+    from mapreduce_join_comparison_spark.sources.layout import compact_files
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before = spark.conf.get(key)
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    compact_files(df, str(tmp_path / "out"), target_file_bytes=1234567)
+    assert spark.conf.get(key) == before
