@@ -130,8 +130,14 @@ def resample_interpolate(
     NULL-vs-NaN semantics differ between engines).
 
     Scale: the shared ``_dense_per_bin`` shuffle, then prev/next
-    observation lookups as two opposite-frame ignore-nulls windows
-    over the SAME (series, bin) sort — one extra exchange total, grid
+    observation lookups as two ignore-nulls ``last`` windows over ONE
+    exchange — the "next" lookup runs over a DESCENDING re-sort with
+    an unbounded-PRECEDING frame rather than the tempting
+    ``first(...) over (current → unbounded following)``: Spark's
+    unbounded-following frame re-evaluates the aggregate per row,
+    O(rows²) in the partition (a year of minute bins per series would
+    never finish), while both preceding-frame windows are incremental
+    O(rows); the extra per-partition sort is the cheap price. Grid
     sized O(series × bins)."""
     joined = _dense_per_bin(
         events, bin_micros, series_col, ts_col, value_col, tiebreak_col
@@ -143,14 +149,14 @@ def resample_interpolate(
     )
     w_next = (
         Window.partitionBy("series")
-        .orderBy("bin")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_bin = F.when(F.col("_vm").isNotNull(), F.col("bin"))
     vm0 = F.last("_vm", ignorenulls=True).over(w_prev)
     b0 = F.last(obs_bin, ignorenulls=True).over(w_prev)
-    vm1 = F.first("_vm", ignorenulls=True).over(w_next)
-    b1 = F.first(obs_bin, ignorenulls=True).over(w_next)
+    vm1 = F.last("_vm", ignorenulls=True).over(w_next)
+    b1 = F.last(obs_bin, ignorenulls=True).over(w_next)
     interp_milli = (
         F.when(vm0.isNull(), F.lit(None).cast("double"))
         .when(vm1.isNull() | (b1 <= b0), vm0.cast("double"))
