@@ -62,3 +62,57 @@ def assert_no_exchange(df: DataFrame) -> None:
 def count_shuffles(df: DataFrame) -> int:
     plan = simple_plan(df)
     return sum(plan.count(m) for m in _SHUFFLE_MARKERS)
+
+
+def executed_exchange_metrics(df: DataFrame) -> dict:
+    """MEASURED shuffle cost of an already-executed DataFrame (call
+    after an action on ``df``): walks the AQE-final physical tree via
+    py4j, unwrapping AdaptiveSparkPlanExec/QueryStageExec wrappers, and
+    sums each real shuffle Exchange's ``shuffleRecordsWritten`` /
+    ``shuffleBytesWritten`` SQLMetrics. ReusedExchange nodes are
+    counted separately and contribute no volume — runtime exchange
+    reuse is exactly what makes measured ≤ static. Scalar-subquery
+    plans are included where exposed via ``subqueries()``.
+
+    Static plan text says where shuffles CAN happen; this says how many
+    rows/bytes actually moved — the number that matters at 100 TB.
+    Sibling: ``plans.metrics.collect_plan_metrics`` harvests
+    per-operator ``numOutputRows`` (the Hadoop-counter analog); this
+    one is exchange-focused and exchange-reuse-aware."""
+    def walk(node):
+        cls = node.getClass().getName()
+        if cls.endswith("AdaptiveSparkPlanExec"):
+            yield from walk(node.executedPlan())
+            return
+        if "QueryStageExec" in cls:
+            yield from walk(node.plan())
+            return
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+        try:
+            sub = node.subqueries()
+            for i in range(sub.size()):
+                yield from walk(sub.apply(i))
+        except Exception:
+            pass
+
+    out = {"exchanges": 0, "reused": 0, "rows": 0, "bytes": 0}
+    for node in walk(df._jdf.queryExecution().executedPlan()):
+        name = node.nodeName()
+        if name == "ReusedExchange":
+            out["reused"] += 1
+            continue
+        if not name.startswith("Exchange"):
+            continue
+        out["exchanges"] += 1
+        m = node.metrics()
+        it = m.keys().iterator()
+        while it.hasNext():
+            k = it.next()
+            if k == "shuffleRecordsWritten":
+                out["rows"] += m.apply(k).value()
+            elif k == "shuffleBytesWritten":
+                out["bytes"] += m.apply(k).value()
+    return out
