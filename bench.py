@@ -212,6 +212,7 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "text_quality_prune",
     "events_resample_interpolate",
+    "agg_heavy_hitters",
 ]
 
 

@@ -2593,6 +2593,75 @@ def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "agg_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (SELECT COUNT(*) AS nk, SUM(cnt) AS total FROM c),
+    h AS (SELECT k, cnt FROM c, s WHERE cnt * nk > 2 * total),
+    t AS (SELECT k AS top1_key, cnt AS top1_cnt FROM c
+          ORDER BY cnt DESC, k ASC LIMIT 1)
+    SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_hitters,
+           CAST((SELECT COALESCE(MAX(cnt), 0) FROM h) AS BIGINT)
+             AS max_hitter_cnt,
+           t.top1_key, t.top1_cnt, true AS sketch_has_top1
+    FROM t
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items / heavy-hitters, both ways a 100 TB pipeline
+    needs them: EXACT hitters (keys above 2× the mean per-key count —
+    integer cnt·nk > 2·total arithmetic, scale-stable and fully
+    oracled) from one partial-agg shuffle over a bounded key space,
+    plus the SpaceSaving-style ``approx_top_k`` sketch (fixed-size
+    partial state, the only shape that works on an UNbounded key
+    space). Sketch internals are engine-specific, so — the
+    agg_approx_sketches convention — the oracle checks its contract:
+    the exact top-1 key must appear in the sketch's top 10
+    (deterministically true while distinct keys ≤ the sketch's
+    10 000-item tracking budget; the heaviest key survives far beyond
+    that)."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    c = lineitem.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("nk"), F.sum("cnt").alias("total")
+    )
+    # bounded: single-row (nk, total) scalar aggregate
+    hitters = c.crossJoin(F.broadcast(s)).filter(
+        F.col("cnt") * F.col("nk") > 2 * F.col("total")
+    )
+    hit_sum = hitters.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hitters"),
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint")
+          .alias("max_hitter_cnt"),
+    )
+    top = c.agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("k")).alias("_nk"))).alias("m")
+    ).select(
+        (-F.col("m._nk")).alias("top1_key"), F.col("m.cnt").alias("top1_cnt")
+    )
+    sketch = lineitem.agg(
+        F.expr("approx_top_k(l_suppkey, 10)").alias("tk")
+    ).select(F.expr("transform(tk, x -> x.item)").alias("_items"))
+    return (
+        # bounded: three single-row aggregates
+        hit_sum.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(sketch))
+        .select(
+            "n_hitters", "max_hitter_cnt", "top1_key", "top1_cnt",
+            F.array_contains(F.col("_items"), F.col("top1_key"))
+              .alias("sketch_has_top1"),
+        )
+    )
+
+
+@register(
     "agg_approx_sketches",
     """
     SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

@@ -34,3 +34,53 @@ def test_task_time_summary_shape(spark, tables):
     s = task_time_summary(spark)
     assert set(s) == {"mean_task_ms", "median_task_ms", "max_task_ms"}
     assert s["max_task_ms"] >= s["median_task_ms"] >= 0
+
+
+def test_executed_exchange_metrics_counts_real_shuffles(spark, tables):
+    from mapreduce_join_comparison_spark.plans.explain import (
+        executed_exchange_metrics,
+    )
+
+    df = tables["orders"].groupBy("o_orderstatus").count()
+    df.collect()
+    m = executed_exchange_metrics(df)
+    # one hash exchange; its volume is the partial-agg output (1 row
+    # per (partition, status) pair present), bounded by 3 statuses x 32
+    assert m["exchanges"] == 1
+    assert 1 <= m["rows"] <= 3 * 32
+    assert m["bytes"] > 0
+    assert m["reused"] == 0
+
+
+def test_executed_exchange_metrics_sees_reuse(spark, tables):
+    from pyspark.sql import functions as F
+
+    from mapreduce_join_comparison_spark.plans.explain import (
+        executed_exchange_metrics,
+    )
+
+    counts = tables["orders"].groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # self-join of an aggregate: the count subtree repeats statically,
+    # runtime exchange reuse must collapse the duplicate
+    df = counts.alias("a").join(counts.alias("b"), "o_custkey").filter(
+        F.col("a.cnt") == F.col("b.cnt")
+    )
+    df.collect()
+    m = executed_exchange_metrics(df)
+    assert m["reused"] >= 1
+    assert m["exchanges"] >= 1
+
+
+def test_executed_exchange_metrics_zero_for_narrow_plan(spark, tables):
+    from mapreduce_join_comparison_spark.plans.explain import (
+        executed_exchange_metrics,
+    )
+
+    df = tables["orders"].select("o_orderkey", "o_totalprice").filter(
+        "o_totalprice > 0"
+    )
+    df.collect()
+    m = executed_exchange_metrics(df)
+    assert m == {"exchanges": 0, "reused": 0, "rows": 0, "bytes": 0}

@@ -244,6 +244,10 @@ EXPECTATIONS = {
     # the REBALANCE exchange happens inside the staged write; the
     # returned relation is a plain scan of the compacted files
     "layout_compaction": (0, None),
+    # the per-key count subtree repeats 3× statically (hitters /
+    # scalar / top-1 branches); runtime exchange reuse collapses the
+    # copies, + the single-partition scalar aggregates
+    "agg_heavy_hitters": (7, "ObjectHashAggregate"),
 }
 
 
@@ -287,6 +291,8 @@ _NESTED_LOOP_ALLOWED = {
                                    "the grid (same shape as locf)",
     "text_quality_prune": "single-row percentile-threshold scalar "
                           "broadcast onto the corpus scan",
+    "agg_heavy_hitters": "three single-row aggregate scalars cross-joined "
+                         "into the summary row",
     "text_tfidf_topterms": "one-row corpus-count broadcast (crossJoin of "
                            "an aggregate scalar)",
     "tpch_q11_important_stock": "scalar subquery (HAVING > total*frac)",
