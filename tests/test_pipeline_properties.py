@@ -405,3 +405,78 @@ def test_semdedup_matches_python_replay(spark, vecs):
             j, c = min(hits)
             expect.append((i, cells[i], j, c))
     assert got == sorted(expect)
+
+
+@given(events=st.lists(EVENT, min_size=1, max_size=20))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_resample_interpolate_matches_serial_reference(spark, events):
+    from datetime import datetime, timedelta
+
+    from mapreduce_join_comparison_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=sec), series, float(v))
+        for i, (sec, series, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    bin_us = 60_000_000
+    got = {
+        (r["series"], r["bin_start_us"]): (r["n_events"], r["value_interp"])
+        for r in resample_interpolate(df, bin_micros=bin_us).collect()
+    }
+
+    # serial reference: last-in-bin observation quantized to milli,
+    # straight line between observed bins, LOCF tail, leading None
+    per_bin: dict = collections.defaultdict(list)
+    for i, (sec, series, v) in enumerate(events):
+        per_bin[(series, sec // 60)].append((sec, i, float(v)))
+    bins = [sec // 60 for sec, _, _ in events]
+    lo, hi = min(bins), max(bins)
+    all_series = {s for _, s, _ in events}
+    assert len(got) == len(all_series) * (hi - lo + 1)
+    base_us = int(base.timestamp()) * 1_000_000
+    for series in sorted(all_series):
+        obs_bins = sorted(
+            b for (s, b) in per_bin if s == series
+        )
+        # milli quantization replays Spark's F.round (HALF_UP on the
+        # repr) — python round() is half-even, so go via Decimal
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def vm_of(b):
+            v = max(per_bin[(series, b)])[2]
+            return int(
+                Decimal(repr(v * 1000)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        for b in range(lo, hi + 1):
+            n, v = got[(series, base_us + b * bin_us)]
+            assert n == len(per_bin.get((series, b), []))
+            prevs = [x for x in obs_bins if x <= b]
+            nexts = [x for x in obs_bins if x >= b]
+            if not prevs:
+                expect = None
+            elif not nexts:
+                expect = vm_of(prevs[-1]) / 1000.0
+            else:
+                b0, b1 = prevs[-1], nexts[0]
+                vm0, vm1 = vm_of(b0), vm_of(b1)
+                if b1 <= b0:
+                    expect = float(vm0) / 1000.0
+                else:
+                    expect = (vm0 + ((vm1 - vm0) * (b - b0)) / (b1 - b0)) / 1000.0
+            if v is None or expect is None:
+                assert v == expect, (series, b, v, expect)
+            else:
+                assert v == expect, (series, b, v, expect)
