@@ -213,6 +213,7 @@ HEADLINE = [
     "text_quality_prune",
     "events_resample_interpolate",
     "agg_heavy_hitters",
+    "embedding_pq_codes",
 ]
 
 

@@ -182,6 +182,79 @@ def random_projection(
     return df.select(F.col(id_col), *comps)
 
 
+def pq_codebook(
+    dim: int = 64, m: int = 4, k: int = 4, seed: int = 11
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: ``m`` subspaces × ``k`` codewords of
+    ``dim/m`` dims (seeded Gaussian, like ``hyperplanes`` /
+    ``projection_matrix``, so oracles embed the same constants). A
+    production codebook comes from k-means over a corpus sample (the
+    ``ivf_*`` bounded-sample path); the assignment plan below is
+    identical either way."""
+    rng = np.random.RandomState(seed)
+    sub = dim // m
+    return [
+        [[float(v) for v in row] for row in rng.randn(k, sub)]
+        for _ in range(m)
+    ]
+
+
+def pq_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Product-quantization code assignment — the compression half of
+    an IVF-PQ index: each vector's ``m`` subspaces snap to their
+    nearest codeword (exact L2², sequential fold), emitting compact
+    ``code0..codeM`` plus the unrounded reconstruction error.
+    At 100 TB this turns a 64-float embedding into ``m`` small ints:
+    the ANN index shrinks ~64×, and distance evaluation against a
+    query becomes ``m`` table lookups instead of a 64-d dot.
+
+    Fully narrow (no shuffle, no Python). Cross-engine determinism:
+    each subspace distance is ONE left-fold of exact double ops
+    against literal codewords; argmin ties break to the LOWEST
+    codeword index via first-occurrence ``array_position`` on the
+    distance array (``list_position`` replays it in SQL engines); the
+    reconstruction error sums the ``m`` minima in fixed left order and
+    ships UNROUNDED."""
+    cb = pq_codebook(dim, m, k, seed)
+    sub = dim // m
+    emb = F.transform(
+        F.col(vec_col), lambda x: x.cast("double")
+    )
+    cols: list[Column] = [F.col(id_col)]
+    mins: list[Column] = []
+    for j in range(m):
+        sl = F.slice(emb, j * sub + 1, sub)
+        ds = []
+        for cw in cb[j]:
+            lit = F.array(*[F.lit(v) for v in cw])
+            ds.append(
+                F.aggregate(
+                    F.zip_with(sl, lit, lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        darr = F.array(*ds)
+        dmin = F.array_min(darr)
+        cols.append(
+            (F.array_position(darr, dmin) - 1).cast("int").alias(f"code{j}")
+        )
+        mins.append(dmin)
+    err = mins[0]
+    for t in mins[1:]:
+        err = err + t
+    cols.append(err.alias("recon_err"))
+    return df.select(*cols)
+
+
 def projected_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

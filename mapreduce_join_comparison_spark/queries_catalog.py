@@ -2185,6 +2185,60 @@ def embedding_random_projection_query(
     return random_projection(embeddings, in_dim=64, out_dim=8, seed=7)
 
 
+def _pq_oracle(dim: int = 64, m: int = 4, k: int = 4, seed: int = 11) -> str:
+    from .operators.similarity import pq_codebook
+
+    cb = pq_codebook(dim, m, k, seed)
+    sub = dim // m
+    dl_exprs = []
+    for j in range(m):
+        off = j * sub
+        ds = []
+        for cw in cb[j]:
+            lits = "[" + ", ".join(repr(v) for v in cw) + "]"
+            ds.append(
+                f"list_sum(list_transform(range(1, {sub} + 1), "
+                f"t -> (emb[{off} + t] - ({lits})[t])"
+                f" * (emb[{off} + t] - ({lits})[t])))"
+            )
+        dl_exprs.append("[" + ",\n             ".join(ds) + f"] AS dl{j}")
+    codes = ",\n           ".join(
+        f"CAST(list_position(dl{j}, list_min(dl{j})) - 1 AS INT) AS code{j}"
+        for j in range(m)
+    )
+    err = f"list_min(dl0)"
+    for j in range(1, m):
+        err = f"({err} + list_min(dl{j}))"
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    d AS (SELECT vec_id,
+             {", ".join(dl_exprs)}
+          FROM p)
+    SELECT vec_id,
+           {codes},
+           {err} AS recon_err
+    FROM d
+    """
+
+
+@register("embedding_pq_codes", _pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (the compression half of an
+    IVF-PQ ANN index): 4 subspaces × 4 codewords, exact L2² folds
+    against the seeded literal codebook, argmin ties to the lowest
+    codeword index, reconstruction error unrounded. The oracle embeds
+    the identical codebook and replays every fold
+    (operators.similarity.pq_assign)."""
+    from .operators.similarity import pq_assign
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    return pq_assign(embeddings, dim=64, m=4, k=4, seed=11)
+
+
 @register(
     "events_resample_locf",
     """

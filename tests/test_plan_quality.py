@@ -248,6 +248,8 @@ EXPECTATIONS = {
     # scalar / top-1 branches); runtime exchange reuse collapses the
     # copies, + the single-partition scalar aggregates
     "agg_heavy_hitters": (7, "ObjectHashAggregate"),
+    # fully narrow: per-row folds against literal codewords
+    "embedding_pq_codes": (0, None),
 }
 
 

@@ -311,3 +311,69 @@ def test_interpolate_last_obs_in_bin_wins_and_thirds(spark):
     assert out[0] == 0.0 and out[3] == 1.0
     assert abs(out[1] - 1000 / 3 / 1000) < 1e-12
     assert abs(out[2] - 2000 / 3 / 1000) < 1e-12
+
+
+# --- product quantization ------------------------------------------------
+
+from mapreduce_join_comparison_spark.operators.similarity import (  # noqa: E402
+    pq_assign,
+    pq_codebook,
+)
+
+
+def test_pq_assign_matches_numpy_reference(spark):
+    import numpy as np
+
+    dim, m, k, seed = 64, 4, 4, 11
+    rng = np.random.RandomState(99)
+    vecs = rng.randn(40, dim).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in pq_assign(df, dim=dim, m=m, k=k, seed=seed).collect()}
+    cb = np.array(pq_codebook(dim, m, k, seed))  # (m, k, sub)
+    sub = dim // m
+    for i, v in enumerate(vecs):
+        v64 = v.astype("float64")
+        err = 0.0
+        for j in range(m):
+            sl = v64[j * sub:(j + 1) * sub]
+            d = ((sl - cb[j]) ** 2).sum(axis=1)
+            code = int(d.argmin())  # numpy argmin = first occurrence
+            assert got[i][f"code{j}"] == code, (i, j)
+            err += float(d.min())
+        # numpy pairwise-sums; the operator folds sequentially — allow
+        # only summation-order slack, nothing more
+        assert abs(got[i]["recon_err"] - err) < 1e-9
+
+
+def test_pq_assign_ties_break_to_lowest_code(spark):
+    import numpy as np
+
+    # craft a codebook where codewords 0 and 2 are IDENTICAL in every
+    # subspace by seeding then overwriting is impossible through the
+    # public API — instead pick the vector exactly between two
+    # codewords of a 2-word codebook: equidistant -> code 0 must win
+    dim, m, k, seed = 8, 2, 2, 5
+    cb = pq_codebook(dim, m, k, seed)
+    sub = dim // m
+    mid = []
+    for j in range(m):
+        a = np.array(cb[j][0])
+        b = np.array(cb[j][1])
+        mid.extend(((a + b) / 2.0).tolist())
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in mid])], "vec_id bigint, embedding array<float>"
+    )
+    (row,) = pq_assign(df, dim=dim, m=m, k=k, seed=seed).collect()
+    # float32 storage of the midpoint can tip exact equality; assert
+    # the tie rule only when the distances actually tie in float64
+    v = np.array(mid, dtype="float32").astype("float64")
+    for j in range(m):
+        d0 = float(((v[j * sub:(j + 1) * sub] - np.array(cb[j][0])) ** 2).sum())
+        d1 = float(((v[j * sub:(j + 1) * sub] - np.array(cb[j][1])) ** 2).sum())
+        if d0 == d1:
+            assert row[f"code{j}"] == 0
+        else:
+            assert row[f"code{j}"] == (0 if d0 < d1 else 1)
