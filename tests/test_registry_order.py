@@ -189,3 +189,17 @@ def test_pipeline_first_import_keeps_priority_order():
         [sys.executable, "-c", code], cwd=REPO, capture_output=True, text=True
     )
     assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_bench_headline_names_all_registered():
+    """Every bench.py HEADLINE name must be a registered catalog query —
+    a rename that misses the headline list would otherwise only
+    surface as a KeyError in the driver's per-round bench run."""
+    import bench
+
+    from mapreduce_join_comparison_spark import queries_catalog as qc
+
+    missing = [n for n in bench.HEADLINE if n not in qc.QUERIES]
+    assert not missing, f"HEADLINE names not in catalog: {missing}"
+    # and the list stays duplicate-free (duplicates skew the total)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
