@@ -170,6 +170,36 @@ def resample_interpolate(
     )
 
 
+def _finish_zscore(
+    stats: DataFrame,
+    series_col: str,
+    id_col: str,
+    min_points: int,
+    z_threshold: float,
+) -> DataFrame:
+    """Shared z-score tail over exact int64 (_s1, _s2, _n, _vm, _us):
+    both the direct RANGE-frame form and the binned two-level form end
+    here, so "binned ≡ direct" is an identity of expression trees over
+    identical integers — bit-equal doubles, not an approximation."""
+    vm = F.col("_vm")
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    z = F.round((vm - mean) / F.sqrt(var), 4)
+    return (
+        stats.filter((F.col("_n") >= min_points) & (var > 0))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= z_threshold)
+        .select(
+            F.col(id_col),
+            F.col(series_col),
+            F.col("_us").alias("ts_us"),
+            (vm / 1000.0).alias("value"),
+            "zscore",
+            F.col("_n").cast("long").alias("n_window"),
+        )
+    )
+
+
 def rolling_zscore_anomalies(
     df: DataFrame,
     series_col: str = "event_type",
@@ -194,13 +224,13 @@ def rolling_zscore_anomalies(
 
     Cost model: Spark evaluates BOUNDED-START range frames by
     re-aggregating each row's frame (sums are not retractable), so the
-    window pass is O(rows × frame_rows) per series — fine while frames
-    hold thousands of points (sf0.1: ~2.5 s for 100 k rows × ~670-row
-    frames), but at very high event rates the scale path is the
-    standard two-level form: pre-aggregate exact per-bin Σv/Σv²/n into
-    coarse time bins (one narrow agg), then a dense ROWS frame over
-    bins — O(rows + bins × bins_per_window) with identical integer
-    exactness. The streaming analog is the watermarked sliding window.
+    window pass is O(rows × frame_rows) per series — AND the whole
+    series serializes into one partition. This direct form is kept as
+    the reference/property-test twin; the scale path is
+    ``rolling_zscore_anomalies_binned`` below, which produces
+    bit-identical output in O(rows + bins × bins_per_window) with
+    (series, bin)-parallel windows. The streaming analog is the
+    watermarked sliding window.
     """
     w = (
         Window.partitionBy(series_col)
@@ -223,19 +253,185 @@ def rolling_zscore_anomalies(
         F.sum(vm * vm).over(w).alias("_s2"),
         F.count(F.lit(1)).over(w).alias("_n"),
     )
-    mean = F.col("_s1") / F.col("_n")
-    var = F.col("_s2") / F.col("_n") - mean * mean
-    z = F.round((vm - mean) / F.sqrt(var), 4)
-    return (
-        stats.filter((F.col("_n") >= min_points) & (var > 0))
-        .withColumn("zscore", z)
-        .filter(F.abs(F.col("zscore")) >= z_threshold)
+    return _finish_zscore(stats, series_col, id_col, min_points, z_threshold)
+
+
+def rolling_zscore_anomalies_binned(
+    df: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_us: int = 24 * 3600 * 1_000_000,
+    min_points: int = 30,
+    z_threshold: float = 3.0,
+    bins_per_window: int = 24,
+) -> DataFrame:
+    """Two-level binned form of ``rolling_zscore_anomalies`` —
+    BIT-IDENTICAL output, O(rows + bins × bins_per_window) instead of
+    O(rows × frame_rows), and (series, bin)-parallel instead of one
+    partition per series.
+
+    Each point's trailing ``[t − W, t]`` interval is decomposed with
+    bin width ``B = W / bins_per_window`` (``k = bins_per_window``,
+    ``c = t DIV B``, all integer micros so every identity is exact):
+
+      * FULL: bins ``c−k+1 … c−1`` lie entirely inside the interval —
+        their Σv/Σv²/n come from one narrow per-(series, bin) partial
+        aggregation, summed by a dense ROWS frame ``[-(k−1), -1]``
+        over the per-series bin table (dense via sequence-explode so
+        row offsets ARE time offsets; the table is O(bins) ≪ O(rows)).
+      * PREF: the point's own bin ``c`` contributes its intra-bin
+        prefix ``_us ≤ t`` — an unbounded-preceding RANGE window
+        partitioned by (series, bin): incremental in Spark (growing
+        frames never re-aggregate) and peer-inclusive, matching the
+        direct frame's tie semantics at ``t``.
+      * SUF: the oldest bin ``c−k`` (``(t−W) DIV B = c−k`` exactly
+        when ``W = k·B``) contributes its suffix ``_us ≥ t−W``. Each
+        point emits one PROBE row at ``(series, bin−k, t−W)``; probes
+        union with the data rows and a descending-order
+        unbounded-preceding RANGE window reads the suffix at exactly
+        the probe instant — peers at ``t−W`` included, matching the
+        direct frame's closed lower bound. Probes carry NULL value and
+        a NULL data-marker, so they contribute nothing to any sum.
+
+    Σv, Σv², n are int64 sums of int64 partials — associativity is
+    exact, so the three-way split reproduces the direct form's
+    integers bit-for-bit; the mean/variance/z expression tree is then
+    literally shared (``_finish_zscore``), making binned ≡ direct an
+    equality of doubles, not an approximation (property-tested on
+    bin-boundary and timestamp-tie cases in tests/test_round5_ops.py).
+
+    Scale shape: every exchange is O(rows) and keyed by (series, bin)
+    or by ``id_col`` — no per-series serialization anywhere except the
+    O(bins)-row FULL window. Requires ``id_col`` unique (the probe
+    join-back is 1:1) and ``window_us % bins_per_window == 0``.
+    """
+    if window_us % bins_per_window:
+        raise ValueError(
+            f"window_us={window_us} must be a multiple of "
+            f"bins_per_window={bins_per_window}"
+        )
+    bin_us = window_us // bins_per_window
+    k = bins_per_window
+    id_type = df.schema[id_col].dataType
+
+    base = df.select(
+        F.col(id_col),
+        F.col(series_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.round(F.col(value_col) * 1000).cast("bigint").alias("_vm"),
+    ).withColumn("_bin", F.expr(f"_us DIV {bin_us}"))
+
+    per_bin = base.groupBy(series_col, "_bin").agg(
+        F.sum("_vm").alias("b1"),
+        F.sum(F.col("_vm") * F.col("_vm")).alias("b2"),
+        F.count(F.lit(1)).alias("bn"),
+    )
+    span = base.groupBy(series_col).agg(
+        F.min("_bin").alias("_lo"), F.max("_bin").alias("_hi")
+    )
+    dense = (
+        span.select(
+            series_col, F.explode(F.sequence("_lo", "_hi")).alias("_bin")
+        )
+        .join(per_bin, [series_col, "_bin"], "left")
         .select(
-            F.col(id_col),
-            F.col(series_col),
-            F.col("_us").alias("ts_us"),
-            (vm / 1000.0).alias("value"),
-            "zscore",
-            F.col("_n").cast("long").alias("n_window"),
+            series_col,
+            "_bin",
+            F.coalesce("b1", F.lit(0)).alias("b1"),
+            F.coalesce("b2", F.lit(0)).alias("b2"),
+            F.coalesce("bn", F.lit(0)).alias("bn"),
         )
     )
+    if k > 1:
+        w_full = (
+            Window.partitionBy(series_col)
+            .orderBy("_bin")
+            .rowsBetween(-(k - 1), -1)
+        )
+        full = dense.select(
+            series_col,
+            "_bin",
+            F.sum("b1").over(w_full).alias("f1"),
+            F.sum("b2").over(w_full).alias("f2"),
+            F.sum("bn").over(w_full).alias("fn"),
+        )
+    else:
+        full = dense.select(
+            series_col,
+            "_bin",
+            F.lit(None).cast("bigint").alias("f1"),
+            F.lit(None).cast("bigint").alias("f2"),
+            F.lit(None).cast("bigint").alias("fn"),
+        )
+
+    w_pref = (
+        Window.partitionBy(series_col, "_bin")
+        .orderBy("_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    pref = base.select(
+        id_col,
+        series_col,
+        "_us",
+        "_vm",
+        "_bin",
+        F.sum("_vm").over(w_pref).alias("p1"),
+        F.sum(F.col("_vm") * F.col("_vm")).over(w_pref).alias("p2"),
+        F.count(F.lit(1)).over(w_pref).alias("pn"),
+    )
+
+    dat = base.select(
+        F.lit(None).cast(id_type).alias("_pid"),
+        F.col(series_col),
+        "_bin",
+        "_us",
+        "_vm",
+        F.lit(1).alias("_one"),
+    )
+    probe = base.select(
+        F.col(id_col).alias("_pid"),
+        F.col(series_col),
+        (F.col("_bin") - k).alias("_bin"),
+        (F.col("_us") - window_us).alias("_us"),
+        F.lit(None).cast("bigint").alias("_vm"),
+        F.lit(None).cast("int").alias("_one"),
+    )
+    w_suf = (
+        Window.partitionBy(series_col, "_bin")
+        .orderBy(F.col("_us").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    suf = (
+        dat.unionByName(probe)
+        .select(
+            "_pid",
+            F.sum("_vm").over(w_suf).alias("x1"),
+            F.sum(F.col("_vm") * F.col("_vm")).over(w_suf).alias("x2"),
+            F.count("_one").over(w_suf).alias("xn"),
+        )
+        .filter(F.col("_pid").isNotNull())
+    )
+
+    z = F.lit(0).cast("bigint")
+    stats = (
+        pref.join(full, [series_col, "_bin"], "left")
+        .join(suf, pref[id_col] == suf["_pid"], "left")
+        .select(
+            id_col,
+            series_col,
+            "_us",
+            "_vm",
+            (
+                F.col("p1") + F.coalesce("f1", z) + F.coalesce("x1", z)
+            ).alias("_s1"),
+            (
+                F.col("p2") + F.coalesce("f2", z) + F.coalesce("x2", z)
+            ).alias("_s2"),
+            (
+                F.col("pn") + F.coalesce("fn", z) + F.coalesce("xn", z)
+            ).alias("_n"),
+        )
+    )
+    return _finish_zscore(stats, series_col, id_col, min_points, z_threshold)

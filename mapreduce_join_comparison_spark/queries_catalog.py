@@ -4016,16 +4016,21 @@ SELECT * FROM z WHERE abs(zscore) >= 3.0
 @register("events_anomaly_zscore", _ANOMALY_ORACLE)
 def events_anomaly_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time rolling anomaly detection: per event_type, each point
-    scored against the trailing 24 h (RANGE frame over epoch micros —
-    the only catalog query exercising interval frames; irregular
-    series need event-time, not row-count, windows). Values quantize
-    to integer milli-units so the windowed Σv/Σv² are exact int64 —
-    mean/variance/z then derive from identical integers in both
-    engines. One shuffle."""
-    from .operators.timeseries import rolling_zscore_anomalies
+    scored against the trailing 24 h interval. Runs the BINNED
+    two-level operator (exact per-bin Σv/Σv²/n + dense ROWS frame over
+    bins + intra-bin prefix/suffix windows) — bit-identical to the
+    direct RANGE-frame form (property-tested), but O(rows +
+    bins × bins_per_window) and (series, bin)-parallel where the
+    direct frame re-aggregates every row's frame inside one partition
+    per series. Values quantize to integer milli-units so all window
+    sums are exact int64 — mean/variance/z then derive from identical
+    integers in both engines."""
+    from .operators.timeseries import rolling_zscore_anomalies_binned
 
     (events,) = _load(spark, sf_dir, "events")
-    return rolling_zscore_anomalies(events, window_us=_ANOMALY_WINDOW_US)
+    return rolling_zscore_anomalies_binned(
+        events, window_us=_ANOMALY_WINDOW_US
+    )
 
 
 @register("events_stream_anomaly", _ANOMALY_ORACLE)

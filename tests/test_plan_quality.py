@@ -206,8 +206,13 @@ EXPECTATIONS = {
     "dedup_substring_containment": (4, "BroadcastHashJoin"),
     # fully narrow: 8 literal-anchor dots in one sorted-struct pass
     "embedding_topic_tag": (0, None),
-    # ONE series×time exchange feeds the RANGE-frame window
-    "events_anomaly_zscore": (1, "Window"),
+    # binned two-level form: (series,bin) per-bin agg + intra-bin
+    # prefix window + probe-union suffix window + the id join-back —
+    # every exchange O(rows) and (series,bin)- or id-parallel; the
+    # O(bins) dense-grid windows ride the tiny aggregated side. The
+    # direct form was 1 exchange but serialized whole series into
+    # single partitions and re-aggregated every row's RANGE frame.
+    "events_anomaly_zscore": (4, "Window"),
     # df-count shuffle + broadcast of the over-threshold set + per-doc
     # agg + fan_out; corpus never shuffles for the match
     "text_boilerplate_ngrams": (5, "BroadcastHashJoin"),

@@ -1,0 +1,141 @@
+"""Round-5 operators: the binned two-level rolling z-score
+(`rolling_zscore_anomalies_binned`) must reproduce the direct
+RANGE-frame form BIT-FOR-BIT — the split into full-bin / intra-bin
+prefix / oldest-bin suffix is exact int64 arithmetic ending in the
+shared `_finish_zscore` expression tree, so equality here is Row
+equality on doubles, not approx. The cases below stress exactly where
+a binned decomposition can silently diverge: points on bin
+boundaries, points exactly window_us apart (closed lower bound),
+timestamp peers, empty interior bins, and degenerate bin counts."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.operators.timeseries import (
+    rolling_zscore_anomalies,
+    rolling_zscore_anomalies_binned,
+)
+
+# small deterministic scale for hand-built cases: W = 240 µs, k bins
+W = 240
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, us bigint, value double"
+    )
+    return df.select(
+        "event_id", "event_type",
+        F.timestamp_micros("us").alias("ts"), "value",
+    )
+
+
+def _assert_binned_equals_direct(spark, rows, window_us=W, ks=(1, 2, 3, 4)):
+    ev = _events(spark, rows)
+    direct = rolling_zscore_anomalies(
+        ev, window_us=window_us, min_points=1, z_threshold=0.0
+    ).orderBy("event_id").collect()
+    for k in ks:
+        if window_us % k:
+            continue
+        binned = rolling_zscore_anomalies_binned(
+            ev, window_us=window_us, min_points=1, z_threshold=0.0,
+            bins_per_window=k,
+        ).orderBy("event_id").collect()
+        assert binned == direct, f"bins_per_window={k}: {binned} != {direct}"
+    return direct
+
+
+def test_bin_boundary_points(spark):
+    # every point sits exactly on a bin boundary for k=4 (B=60); the
+    # intra-bin prefix must still include the boundary peer itself
+    rows = [(i, "s", i * 60, float(i % 7) / 8) for i in range(1, 20)]
+    out = _assert_binned_equals_direct(spark, rows)
+    assert out  # non-degenerate: some rows survive var > 0
+
+
+def test_window_start_tie_is_inclusive(spark):
+    # pairs exactly window_us apart: the older point sits AT t − W and
+    # the direct RANGE frame includes it (closed lower bound) — the
+    # binned suffix probe must include its peers too
+    rows = [
+        (1, "s", 100, 1.0),
+        (2, "s", 100 + W, 5.0),     # frame = {1, 2}
+        (3, "s", 101 + W, 9.0),     # frame = {2, 3}: row 1 just expired
+        (4, "s", 100 + 2 * W, 3.0),  # frame = {2?, 3, 4}: 2 is AT t−W... of 4
+    ]
+    out = _assert_binned_equals_direct(spark, rows)
+    by_id = {r["event_id"]: r["n_window"] for r in out}
+    # direct semantics: row 3's frame excludes row 1 (us=100 < 101)
+    assert by_id.get(3, 2) == 2
+
+
+def test_timestamp_peers_within_and_across_bins(spark):
+    rows = [
+        (1, "s", 50, 1.0),
+        (2, "s", 50, 2.0),    # peer pair mid-bin
+        (3, "s", 60, 3.0),    # on k=4 bin boundary
+        (4, "s", 60, 7.0),    # peer pair ON the boundary
+        (5, "s", 60 + W, 4.0),  # probe lands exactly on the 60-peers
+        (6, "s", 61 + W, 8.0),
+    ]
+    _assert_binned_equals_direct(spark, rows)
+
+
+def test_empty_interior_bins_and_gaps(spark):
+    # gaps longer than the window: old bins are entirely absent from
+    # per_bin and only exist through the dense sequence grid
+    rows = [(i, "s", us, float(i)) for i, us in enumerate(
+        [0, 10, 20, 1000, 1010, 5000, 5000, 5240, 5241], start=1
+    )]
+    _assert_binned_equals_direct(spark, rows)
+
+
+def test_multiple_series_and_min_points_threshold(spark):
+    rows = [(i, f"s{i % 3}", i * 7, float((i * i) % 11)) for i in range(60)]
+    ev = _events(spark, rows)
+    for mp in (1, 5):
+        direct = rolling_zscore_anomalies(
+            ev, window_us=W, min_points=mp, z_threshold=0.5
+        ).orderBy("event_id").collect()
+        binned = rolling_zscore_anomalies_binned(
+            ev, window_us=W, min_points=mp, z_threshold=0.5,
+            bins_per_window=4,
+        ).orderBy("event_id").collect()
+        assert binned == direct
+
+
+def test_indivisible_bin_count_rejected(spark):
+    with pytest.raises(ValueError):
+        rolling_zscore_anomalies_binned(
+            _events(spark, [(1, "s", 0, 1.0)]),
+            window_us=100, bins_per_window=3,
+        )
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    uss=st.lists(st.integers(min_value=0, max_value=1200),
+                 min_size=2, max_size=25),
+    k=st.sampled_from([1, 2, 4, 8]),
+)
+def test_binned_equals_direct_property(spark, uss, k):
+    rows = [
+        (i, "a" if us % 3 else "b", us, float(us % 13) / 8)
+        for i, us in enumerate(sorted(uss), start=1)
+    ]
+    ev = _events(spark, rows)
+    direct = rolling_zscore_anomalies(
+        ev, window_us=W, min_points=1, z_threshold=0.0
+    ).orderBy("event_id").collect()
+    binned = rolling_zscore_anomalies_binned(
+        ev, window_us=W, min_points=1, z_threshold=0.0, bins_per_window=k
+    ).orderBy("event_id").collect()
+    assert binned == direct
