@@ -282,6 +282,93 @@ def asof_join(
     )
 
 
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    x_col: str,
+    base_cell: int = 1,
+) -> DataFrame:
+    """Large-×-large two-sided inequality (interval containment) join:
+    pairs with ``lo < x AND x < hi`` — the IEJoin-class capability the
+    thesis discusses but never implements (ch. 5.4), generalized past
+    ``band_join``'s single bucketizable width: here every interval can
+    have a DIFFERENT width and neither side broadcasts.
+
+    Dual-bucketed multi-tier plan (the hierarchical-grid scheme used
+    by spatial/interval engines): tier ``t`` has cell size
+    ``base_cell · 2^t``; each interval is assigned the smallest tier
+    whose cell covers its width, so it overlaps AT MOST 2 cells of its
+    own tier — replication ≤ 2 regardless of width mix. Each point
+    probes one cell in every OCCURRING tier (the distinct-tier list is
+    a tiny aggregate, broadcast). Candidates come from one EQUI-join
+    on (tier, cell); the exact strict inequalities filter last. Cost:
+    O(|intervals| · 2 + |points| · n_tiers) shuffled rows + matching
+    candidates — never a nested loop, never O(|L|·|R|).
+
+    The tier index is computed from ``log2`` then CORRECTED in exact
+    integer arithmetic (``width > base_cell << t`` bumps one tier), so
+    float rounding at power-of-2 boundaries can never under-cover.
+    Columns must be numeric (cast dates to epoch days first) and
+    disjoint between the two sides. Intervals with ``hi <= lo`` match
+    nothing under strict bounds and are dropped early.
+    """
+    if base_cell < 1:
+        raise ValueError(f"base_cell must be >= 1, got {base_cell}")
+    lo, hi, x = F.col(lo_col), F.col(hi_col), F.col(x_col)
+    w = (hi - lo).cast("long")
+    t0 = F.greatest(
+        F.ceil(F.log2(w.cast("double") / F.lit(float(base_cell)))), F.lit(0)
+    ).cast("int")
+    cell = F.expr(f"shiftleft(CAST({base_cell} AS BIGINT), _ij_tier)")
+    ivals = (
+        intervals.filter(hi > lo)
+        .withColumn("_ij_t0", t0)
+        .withColumn(
+            "_ij_tier",
+            (
+                F.col("_ij_t0")
+                + F.when(
+                    w
+                    > F.expr(
+                        f"shiftleft(CAST({base_cell} AS BIGINT), _ij_t0)"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("int"),
+        )
+        .drop("_ij_t0")
+        .withColumn(
+            "_ij_cell",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(lo / cell).cast("long"),
+                        F.floor(hi / cell).cast("long"),
+                    )
+                )
+            ),
+        )
+    )
+    # bounded collect: distinct OCCURRING tiers — ≤ ~log2(max width)
+    # values (a few dozen for any physical domain), fetched once so the
+    # probe side explodes a literal array instead of cross-joining a
+    # tier relation (which would plan as BroadcastNestedLoopJoin).
+    tier_values = sorted(
+        r[0] for r in ivals.select("_ij_tier").distinct().collect()
+    ) or [0]
+    pts = points.withColumn(
+        "_ij_tier",
+        F.explode(F.array(*[F.lit(int(t)) for t in tier_values])),
+    ).withColumn("_ij_cell", F.floor(x / cell).cast("long"))
+    return (
+        ivals.join(pts, ["_ij_tier", "_ij_cell"])
+        .filter((lo < x) & (x < hi))
+        .drop("_ij_tier", "_ij_cell")
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,

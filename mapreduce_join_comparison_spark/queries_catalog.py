@@ -3444,6 +3444,74 @@ def join_band_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_multitier",
+    """
+    WITH iv AS (
+      SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+             epoch_us(l_shipdate) // 86400000000 AS lo,
+             epoch_us(l_shipdate) // 86400000000
+               + (CAST(l_quantity AS BIGINT) % 10 + 1)
+                 * (CASE WHEN l_suppkey % 50 = 0 THEN 20 ELSE 1 END) AS hi
+      FROM lineitem WHERE l_returnflag = 'R' AND l_partkey % 10 = 0
+    ),
+    pt AS (
+      SELECT o_orderkey, epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS x
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT iv.l_orderkey, iv.l_linenumber, pt.o_orderkey,
+           pt.x AS order_day, iv.lo AS ship_day,
+           iv.hi - iv.lo AS width_days
+    FROM iv JOIN pt ON iv.lo < pt.x AND pt.x < iv.hi
+    """,
+)
+def join_interval_multitier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-×-large TWO-SIDED inequality join (IEJoin-class, thesis
+    ch. 5.4 discussed-only): every 'R'-flag shipment opens a validity
+    interval of a VARIABLE width (1–10 days for most lines, 20–200 for
+    the suppkey%50 slice — deliberately spanning orders of magnitude so
+    no single bucket width works), and each urgent order's date probes
+    ``lo < x < hi`` with BOTH relations sf-scaled. Plan =
+    operators/joins.interval_join: intervals bucket into the smallest
+    power-of-2 cell tier covering their width (≤ 2 cells each), points
+    explode onto the occurring-tier literal list, one EQUI-join on
+    (tier, cell), exact filter — no BroadcastNestedLoopJoin, no
+    CartesianProduct, O(candidates) shuffled rows. DuckDB's optimizer
+    plans the same predicate natively as its IEJoin. Day numbers via
+    integer epoch-µs division — both engines derive identical BIGINTs."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import interval_join
+
+    lineitem, orders = _load(spark, sf_dir, "lineitem", "orders")
+    day = F.expr("unix_micros(l_shipdate) DIV 86400000000")
+    width = (
+        (F.col("l_quantity").cast("bigint") % 10 + 1)
+        * F.when(F.col("l_suppkey") % 50 == 0, 20).otherwise(1)
+    ).cast("bigint")
+    iv = lineitem.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_partkey") % 10 == 0)
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        day.alias("lo"),
+        (day + width).alias("hi"),
+    )
+    pt = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("x"),
+    )
+    j = interval_join(iv, pt, "lo", "hi", "x", base_cell=4)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderkey",
+        F.col("x").alias("order_day"),
+        F.col("lo").alias("ship_day"),
+        (F.col("hi") - F.col("lo")).alias("width_days"),
+    )
+
+
+@register(
     "join_fuzzy_names",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part),

@@ -255,6 +255,12 @@ EXPECTATIONS = {
     "agg_heavy_hitters": (7, "ObjectHashAggregate"),
     # fully narrow: per-row folds against literal codewords
     "embedding_pq_codes": (0, None),
+    # ---- round-5 scale extensions ----
+    # multi-tier dual-bucketed interval join: candidates via ONE
+    # (tier, cell) equi-join (HashJoin at smoke scale, shuffle join at
+    # size) — never BNLJ/CartesianProduct; + the bounded occurring-tier
+    # distinct executed at plan time
+    "join_interval_multitier": (2, "HashJoin"),
 }
 
 

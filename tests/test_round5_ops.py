@@ -139,3 +139,91 @@ def test_binned_equals_direct_property(spark, uss, k):
         ev, window_us=W, min_points=1, z_threshold=0.0, bins_per_window=k
     ).orderBy("event_id").collect()
     assert binned == direct
+
+
+# --- multi-tier interval join -------------------------------------------
+
+def _brute_interval(ivals, pts):
+    return sorted(
+        (i_id, p_id)
+        for (i_id, lo, hi) in ivals
+        for (p_id, x) in pts
+        if lo < x < hi
+    )
+
+
+def _run_interval(spark, ivals, pts, base_cell=4):
+    from mapreduce_join_comparison_spark.operators.joins import interval_join
+
+    idf = spark.createDataFrame(ivals, "iid bigint, lo bigint, hi bigint")
+    pdf = spark.createDataFrame(pts, "pid bigint, x bigint")
+    out = interval_join(idf, pdf, "lo", "hi", "x", base_cell=base_cell)
+    return sorted((r["iid"], r["pid"]) for r in out.collect())
+
+
+def test_interval_join_known_answer(spark):
+    ivals = [(1, 0, 10), (2, 5, 6), (3, 100, 101)]
+    pts = [(1, 5), (2, 10), (3, 100), (4, 3)]
+    # strict bounds: x=10 is NOT inside (0,10); (5,6) contains no int;
+    # (100,101) contains no int
+    assert _run_interval(spark, ivals, pts) == [(1, 1), (1, 4)]
+
+
+def test_interval_join_matches_bruteforce_mixed_widths(spark):
+    # widths spanning 4 orders of magnitude: tiers 0..~10 all occur,
+    # wide intervals must still replicate to only 2 cells of THEIR tier
+    ivals, pts = [], []
+    for i in range(200):
+        lo = (i * 37) % 1000
+        w = [1, 3, 17, 250, 4096][i % 5]
+        ivals.append((i, lo, lo + w))
+    for p in range(300):
+        pts.append((p, (p * 13) % 1100 - 20))  # includes negatives
+    expected = _brute_interval(ivals, pts)
+    assert _run_interval(spark, ivals, pts) == expected
+    # and each qualifying pair appears EXACTLY once (no replica dupes)
+    got = _run_interval(spark, ivals, pts, base_cell=1)
+    assert got == expected
+
+
+def test_interval_join_boundary_strictness(spark):
+    # points exactly at lo, at hi, and at cell boundaries of every tier
+    ivals = [(1, 8, 16), (2, 16, 48), (3, 0, 256)]
+    pts = [(i, v) for i, v in enumerate([0, 8, 9, 15, 16, 17, 32, 48, 255, 256])]
+    assert _run_interval(spark, ivals, pts) == _brute_interval(ivals, pts)
+
+
+def test_interval_join_empty_and_degenerate(spark):
+    # hi <= lo intervals match nothing; empty interval side returns an
+    # empty (but well-formed) result
+    ivals = [(1, 10, 10), (2, 20, 15)]
+    pts = [(1, 10), (2, 17)]
+    assert _run_interval(spark, ivals, pts) == []
+
+
+def test_interval_join_rejects_bad_base_cell(spark):
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.operators.joins import interval_join
+
+    idf = spark.createDataFrame([(1, 0, 5)], "iid bigint, lo bigint, hi bigint")
+    pdf = spark.createDataFrame([(1, 3)], "pid bigint, x bigint")
+    with _pytest.raises(ValueError):
+        interval_join(idf, pdf, "lo", "hi", "x", base_cell=0)
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    from mapreduce_join_comparison_spark.operators.joins import interval_join
+    from mapreduce_join_comparison_spark.plans.explain import simple_plan
+
+    idf = spark.range(1000).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 7 % 500).alias("lo"),
+        (F.col("id") * 7 % 500 + 1 + F.col("id") % 64).alias("hi"),
+    )
+    pdf = spark.range(2000).select(
+        F.col("id").alias("pid"), (F.col("id") % 600).alias("x")
+    )
+    plan = simple_plan(interval_join(idf, pdf, "lo", "hi", "x"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
