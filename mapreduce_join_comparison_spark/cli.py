@@ -200,10 +200,18 @@ def _query_table_from_detail(path: str) -> list[str]:
         detail = json.load(f)
     cold = detail.get("queries_cold") or {}
     warm = detail.get("queries_warm") or {}
+    spread = detail.get("queries_warm_detail") or {}
     if not cold:
         return []
-    lines = ["", "## Per-query wall time (sec)", "",
-             "| query | cold | warm |", "|---|---|---|"]
+    if spread:
+        rep = detail.get("repeats", "?")
+        lines = ["", f"## Per-query wall time (sec; warm = median of "
+                     f"{rep} runs)", "",
+                 "| query | cold | warm median | min | max |",
+                 "|---|---|---|---|---|"]
+    else:
+        lines = ["", "## Per-query wall time (sec)", "",
+                 "| query | cold | warm |", "|---|---|---|"]
     order = sorted(cold, key=lambda k: -(warm.get(k, cold[k])))
     # warm-only entries (the generated zipf joins + their generation
     # line item) follow the cold-pass rows
@@ -212,11 +220,18 @@ def _query_table_from_detail(path: str) -> list[str]:
     for k in order:
         c = f"{cold[k]:.3f}" if k in cold else "—"
         w = f"{warm[k]:.3f}" if k in warm else "—"
-        lines.append(f"| `{k}` | {c} | {w} |")
+        if spread:
+            st = spread.get(k)
+            mn = f"{st['min']:.3f}" if st else "—"
+            mx = f"{st['max']:.3f}" if st else "—"
+            lines.append(f"| `{k}` | {c} | {w} | {mn} | {mx} |")
+        else:
+            lines.append(f"| `{k}` | {c} | {w} |")
     lines.append("")
     lines.append(
         f"Totals: cold {detail.get('total_cold_sec', '—')} s, "
-        f"warm {detail.get('total_warm_sec', '—')} s."
+        f"warm {detail.get('total_warm_sec', '—')} s"
+        + (" (sum of medians)." if spread else ".")
     )
     zipf = detail.get("zipf_headline") or {}
     if zipf.get("join"):

@@ -148,8 +148,11 @@ def _parse_dims_header(b: bytes, fmt: str) -> tuple[int, int, int] | None:
             if len(b) < 11:
                 return None
             w, h = struct.unpack("<HH", b[6:10])
-            # palette-indexed RGB — report the rendered channel count
-            return (w, h, 3) if w and h else None
+            # palette-indexed: report the PALETTE band count (1), the
+            # same value PIL's getbands() gives for mode 'P' — the
+            # channels contract must not depend on which decoder tier
+            # happened to run (ADVICE r4)
+            return (w, h, 1) if w and h else None
         if fmt == "jpeg":
             # walk marker segments to a start-of-frame (SOF0..SOF15,
             # minus DHT/JPG/DAC which share the range but aren't SOFs)
@@ -166,7 +169,10 @@ def _parse_dims_header(b: bytes, fmt: str) -> tuple[int, int, int] | None:
                     return None
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
                                                              0xCC):
-                    if i + 9 > len(b):
+                    # need bytes through b[i+9] (component count), so
+                    # require i+10 <= len — an explicit guard, not the
+                    # accidental except-Exception one (ADVICE r4)
+                    if i + 10 > len(b):
                         return None
                     h, w = struct.unpack(">HH", b[i + 5:i + 9])
                     channels = b[i + 9]
@@ -256,7 +262,78 @@ FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),
     T.StructField("frame_md5", T.StringType()),
+    T.StructField("frame_ts_ms", T.LongType()),
+    T.StructField("video_width", T.IntegerType()),
+    T.StructField("video_height", T.IntegerType()),
+    T.StructField("decoder", T.StringType()),
 ])
+
+
+def _parse_mp4_header(b: bytes) -> tuple[int, int, int] | None:
+    """REAL MP4/ISO-BMFF container metadata from box headers, pure
+    stdlib — the video twin of ``_parse_dims_header`` (ADVICE r4 /
+    round-5 directive): returns (duration_ms, width, height) parsed
+    from ``moov/mvhd`` (timescale + duration, version 0 and 1) and the
+    first ``trak/tkhd`` with non-zero 16.16 fixed-point dimensions.
+    Strictly validated box walking (64-bit largesize and size-0
+    "to end of file" handled; any structural anomaly returns None) so
+    the catalog's synthetic text blobs can never mis-parse — the
+    driver oracle keeps replaying stub semantics."""
+    import struct
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", b[i:i + 4])
+            btype = b[i + 4:i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", b[i + 8:i + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield btype, i + hdr, i + size
+            i += size
+
+    try:
+        if len(b) < 16 or b[4:8] != b"ftyp":
+            return None
+        moov = next(
+            ((s, e) for t, s, e in boxes(0, len(b)) if t == b"moov"), None
+        )
+        if moov is None:
+            return None
+        dur_ms = None
+        width = height = 0
+        for t, s, e in boxes(*moov):
+            if t == b"mvhd":
+                ver = b[s]
+                if ver == 0 and e - s >= 20:
+                    (timescale,) = struct.unpack(">I", b[s + 12:s + 16])
+                    (dur,) = struct.unpack(">I", b[s + 16:s + 20])
+                elif ver == 1 and e - s >= 32:
+                    (timescale,) = struct.unpack(">I", b[s + 20:s + 24])
+                    (dur,) = struct.unpack(">Q", b[s + 24:s + 32])
+                else:
+                    return None
+                if not timescale:
+                    return None
+                dur_ms = dur * 1000 // timescale
+            elif t == b"trak" and not width:
+                for t2, s2, e2 in boxes(s, e):
+                    # width/height are the trailing 8 bytes of tkhd
+                    # (16.16 fixed point, after the transform matrix)
+                    if t2 == b"tkhd" and e2 - s2 >= 52:
+                        w16, h16 = struct.unpack(">II", b[e2 - 8:e2])
+                        if w16 and h16:
+                            width, height = w16 >> 16, h16 >> 16
+        return None if dur_ms is None else (dur_ms, width, height)
+    except Exception:
+        return None
 
 
 def sample_frames(
@@ -267,9 +344,18 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: emit ``n_frames`` evenly-spaced frames per
     blob. One input row fans out to N output rows through the same
-    Arrow-batch path a real demuxer would use. Frame extraction is
-    STUBBED (no codec libs): frame i = md5(hex(blob) || i),
-    deterministic (hex-md5 convention, see ``hex_md5``).
+    Arrow-batch path a real demuxer would use.
+
+    Two tiers per blob:
+      * ``mp4_header`` — REAL container metadata via ``_parse_mp4_header``
+        (stdlib box walk): each frame carries its true midpoint sample
+        timestamp ``(2i+1)·duration_ms / 2n`` (exact integer arithmetic)
+        plus the track's pixel dimensions. Pixel extraction itself still
+        needs a codec lib; the digest remains the deterministic stub.
+      * ``stub`` — anything that is not a parseable MP4 (including the
+        catalog's synthetic text blobs, by design): NULL timestamp/dims.
+    Frame digest in both tiers: md5(hex(blob) || i), deterministic
+    (hex-md5 convention, see ``hex_md5``).
     """
 
     def sample(batches: Iterator) -> Iterator:
@@ -279,18 +365,36 @@ def sample_frames(
 
         for pdf in batches:
             ids, idxs, digests = [], [], []
+            ts_ms, widths, heights, decoders = [], [], [], []
             for doc_id, raw in zip(pdf[id_col], pdf[blob_col]):
-                hex_form = bytes(raw).hex().upper()
+                b = bytes(raw)
+                hex_form = b.hex().upper()
+                parsed = _parse_mp4_header(b)
                 for i in range(n_frames):
                     ids.append(int(doc_id))
                     idxs.append(i)
                     digests.append(
                         hashlib.md5((hex_form + str(i)).encode()).hexdigest()
                     )
+                    if parsed is not None:
+                        dur_ms, w, h = parsed
+                        ts_ms.append((2 * i + 1) * dur_ms // (2 * n_frames))
+                        widths.append(w or None)
+                        heights.append(h or None)
+                        decoders.append("mp4_header")
+                    else:
+                        ts_ms.append(None)
+                        widths.append(None)
+                        heights.append(None)
+                        decoders.append("stub")
             yield pd.DataFrame({
                 "doc_id": pd.array(ids, dtype="int64"),
                 "frame_idx": pd.array(idxs, dtype="int32"),
                 "frame_md5": digests,
+                "frame_ts_ms": pd.array(ts_ms, dtype="Int64"),
+                "video_width": pd.array(widths, dtype="Int32"),
+                "video_height": pd.array(heights, dtype="Int32"),
+                "decoder": decoders,
             })
 
     return df.select(id_col, blob_col).mapInPandas(

@@ -2632,11 +2632,16 @@ def multimodal_decode_stub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling through mapInPandas: 1 row → 4 frame rows
-    (stubbed extraction, deterministic digests)."""
+    (deterministic digests). The operator now also carries the
+    mp4_header tier's real timestamps/dimensions; the synthetic text
+    blobs are never parseable MP4, so this query projects the stable
+    stub columns the relational oracle replays."""
     from .operators.multimodal import sample_frames, text_as_blobs
 
     (documents,) = _load(spark, sf_dir, "documents")
-    return sample_frames(text_as_blobs(documents), n_frames=4)
+    return sample_frames(text_as_blobs(documents), n_frames=4).select(
+        "doc_id", "frame_idx", "frame_md5"
+    )
 
 
 # --------------------------------------------------------------------------

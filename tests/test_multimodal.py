@@ -141,7 +141,10 @@ def test_header_decode_real_images(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
     out = {r["doc_id"]: r for r in decode_image_features(df).collect()}
-    expect = {1: (3, 2, 3), 2: (640, 480, 4), 3: (17, 9, 3),
+    # GIF expects 1 channel: palette-indexed band count, matching what
+    # PIL's getbands() reports for mode 'P' (the channels value must
+    # not flip when PIL is installed — ADVICE r4)
+    expect = {1: (3, 2, 3), 2: (640, 480, 4), 3: (17, 9, 1),
               4: (33, 21, 3)}
     for doc_id, (w, h, c) in expect.items():
         r = out[doc_id]
@@ -179,3 +182,82 @@ def test_pil_tier_when_available(spark):
     (r,) = decode_image_features(df).collect()
     assert r["decoder"] == "pil"
     assert (r["width"], r["height"], r["channels"]) == (5, 7, 3)
+
+
+# --- real MP4 container-header tier (round 5) ----------------------------
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _make_mp4(duration_ms: int, w: int, h: int, timescale: int = 1000,
+              version: int = 0) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov(mvhd + trak(tkhd))."""
+    import struct
+
+    dur = duration_ms * timescale // 1000
+    if version == 0:
+        mvhd = (b"\x00\x00\x00\x00"              # version 0 + flags
+                + struct.pack(">II", 0, 0)        # ctime, mtime
+                + struct.pack(">II", timescale, dur)
+                + b"\x00" * 80)
+    else:
+        mvhd = (b"\x01\x00\x00\x00"
+                + struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", timescale) + struct.pack(">Q", dur)
+                + b"\x00" * 80)
+    # tkhd v0: ver+flags, ctime, mtime, track id, reserved, duration,
+    # 8 reserved, layer/group/volume/reserved, 36-byte matrix, then
+    # width/height as 16.16 fixed point
+    tkhd = (b"\x00\x00\x00\x07"
+            + struct.pack(">IIII I", 0, 0, 1, 0, dur)
+            + b"\x00" * 16 + b"\x00" * 36
+            + struct.pack(">II", w << 16, h << 16))
+    moov = _box(b"moov", _box(b"mvhd", mvhd)
+                + _box(b"trak", _box(b"tkhd", tkhd)))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_mp4_header_parse_real_bytes():
+    from mapreduce_join_comparison_spark.operators.multimodal import (
+        _parse_mp4_header,
+    )
+
+    assert _parse_mp4_header(_make_mp4(8000, 640, 360)) == (8000, 640, 360)
+    # version-1 mvhd (64-bit duration) and a non-1000 timescale
+    assert _parse_mp4_header(
+        _make_mp4(12_345, 1920, 1080, timescale=90_000, version=1)
+    ) == (12_345, 1920, 1080)
+    # structural anomalies must all reject, not mis-parse
+    assert _parse_mp4_header(b"") is None
+    assert _parse_mp4_header(b"\x00\x00\x00\x08ftypnomoov") is None
+    good = _make_mp4(5000, 64, 48)
+    assert _parse_mp4_header(good[:20]) is None          # truncated
+    assert _parse_mp4_header(b"The quick brown fox jumps over") is None
+
+
+def test_frame_sample_mp4_tier_and_stub_fallback(spark):
+    import hashlib as _hl
+
+    mp4 = _make_mp4(8000, 640, 360)
+    rows = [(1, mp4), (2, b"plain text, not a container")]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    out = sample_frames(df, n_frames=4).collect()
+    by_key = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    assert len(by_key) == 8
+    # mp4 tier: real midpoint timestamps (2i+1)*8000/8 = 1000,3000,...
+    for i, expect_ts in enumerate([1000, 3000, 5000, 7000]):
+        r = by_key[(1, i)]
+        assert r["decoder"] == "mp4_header"
+        assert r["frame_ts_ms"] == expect_ts
+        assert (r["video_width"], r["video_height"]) == (640, 360)
+        assert r["frame_md5"] == _hl.md5(
+            (mp4.hex().upper() + str(i)).encode()
+        ).hexdigest()
+    # stub tier: NULL timestamp/dims, digest contract unchanged
+    r = by_key[(2, 0)]
+    assert r["decoder"] == "stub"
+    assert r["frame_ts_ms"] is None and r["video_width"] is None
