@@ -1,0 +1,107 @@
+"""Deterministic sf1-scale soak data for the auto-sized blocking
+family (round-5 directive #5): ``documents.parquet`` (50 000 rows) and
+``embeddings.parquet`` (20 000 unit vectors) — 10× the driver's sf0.1
+tables, matching their observed distributions (31-word vocabulary,
+lang mix, src0..19 sources, ~44-580 char texts, unit-norm 64-d
+embeddings in 10 label clusters) plus injected exact/near duplicate
+structure so the dedup family has real work at scale.
+
+The driver's /root/testdata is read-only and tops out at sf0.1; this
+generator (seed=42, pure numpy/pyarrow — no Spark needed) lets
+``tools/parity_check.py`` and the candidate-growth property tests run
+one tier further. Default output: /tmp/spark_graft_sf1 (regenerated on
+demand, never committed).
+
+Usage: python tools/gen_sf1.py [outdir] [--docs N] [--vecs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# the sf0.1 documents vocabulary (31 words, extracted once; embedding
+# it as a literal keeps the generator runnable without the driver dir)
+VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash "
+    "join key line merge order part query row scan slow small sort "
+    "spark stream table the value vector window"
+).split()
+LANGS = ["en", "zh", "fr", "es", "de"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+
+
+def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
+    vocab = np.array(VOCAB)
+    n_words = rng.integers(8, 110, size=n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i and i % 250 == 0:
+            texts.append(texts[i - 1])            # exact duplicate
+            continue
+        words = vocab[rng.integers(0, len(vocab), size=int(n_words[i]))]
+        if i and i % 100 == 0:
+            # near-duplicate of the previous doc: ~2 words mutated
+            prev = texts[i - 1].split()
+            for j in rng.integers(0, max(1, len(prev)), size=2):
+                prev[int(j)] = str(vocab[int(rng.integers(0, len(vocab)))])
+            texts.append(" ".join(prev))
+            continue
+        texts.append(" ".join(words))
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in range(n_docs)],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
+    dim, n_labels = 64, 10
+    cents = rng.standard_normal((n_labels, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    labels = rng.integers(0, n_labels, size=n_vecs)
+    vecs = cents[labels] + 0.6 * rng.standard_normal((n_vecs, dim))
+    # inject near-duplicate pairs (every 200th ≈ tiny perturbation of
+    # its predecessor) BEFORE normalizing, so cosine stays ≈ 1
+    for i in range(200, n_vecs, 200):
+        vecs[i] = vecs[i - 1] + 0.01 * rng.standard_normal(dim)
+        labels[i] = labels[i - 1]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+
+
+def generate(outdir: str, n_docs: int = 50_000, n_vecs: int = 20_000) -> str:
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    pq.write_table(gen_documents(n_docs, rng),
+                   os.path.join(outdir, "documents.parquet"))
+    pq.write_table(gen_embeddings(n_vecs, rng),
+                   os.path.join(outdir, "embeddings.parquet"))
+    return outdir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("outdir", nargs="?", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--vecs", type=int, default=20_000)
+    args = ap.parse_args()
+    out = generate(args.outdir, args.docs, args.vecs)
+    print(f"wrote {out}: documents={args.docs} embeddings={args.vecs}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,12 @@ def main() -> int:
         spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
+        # partial soak dirs (e.g. tools/gen_sf1.py's documents +
+        # embeddings) carry only the tables their query family reads —
+        # skip absent files instead of failing every view bind
+        if not os.path.exists(f"{SF_DIR}/{t}.parquet"):
+            print(f"note: {t}.parquet absent in {SF_DIR}, view skipped")
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     failed = []
     for key in keys:
