@@ -659,7 +659,7 @@ def semdedup_dropped(
     the result engine-replayable). Returns one row per dropped vector
     with its smallest-id keeper and the cosine evidence.
     """
-    from .similarity import _nearest_cells_expr, dot_expr, norm_expr
+    from .similarity import _nearest_cell_argmin_expr, dot_expr, norm_expr
 
     if n_cells is None:
         n_cells = auto_semdedup_cells(
@@ -668,10 +668,20 @@ def semdedup_dropped(
         )
     centroids = centroids[:n_cells]
 
+    # Assignment is the per-row hot path at auto-sized pools (the r4
+    # bench regression at 63 cells): the fused argmin FOLD (see
+    # _nearest_cell_argmin_expr) replaces the pool-sized struct sort
+    # and runs one array pass per centroid instead of three — values
+    # bit-equal. No pre-cast intermediate column anywhere: a
+    # lambda-produced array consumed by another higher-order function
+    # breaks Spark 4's attribute binding once this plan self-joins
+    # under autoBroadcastJoinThreshold=-1 (INTERNAL_ERROR_ATTRIBUTE_
+    # NOT_FOUND), so the norm and the pair dot keep their inline-cast
+    # forms over the float vector.
     assigned = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).withColumn(
-        "cell", F.element_at(_nearest_cells_expr("v", centroids, 1), 1)
+        "cell", _nearest_cell_argmin_expr("v", centroids)
     ).withColumn("nrm", norm_expr("v"))
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"),

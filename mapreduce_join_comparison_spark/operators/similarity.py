@@ -442,6 +442,36 @@ def _nearest_cells_expr(vec: str, cents: list[list[float]],
     )
 
 
+def _nearest_cell_argmin_expr(vec: str,
+                              cents: list[list[float]]) -> Column:
+    """nprobe=1 fast path of ``_nearest_cells_expr``: a single argmin
+    FOLD over the centroid literal (strict ``<`` keeps the FIRST
+    occurrence on dot-product ties — identical to the sort form's
+    (neg, cell)-ascending tiebreak) instead of building and sorting a
+    |pool|-struct array per row, with the float→double cast FUSED into
+    the per-centroid zip_with (``c * CAST(x AS DOUBLE)`` — IEEE
+    multiplication commutes, so values stay bit-equal to the sort
+    form's cast-then-multiply and to the SQL oracles; asserted in
+    test_round5_ops). One array pass per centroid instead of three
+    (cast pass + product pass + fold pass), and — deliberately — NO
+    lambda-produced intermediate column: a pre-cast array column
+    consumed by another higher-order function breaks Spark 4's
+    attribute binding when the plan is self-joined or the predicate
+    lands in a SortMergeJoin condition (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    FOUND under autoBroadcastJoinThreshold=-1). ``vec`` is the raw
+    float-array column name."""
+    arr = "array(" + ", ".join(_arr_sql(c) for c in cents) + ")"
+    return F.expr(
+        f"aggregate(transform({arr}, (c, i) -> named_struct("
+        f"'neg', -aggregate(zip_with(c, `{vec}`, "
+        "(y, x) -> y * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 'cell', i)), "
+        "CAST(NULL AS STRUCT<neg: DOUBLE, cell: INT>), "
+        "(best, s) -> CASE WHEN best IS NULL OR s.neg < best.neg "
+        "THEN s ELSE best END).cell"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

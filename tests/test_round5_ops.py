@@ -227,3 +227,32 @@ def test_interval_join_no_nested_loop_plan(spark):
     plan = simple_plan(interval_join(idf, pdf, "lo", "hi", "x"))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- fused argmin cell assignment ----------------------------------------
+
+def test_argmin_fold_equals_sort_form(spark):
+    """The nprobe=1 fused argmin fold (cast fused into the zip_with,
+    first-occurrence tiebreak) must pick the SAME cell as the general
+    sort form for every vector — including dot-product ties, which the
+    duplicated-centroid pool below forces."""
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        _nearest_cell_argmin_expr,
+        _nearest_cells_expr,
+    )
+
+    cents = [
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [1.0, 0.0, 0.0],   # duplicate of cell 0: tie → first wins
+        [0.5, 0.5, 0.0],
+    ]
+    rows = [(i, [float((i * 7) % 5) / 4, float((i * 3) % 7) / 6,
+                 float(i % 3) / 2]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<float>")
+    got = df.select(
+        "vec_id",
+        F.element_at(_nearest_cells_expr("v", cents, 1), 1).alias("a"),
+        _nearest_cell_argmin_expr("v", cents).alias("b"),
+    ).collect()
+    assert got and all(r["a"] == r["b"] for r in got), got
