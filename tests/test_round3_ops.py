@@ -417,3 +417,70 @@ def test_auto_sizing_tiers():
     assert dedup.auto_semdedup_cells(500) == 16    # floor
     assert dedup.auto_semdedup_cells(2000) == 63
     assert dedup.auto_semdedup_cells(10**6) == 64  # cap
+
+
+@pytest.fixture(scope="module")
+def sf1_dir(tmp_path_factory):
+    """sf1-scale soak tables (50k docs / 20k unit vectors), generated
+    deterministically by tools/gen_sf1.py — one tier past the driver's
+    sf0.1, cached per test session."""
+    import os
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import gen_sf1
+
+    out = str(tmp_path_factory.mktemp("sf1"))
+    gen_sf1.generate(out)
+    return out
+
+
+def test_auto_lsh_planes_linear_one_tier_further(spark, sf1_dir):
+    """Round-5 directive #5: the candidate-growth property extended to
+    sf1 (20 000 vectors, 10× sf0.1). auto_lsh_planes steps 6 → 10 bits
+    here; the per-row candidate rate must stay within 2× of the sf0.1
+    rate despite the 10× corpus (a fixed b would grow it ~10×)."""
+    r_mid = _lsh_candidate_rate(spark, "/root/testdata/sf0.1")
+    r_sf1 = _lsh_candidate_rate(spark, sf1_dir)
+    assert r_sf1 <= r_mid * 2.0, (
+        f"per-row candidate rate grew {r_sf1 / r_mid:.2f}x "
+        f"({r_mid:.1f} -> {r_sf1:.1f}) at the sf1 tier"
+    )
+
+
+def test_auto_semdedup_cells_one_tier_further(spark, sf1_dir):
+    """SemDeDup at sf1: the catalog's seeded pool caps at 64 cells, so
+    past the cap the mean cell population necessarily grows — the
+    documented regime where a real deployment raises the cap with a
+    corpus-sized pool. Assert exactly that contract: with the cap
+    LIFTED (seeded pool sized by the uncapped auto rule), the per-row
+    candidate rate at sf1 stays within 2x of the sf0.1 rate."""
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        _nearest_cells_expr,
+    )
+    from mapreduce_join_comparison_spark.queries_catalog import (
+        _seeded_unit_vectors,
+    )
+    from mapreduce_join_comparison_spark.sources.io import load_table
+
+    rates = {}
+    for sf_dir in ("/root/testdata/sf0.1", sf1_dir):
+        df = load_table(spark, sf_dir, "embeddings")
+        n = df.count()
+        n_cells = dedup.auto_semdedup_cells(n, cap=10**6)
+        cents = _seeded_unit_vectors(n_cells, 64, seed=7)
+        assigned = df.select(
+            F.element_at(
+                _nearest_cells_expr("embedding", cents, 1), 1
+            ).alias("cell")
+        )
+        (row,) = (
+            assigned.groupBy("cell").count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                 .alias("cand"))
+            .collect()
+        )
+        rates[sf_dir] = float(row["cand"]) / n
+    mid, sf1 = rates.values()
+    assert sf1 <= mid * 2.0, rates
