@@ -19,27 +19,36 @@ from pyspark.sql import functions as F
 from ..sources.io import fan_out
 
 
-def _as_double(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
 def dot_expr(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product (deterministic order, matches any
-    engine that folds left-to-right in double)."""
+    engine that folds left-to-right in double). The float→double casts
+    are FUSED into the zip_with lambda — one array pass instead of two
+    cast passes + a product pass; per-element value and fold order are
+    identical (cast-then-multiply), so results stay bit-equal to the
+    staged form and to the SQL oracles. Interpreted higher-order
+    functions pay per PASS, and these folds are the hot path of every
+    cosine-family query."""
     return F.aggregate(
-        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.zip_with(_as_col(a), _as_col(b),
+                   lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def norm_expr(a: Column | str) -> Column:
+    """Euclidean norm as ONE fused fold over the raw array (cast and
+    square inside the aggregate lambda) — same left-to-right double
+    arithmetic as the staged cast→square→fold form, bit-equal."""
     return F.sqrt(
         F.aggregate(
-            F.transform(_as_double(a), lambda x: x * x),
+            _as_col(a),
             F.lit(0.0),
-            lambda acc, x: acc + x,
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
 
