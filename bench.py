@@ -241,6 +241,7 @@ HEADLINE = [
     "agg_heavy_hitters",
     "embedding_pq_codes",
     "join_interval_multitier",
+    "join_interval_overlap",
 ]
 
 

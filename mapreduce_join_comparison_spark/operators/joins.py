@@ -369,6 +369,126 @@ def interval_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    base_cell: int = 1,
+) -> DataFrame:
+    """Large-×-large INTERVAL OVERLAP join: pairs of half-open
+    intervals with ``l.lo < r.hi AND r.lo < l.hi`` — the temporal
+    overlap predicate (two inequalities in opposite directions, both
+    relations scaled, variable widths on BOTH sides; the
+    interval-containment case is ``interval_join``).
+
+    Every overlapping pair is found EXACTLY ONCE, at exactly one
+    (tier, cell): tier ``T = max(t_left, t_right)`` (the coarser of
+    the two intervals' own tiers — at T both intervals span ≤ 2 cells,
+    and both cover the cell of their common point), in the cell
+    containing ``greatest(lo_l, lo_r)`` — the overlap's first point,
+    which lies in BOTH intervals, so its cell is in both replica sets,
+    and it is unique per pair, so no DISTINCT is needed. Concretely:
+
+      * branch 1 (``t_right = T ≥ t_left``): right at its OWN tier's
+        ≤ 2 cells ⋈ left replicated to its ≤ 2 cells at every
+        occurring right tier ≥ its own;
+      * branch 2 (``t_left = T > t_right``): mirror, strict ``>`` so
+        equal-tier pairs stay in branch 1 only;
+      * union → exact overlap predicate AND the exactly-once cell
+        condition.
+
+    Candidates per own-tier interval ≈ the replicated intervals within
+    one cell-width of it — O(local density), never the N² a shared
+    coarse tier would produce if BOTH sides replicated upward (that
+    variant measured 8× slower at sf0.1), and never a nested loop.
+    Replication ≤ 2·|occurring tiers ≥ own| rows per interval (the
+    occurring-tier lists are log-bounded; fetched once, bounded
+    collects).
+
+    Columns must be numeric and disjoint between the two sides; pass
+    slim (id, lo, hi) frames and re-attach payloads by id. Empty
+    intervals (``hi <= lo``) match nothing and are dropped.
+    """
+    if base_cell < 1:
+        raise ValueError(f"base_cell must be >= 1, got {base_cell}")
+
+    def _with_tier(df: DataFrame, lo: Column, hi: Column) -> DataFrame:
+        w = (hi - lo).cast("long")
+        t0 = F.greatest(
+            F.ceil(F.log2(w.cast("double") / F.lit(float(base_cell)))),
+            F.lit(0),
+        ).cast("int")
+        return df.filter(hi > lo).withColumn("_ij_t0", t0).withColumn(
+            "_ij_tier",
+            (
+                F.col("_ij_t0")
+                + F.when(
+                    w
+                    > F.expr(
+                        f"shiftleft(CAST({base_cell} AS BIGINT), _ij_t0)"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("int"),
+        ).drop("_ij_t0")
+
+    cell_width = F.expr(f"shiftleft(CAST({base_cell} AS BIGINT), _ij_tier)")
+
+    def _cells(df: DataFrame, lo: Column, hi: Column) -> DataFrame:
+        return df.withColumn(
+            "_ij_cell",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(lo / cell_width).cast("long"),
+                        F.floor((hi - 1) / cell_width).cast("long"),
+                    )
+                )
+            ),
+        )
+
+    def _replicated(df: DataFrame, lo: Column, hi: Column,
+                    tiers: list[int], strict: bool) -> DataFrame:
+        op = (lambda t: t > F.col("_ij_tier")) if strict \
+            else (lambda t: t >= F.col("_ij_tier"))
+        tier_arr = F.array(*[F.lit(int(t)) for t in sorted(tiers)])
+        rep = df.withColumn(
+            "_ij_t", F.explode(F.filter(tier_arr, op))
+        ).drop("_ij_tier").withColumnRenamed("_ij_t", "_ij_tier")
+        return _cells(rep, lo, hi)
+
+    l_lo, l_hi = F.col(left_lo), F.col(left_hi)
+    r_lo, r_hi = F.col(right_lo), F.col(right_hi)
+    lt = _with_tier(left, l_lo, l_hi)
+    rt = _with_tier(right, r_lo, r_hi)
+    # bounded collect: occurring tiers per side — ≤ ~log2(max width)
+    l_tiers = sorted(
+        r[0] for r in lt.select("_ij_tier").distinct().collect()
+    ) or [0]
+    r_tiers = sorted(
+        r[0] for r in rt.select("_ij_tier").distinct().collect()
+    ) or [0]
+    keys = ["_ij_tier", "_ij_cell"]
+    cand1 = _replicated(lt, l_lo, l_hi, r_tiers, strict=False).join(
+        _cells(rt, r_lo, r_hi), keys
+    )
+    cand2 = _cells(lt, l_lo, l_hi).join(
+        _replicated(rt, r_lo, r_hi, l_tiers, strict=True), keys
+    )
+    exact = (l_lo < r_hi) & (r_lo < l_hi)
+    once = F.col("_ij_cell") == F.floor(
+        F.greatest(l_lo, r_lo) / cell_width
+    ).cast("long")
+    return (
+        cand1.unionByName(cand2)
+        .filter(exact & once)
+        .drop("_ij_tier", "_ij_cell")
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,

@@ -3517,6 +3517,75 @@ def join_interval_multitier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_overlap",
+    """
+    WITH a AS (
+      SELECT l_orderkey AS okey_a, CAST(l_linenumber AS INT) AS line_a,
+             epoch_us(l_shipdate) // 86400000000 AS lo_a,
+             epoch_us(l_shipdate) // 86400000000
+               + (CAST(l_quantity AS BIGINT) % 10 + 1)
+                 * (CASE WHEN l_suppkey % 50 = 0 THEN 20 ELSE 1 END) AS hi_a
+      FROM lineitem WHERE l_returnflag = 'R' AND l_partkey % 10 = 0
+    ),
+    b AS (
+      SELECT l_orderkey AS okey_b, CAST(l_linenumber AS INT) AS line_b,
+             epoch_us(l_shipdate) // 86400000000 AS lo_b,
+             epoch_us(l_shipdate) // 86400000000
+               + CAST(l_quantity AS BIGINT) % 7 + 2 AS hi_b
+      FROM lineitem WHERE l_returnflag = 'A' AND l_partkey % 10 = 5
+    )
+    SELECT okey_a, line_a, okey_b, line_b,
+           LEAST(hi_a, hi_b) - GREATEST(lo_a, lo_b) AS overlap_days
+    FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-×-large interval OVERLAP join (opposite-direction
+    inequalities, both sides sf-scaled, variable widths on BOTH sides
+    — the 'R' slice mixes 1–10 and 20–200 day windows, the 'A' slice
+    2–8 days). Plan = operators/joins.interval_overlap_join: per-side
+    tier assignment, replication into covered cells of every occurring
+    tier ≥ own (≤ 2 cells each), ONE (tier, cell) equi-join, id-pair
+    distinct, exact predicate — no BNLJ/CartesianProduct. DuckDB plans
+    its native IEJoin for the same predicate. ~1.9 M overlapping pairs
+    at sf0.1."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import interval_overlap_join
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    day = F.expr("unix_micros(l_shipdate) DIV 86400000000")
+    w_a = (
+        (F.col("l_quantity").cast("bigint") % 10 + 1)
+        * F.when(F.col("l_suppkey") % 50 == 0, 20).otherwise(1)
+    ).cast("bigint")
+    a = lineitem.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_partkey") % 10 == 0)
+    ).select(
+        F.col("l_orderkey").alias("okey_a"),
+        F.col("l_linenumber").cast("int").alias("line_a"),
+        day.alias("lo_a"),
+        (day + w_a).alias("hi_a"),
+    )
+    w_b = (F.col("l_quantity").cast("bigint") % 7 + 2).cast("bigint")
+    b = lineitem.filter(
+        (F.col("l_returnflag") == "A") & (F.col("l_partkey") % 10 == 5)
+    ).select(
+        F.col("l_orderkey").alias("okey_b"),
+        F.col("l_linenumber").cast("int").alias("line_b"),
+        day.alias("lo_b"),
+        (day + w_b).alias("hi_b"),
+    )
+    j = interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+                              base_cell=4)
+    return j.select(
+        "okey_a", "line_a", "okey_b", "line_b",
+        (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b"))
+        .alias("overlap_days"),
+    )
+
+
+@register(
     "join_fuzzy_names",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part),

@@ -261,6 +261,10 @@ EXPECTATIONS = {
     # size) — never BNLJ/CartesianProduct; + the bounded occurring-tier
     # distinct executed at plan time
     "join_interval_multitier": (2, "HashJoin"),
+    # two-branch exactly-once overlap plan: per-branch (tier, cell)
+    # equi-joins + the union — HashJoin at smoke scale, never BNLJ;
+    # occurring-tier collects execute at plan-build time
+    "join_interval_overlap": (3, "HashJoin"),
 }
 
 

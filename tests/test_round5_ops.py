@@ -256,3 +256,66 @@ def test_argmin_fold_equals_sort_form(spark):
         _nearest_cell_argmin_expr("v", cents).alias("b"),
     ).collect()
     assert got and all(r["a"] == r["b"] for r in got), got
+
+
+# --- interval overlap join -----------------------------------------------
+
+def _brute_overlap(av, bv):
+    return sorted(
+        (ia, ib)
+        for (ia, lo_a, hi_a) in av
+        for (ib, lo_b, hi_b) in bv
+        if lo_a < hi_b and lo_b < hi_a
+    )
+
+
+def _run_overlap(spark, av, bv, base_cell=4):
+    from mapreduce_join_comparison_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    adf = spark.createDataFrame(av, "ia bigint, lo_a bigint, hi_a bigint")
+    bdf = spark.createDataFrame(bv, "ib bigint, lo_b bigint, hi_b bigint")
+    out = interval_overlap_join(
+        adf, bdf, "lo_a", "hi_a", "lo_b", "hi_b", base_cell=base_cell
+    )
+    return sorted((r["ia"], r["ib"]) for r in out.collect())
+
+
+def test_overlap_known_answer(spark):
+    av = [(1, 0, 10), (2, 20, 25)]
+    bv = [(1, 9, 11), (2, 10, 12), (3, 25, 30), (4, 19, 21)]
+    # half-open: [0,10) meets [9,11) but NOT [10,12); [20,25) meets
+    # [19,21) but NOT [25,30)
+    assert _run_overlap(spark, av, bv) == [(1, 1), (2, 4)]
+
+
+def test_overlap_exactly_once_no_duplicates(spark):
+    # wide x wide same-tier pairs sharing BOTH cells, plus cross-tier
+    # pairs — each qualifying pair must appear exactly once without
+    # any distinct in the plan
+    av = [(i, i * 3, i * 3 + w) for i, w in
+          enumerate([1, 5, 30, 200, 7, 64], start=1)]
+    bv = [(i, i * 11 - 15, i * 11 - 15 + w) for i, w in
+          enumerate([2, 40, 3, 100, 8, 1000], start=1)]
+    expected = _brute_overlap(av, bv)
+    for bc in (1, 4):
+        got = _run_overlap(spark, av, bv, base_cell=bc)
+        assert got == expected, f"base_cell={bc}"
+        assert len(got) == len(set(got))
+
+
+def test_overlap_matches_bruteforce_dense(spark):
+    av = [(i, (i * 37) % 500, (i * 37) % 500 + [1, 9, 33, 250][i % 4])
+          for i in range(120)]
+    bv = [(i, (i * 53) % 520 - 10, (i * 53) % 520 - 10 + [2, 17, 70][i % 3])
+          for i in range(130)]
+    assert _run_overlap(spark, av, bv) == _brute_overlap(av, bv)
+
+
+def test_overlap_empty_and_degenerate(spark):
+    av = [(1, 5, 5), (2, 9, 3)]          # empty intervals
+    bv = [(1, 0, 100)]
+    assert _run_overlap(spark, av, bv) == []
+    # one side entirely empty after the hi>lo filter
+    assert _run_overlap(spark, [(1, 7, 7)], [(1, 0, 10)]) == []
