@@ -242,6 +242,7 @@ HEADLINE = [
     "embedding_pq_codes",
     "join_interval_multitier",
     "join_interval_overlap",
+    "join_dominance_count",
 ]
 
 

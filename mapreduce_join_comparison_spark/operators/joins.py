@@ -489,6 +489,107 @@ def interval_overlap_join(
     )
 
 
+def dominance_count(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    k_buckets: int | None = None,
+) -> DataFrame:
+    """Exact 2-D dominance count — the general IEJoin AGGREGATE: for
+    every row ``a``, ``|{b : b.x > a.x AND b.y < a.y}|`` (two strict
+    inequalities in opposite directions over one self-relation),
+    WITHOUT materializing the quadratic pair set a pair join would
+    produce (N=150 k rows ⇒ ~5.6 G qualifying pairs at sf0.1).
+
+    Decomposition (both columns integer):
+      * x-cells are the EXACT distinct x values (for a time axis, the
+        M distinct days), so a same-x-cell pair can never satisfy the
+        strict ``b.x > a.x`` — the x-strip vanishes by construction;
+      * y is bucketed into K equal integer ranges. Pairs in strictly
+        dominated (x' > x, yc' < yc) grid cells are counted by TWO
+        incremental unbounded-preceding window passes over the dense
+        M×K grid (suffix over x within each yc, then prefix over yc
+        within each x) and fetched per row by ONE equi-join on the
+        row's own (x, yc) — dense via sequence-explode so the probe
+        cell always exists;
+      * the same-y-bucket strip (yc equal, exact ``y_b < y_a`` and
+        ``x_b > x_a``) is the only pair join, bounded by Σ|bucket|²
+        ≈ N²/K.
+
+    With K ≈ N/√M the grid (M·K) and the strip (N²/K) are BOTH
+    O(N·√M) — linear in N for a fixed time domain, never quadratic,
+    and every window is a growing frame (incremental, no per-row
+    re-aggregation). ``k_buckets=None`` derives K from two bounded
+    scalar aggregates. Returns (id_col, x, y, n_dominated) with zero
+    counts included. Inputs must be int64; quantize first (epoch days
+    / integer cents) — integer counts are engine-exact."""
+    import math
+
+    x, y = F.col(x_col), F.col(y_col)
+    t = df.select(F.col(id_col), x.alias("_dx"), y.alias("_dy"))
+    # bounded: 4 scalars (row count, distinct-x count, y bounds)
+    n_rows, m_x = t.count(), t.select("_dx").distinct().count()
+    if k_buckets is None:
+        k_buckets = max(64, math.ceil(n_rows / math.sqrt(max(m_x, 1))))
+    (ymin, ymax) = t.agg(F.min("_dy"), F.max("_dy")).collect()[0]
+    span = max(int(ymax) - int(ymin) + 1, 1)
+    # integer bucket index — exact in any engine (no double division)
+    yc = F.expr(f"((_dy - {int(ymin)}) * {int(k_buckets)}) DIV {span}")
+    rows = t.withColumn("_dyc", yc)
+
+    cells = rows.groupBy("_dx", "_dyc").agg(F.count(F.lit(1)).alias("_n"))
+    grid = (
+        rows.select("_dx").distinct()
+        .withColumn(
+            "_dyc",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(int(k_buckets) - 1).cast("long"),
+                )
+            ),
+        )
+        .join(cells, ["_dx", "_dyc"], "left")
+        .select("_dx", "_dyc", F.coalesce("_n", F.lit(0)).alias("_n"))
+    )
+    from pyspark.sql import Window
+
+    w_sx = (
+        Window.partitionBy("_dyc").orderBy(F.col("_dx").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_py = (
+        Window.partitionBy("_dx").orderBy("_dyc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = (
+        grid.withColumn("_sx", F.coalesce(F.sum("_n").over(w_sx), F.lit(0)))
+        .withColumn("_g", F.coalesce(F.sum("_sx").over(w_py), F.lit(0)))
+        .select("_dx", "_dyc", "_g")
+    )
+    strip = (
+        rows.select(F.col(id_col).alias("_ida"), F.col("_dx").alias("_xa"),
+                    F.col("_dy").alias("_ya"), "_dyc")
+        .join(rows.select(F.col("_dx").alias("_xb"),
+                          F.col("_dy").alias("_yb"), "_dyc"), "_dyc")
+        .filter((F.col("_yb") < F.col("_ya")) & (F.col("_xb") > F.col("_xa")))
+        .groupBy("_ida")
+        .agg(F.count(F.lit(1)).alias("_strip"))
+    )
+    return (
+        rows.join(g, ["_dx", "_dyc"])
+        .join(strip, rows[id_col] == strip["_ida"], "left")
+        .select(
+            F.col(id_col),
+            F.col("_dx").alias("x"),
+            F.col("_dy").alias("y"),
+            (F.col("_g") + F.coalesce("_strip", F.lit(0)))
+            .cast("long").alias("n_dominated"),
+        )
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,

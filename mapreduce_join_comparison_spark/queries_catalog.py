@@ -3586,6 +3586,45 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_dominance_count",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS x,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT a.o_orderkey, a.x, a.y,
+           CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_dominated
+    FROM t a LEFT JOIN t b ON b.x > a.x AND b.y < a.y
+    GROUP BY a.o_orderkey, a.x, a.y
+    """,
+)
+def join_dominance_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General two-sided IEJoin AGGREGATE (thesis ch. 5.4's discussed
+    class, beyond interval predicates): per urgent order, the exact
+    number of LATER orders with a LOWER total price — ``b.x > a.x AND
+    b.y < a.y`` over one sf-scaled relation, where materialized pairs
+    would be ~5.6 G at sf0.1. Plan = operators/joins.dominance_count:
+    exact-day x-cells (the x-strip vanishes under strict >), dense
+    day × price-bucket grid folded by two incremental window passes,
+    one same-bucket strip join bounded by N²/K — O(N·√days) total,
+    engine-exact integer counts. The DuckDB oracle runs its native
+    IEJoin over the same predicate."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import dominance_count
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    t = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    return dominance_count(t, "x", "y", "o_orderkey")
+
+
+@register(
     "join_fuzzy_names",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part),

@@ -265,6 +265,10 @@ EXPECTATIONS = {
     # equi-joins + the union — HashJoin at smoke scale, never BNLJ;
     # occurring-tier collects execute at plan-build time
     "join_interval_overlap": (3, "HashJoin"),
+    # dominance aggregate: cell agg + dense-grid windows (two growing
+    # frames sharing the grid exchanges) + the same-bucket strip join
+    # + the per-row grid fetch — all O(N·sqrt(M)), no pair blowup
+    "join_dominance_count": (7, "Window"),
 }
 
 

@@ -319,3 +319,48 @@ def test_overlap_empty_and_degenerate(spark):
     assert _run_overlap(spark, av, bv) == []
     # one side entirely empty after the hi>lo filter
     assert _run_overlap(spark, [(1, 7, 7)], [(1, 0, 10)]) == []
+
+
+# --- 2-D dominance count (IEJoin aggregate) -------------------------------
+
+def _brute_dominance(rows):
+    return {
+        ia: sum(1 for (ib, xb, yb) in rows if xb > xa and yb < ya)
+        for (ia, xa, ya) in rows
+    }
+
+
+def _run_dominance(spark, rows, k=None):
+    from mapreduce_join_comparison_spark.operators.joins import dominance_count
+
+    df = spark.createDataFrame(rows, "rid bigint, x bigint, y bigint")
+    out = dominance_count(df, "x", "y", "rid", k_buckets=k)
+    return {r["rid"]: r["n_dominated"] for r in out.collect()}
+
+
+def test_dominance_known_answer(spark):
+    rows = [(1, 0, 100), (2, 1, 50), (3, 2, 150), (4, 3, 10)]
+    # 1 is dominated-over by (2: later+cheaper) and (4); 3 by (4); ties
+    # in neither direction count
+    assert _run_dominance(spark, rows) == {1: 2, 2: 1, 3: 1, 4: 0}
+
+
+def test_dominance_matches_bruteforce(spark):
+    rows = [(i, (i * 7) % 40, ((i * i) % 97) * 3 + i % 2)
+            for i in range(180)]
+    expected = _brute_dominance(rows)
+    # several bucket counts, incl. K=1 (everything in the strip) and a
+    # K far above the y cardinality (strip nearly empty)
+    for k in (None, 1, 8, 1024):
+        assert _run_dominance(spark, rows, k) == expected, f"k={k}"
+
+
+def test_dominance_ties_and_extremes(spark):
+    rows = [
+        (1, 5, 5), (2, 5, 5),     # identical points: dominate nothing
+        (3, 5, 4),                # same x as 1/2 — strict x excludes
+        (4, 6, 5),                # same y as 1/2 — strict y excludes
+        (5, 6, 4),                # dominates 1 and 2
+        (6, 4, 1_000_000_000),    # y span stress for the bucketing
+    ]
+    assert _run_dominance(spark, rows) == _brute_dominance(rows)
