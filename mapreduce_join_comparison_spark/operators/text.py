@@ -891,3 +891,121 @@ def inverted_index(
             ).alias("postings_head"),
         )
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a small set
+    of keyword queries and keep the ``top_k`` per query — the ranking
+    stage the inverted index (``inverted_index``) feeds in a search /
+    retrieval-eval pipeline (the reference's WordCount-shaped jobs
+    never rank; scale extension per SURVEY §2 "beyond").
+
+    score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) (the
+    non-negative Robertson–Sparck-Jones form).
+
+    Scale shape: the query term set is a LITERAL (queries are few and
+    tiny — a search workload parameter, not data), so per-doc term
+    frequencies are fully NARROW ``size(filter(toks, = term))``
+    expressions — no token explode, no (doc, term) shuffle, the
+    corpus is scanned exactly once. Corpus stats (N, avgdl, df per
+    query term) reduce to ONE row via map-side partial aggregation and
+    re-attach by broadcast (bounded: 1 row). Non-matching documents
+    are dropped by an exact integer predicate (max tf > 0) BEFORE the
+    per-query top-k window, so the window input is the docs matching
+    ≥1 query term, not the corpus. Scores are rounded to 6 dp and
+    ranked on the rounded value with a doc-id tiebreak, so a last-ulp
+    ln() difference can never flip a rank across engines (same
+    convention as ``tfidf_top_terms``).
+    """
+    from pyspark.sql.window import Window
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+    t_idx = {t: i for i, t in enumerate(terms)}
+
+    def _eq(term: str):
+        # factory, NOT `lambda x, t=t: ...` — a 2-parameter lambda is
+        # interpreted by F.filter as the (element, index) signature
+        return lambda x: x == F.lit(term)
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_PATTERN)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter("toks", _eq(t))).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # bounded: single-row global-stats frame
+    scored = base.join(F.broadcast(stats))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfreq + F.lit(0.5))
+            / (dfreq + F.lit(0.5))
+        )
+        return idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)))
+        )
+
+    # ALL query scores in one projection, then a stack() unpivot — a
+    # per-query union of filtered branches would rescan the corpus
+    # once per query (measured: 6 parquet scans for 3 queries); this
+    # shape scans it once for the doc pass + once for the stats pass
+    per_query_cols = []
+    stack_args: list[str] = []
+    for j, qid in enumerate(sorted(queries)):
+        qterms = queries[qid]
+        # left-to-right sum in the query's declared term order — the
+        # oracle spells the same chain so float addition order matches
+        s: Column = F.lit(0.0)
+        for t in qterms:
+            s = s + term_score(t_idx[t])
+        tf_cols = [F.col(f"tf_{t_idx[t]}") for t in qterms]
+        matched = tf_cols[0] if len(tf_cols) == 1 else F.greatest(*tf_cols)
+        per_query_cols += [
+            F.round(s, 6).alias(f"score_{j}"),
+            (matched > 0).cast("int").alias(f"matched_{j}"),
+        ]
+        stack_args.append(f"'{qid}', score_{j}, matched_{j}")
+    wide = scored.select("doc_id", *per_query_cols)
+    stacked = wide.select(
+        "doc_id",
+        F.expr(
+            f"stack({len(queries)}, {', '.join(stack_args)}) "
+            "AS (query_id, score, matched)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        stacked.filter(F.col("matched") > 0)
+        .select("query_id", "doc_id", "score")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+    )

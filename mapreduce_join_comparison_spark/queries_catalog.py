@@ -4660,6 +4660,103 @@ def events_stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-5 continuation: ranked retrieval over the text family.
+# --------------------------------------------------------------------------
+
+# search workload parameter shared by the Spark query and the oracle
+# builder — the queries are few and tiny (a parameter, not data)
+_BM25_QUERIES: dict[str, list[str]] = {
+    "q_join": ["hash", "join", "merge"],
+    "q_scan": ["scan", "table", "fast"],
+    "q_sort": ["sort", "window", "spark"],
+}
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle(queries: dict[str, list[str]], k1: float, b: float,
+                 top_k: int) -> str:
+    """DuckDB replica of ``text.bm25_rank``: same tokenization, the
+    same narrow tf/df arithmetic, and — critically — the same
+    left-to-right float operation order (the per-query score is
+    spelled as an explicit ``0.0 + ts_a + ts_b + ...`` chain in the
+    query's declared term order, never a SUM over rows)."""
+    terms = sorted({t for ts in queries.values() for t in ts})
+    idx = {t: i for i, t in enumerate(terms)}
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(terms))
+    )
+
+    def term_score(i: int) -> str:
+        return (
+            f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r}"
+            f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r}"
+            f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+        )
+
+    branches = []
+    for qid in sorted(queries):
+        qterms = queries[qid]
+        chain = "0.0"
+        for t in qterms:
+            chain = f"({chain} + {term_score(idx[t])})"
+        matched = " OR ".join(f"tf_{idx[t]} > 0" for t in qterms)
+        branches.append(
+            f"SELECT '{qid}' AS query_id, doc_id, ROUND({chain}, 6) AS score\n"
+            f"      FROM scored WHERE {matched}"
+        )
+    union = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(toks)::BIGINT AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
+    ),
+    stats AS (
+      SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl,
+             {df_cols}
+      FROM base
+    ),
+    scored AS (SELECT base.*, stats.* FROM base CROSS JOIN stats),
+    q AS (
+      {union}
+    )
+    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM q
+    ) WHERE rnk <= {top_k}
+    """
+
+
+@register(
+    "text_bm25_search",
+    _bm25_oracle(_BM25_QUERIES, _BM25_K1, _BM25_B, top_k=10),
+)
+def text_bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per keyword query — the ranking stage a retrieval /
+    search-eval pipeline runs over the corpus the inverted index
+    serves. One narrow corpus scan (literal query terms → per-doc tf
+    via array filters, no token explode), a 1-row stats aggregate
+    re-attached by broadcast, integer pre-filter to matching docs,
+    then the per-query top-k window. Ranks on the 6dp-rounded score so
+    a last-ulp ln() difference can't flip a rank across engines."""
+    from .operators.text import bm25_rank
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return bm25_rank(
+        documents, _BM25_QUERIES, k1=_BM25_K1, b=_BM25_B, top_k=10
+    )
+
+
+# --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------
 

@@ -70,6 +70,9 @@ EXPECTATIONS = {
     "set_ops": (1, None),
     "set_except_union": (1, None),
     "distinct_pairs": (1, None),
+    # one-row stats agg exchange + per-query top-k window exchange;
+    # corpus scanned twice (doc pass + stats pass), never per query
+    "text_bm25_search": (2, None),
     "text_features": (0, None),      # narrow: scan + projects only
     "text_lang_id": (0, None),
     "text_token_stats": (0, None),
@@ -316,6 +319,8 @@ _NESTED_LOOP_ALLOWED = {
                          "into the summary row",
     "text_tfidf_topterms": "one-row corpus-count broadcast (crossJoin of "
                            "an aggregate scalar)",
+    "text_bm25_search": "one-row corpus-stats (N/avgdl/df) broadcast onto "
+                        "the narrow scoring scan",
     "tpch_q11_important_stock": "scalar subquery (HAVING > total*frac)",
     "tpch_q22_sleeping_customers": "scalar subquery (avg acctbal)",
     "sql_subqueries": "scalar subquery demonstration",

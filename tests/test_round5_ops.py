@@ -364,3 +364,104 @@ def test_dominance_ties_and_extremes(spark):
         (6, 4, 1_000_000_000),    # y span stress for the bucketing
     ]
     assert _run_dominance(spark, rows) == _brute_dominance(rows)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (text.bm25_rank)
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _bm25_reference(texts, queries, k1=1.2, b=0.75, top_k=10):
+    """Serial Python reference with the SAME float operation order as
+    the operator (left-to-right per-term chain starting at 0.0)."""
+    toks = [t.strip().lower().split() for t in texts]
+    n = len(toks)
+    avgdl = sum(len(x) for x in toks) / n
+    out = []
+    for qid in sorted(queries):
+        scored = []
+        for d, tk in enumerate(toks):
+            s = 0.0
+            matched = 0
+            for term in queries[qid]:
+                tf = float(tk.count(term))
+                dfq = float(sum(1 for x in toks if term in x))
+                idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+                s = s + idf * (
+                    tf * (k1 + 1.0)
+                    / (tf + k1 * ((1.0 - b) + b * (len(tk) / avgdl)))
+                )
+                matched = max(matched, int(tf))
+            if matched > 0:
+                scored.append((round(s, 6), d))
+        scored.sort(key=lambda r: (-r[0], r[1]))
+        for rnk, (s, d) in enumerate(scored[:top_k], start=1):
+            out.append((qid, d, s, rnk))
+    return sorted(out)
+
+
+def test_bm25_matches_serial_reference(spark):
+    from mapreduce_join_comparison_spark.operators.text import bm25_rank
+
+    texts = [
+        "hash join hash join table",
+        "merge sort merge sort window",
+        "table scan fast scan",
+        "the quick brown fox",
+        "hash table scan scan scan",
+        "join join join join",
+        "window spark window spark sort",
+    ]
+    queries = {"qa": ["hash", "join"], "qb": ["scan", "window", "sort"]}
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rnk"])
+        for r in bm25_rank(_docs(spark, texts), queries, top_k=3).collect()
+    )
+    assert got == _bm25_reference(texts, queries, top_k=3)
+
+
+def test_bm25_single_term_query_and_no_match(spark):
+    from mapreduce_join_comparison_spark.operators.text import bm25_rank
+
+    texts = ["alpha beta", "beta beta gamma", "delta"]
+    queries = {"one": ["beta"], "none": ["zzz"]}
+    rows = bm25_rank(_docs(spark, texts), queries, top_k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # no-match query contributes zero rows (integer pre-filter), it
+    # does NOT emit the whole corpus at score 0
+    assert "none" not in by_q
+    ranked = sorted(by_q["one"], key=lambda r: r["rnk"])
+    assert [r["doc_id"] for r in ranked] == [1, 0]  # tf 2 beats tf 1
+    assert ranked[0]["score"] > ranked[1]["score"] > 0
+
+
+def test_bm25_tie_breaks_on_doc_id(spark):
+    from mapreduce_join_comparison_spark.operators.text import bm25_rank
+
+    # identical docs -> identical rounded scores; rank must be doc-id
+    texts = ["same words here", "same words here", "same words here"]
+    rows = bm25_rank(
+        _docs(spark, texts), {"q": ["words"]}, top_k=2
+    ).collect()
+    ranked = sorted(rows, key=lambda r: r["rnk"])
+    assert [r["doc_id"] for r in ranked] == [0, 1]
+    assert ranked[0]["score"] == ranked[1]["score"]
+
+
+def test_bm25_top_k_caps_output(spark):
+    from mapreduce_join_comparison_spark.operators.text import bm25_rank
+
+    texts = [f"common word {i}" for i in range(20)]
+    rows = bm25_rank(_docs(spark, texts), {"q": ["common"]}, top_k=5).collect()
+    assert len(rows) == 5
+    assert sorted(r["rnk"] for r in rows) == [1, 2, 3, 4, 5]
