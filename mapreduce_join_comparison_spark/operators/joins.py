@@ -706,3 +706,69 @@ def advise_strategy(
         else "no significant skew in sample"
     )
     return "repartition", f"no side fits broadcast budget; {skew_note}"
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    sample_buckets: int = 100,
+    sample_take: int = 25,
+    salt: str = "card",
+) -> DataFrame:
+    """Estimate |left ⋈ right| on an equi-key WITHOUT running the join
+    — the output-size input the strategy advisor
+    (``choose_join_strategy``) and the thesis's cost model
+    (ch. 6 decision tree) need before picking repartition vs
+    broadcast. Exact join size is Σ_k n_L(k)·n_R(k); the estimator
+    computes that sum over a deterministic md5 HASH SAMPLE OF KEYS
+    (every occurrence of a sampled key on both sides is kept, so
+    per-key products are EXACT and skew is never smoothed away —
+    unlike row-level Bernoulli sampling, which underestimates hot-key
+    fan-out quadratically) and scales by the inverse sampling rate.
+
+    Returns one row: sampled per-key pair sum, the scaled estimate,
+    the exact value, and the relative error — the exact branch shares
+    the per-key count aggregate with the sampled branch (exchange
+    reuse), so the whole diagnostic costs two count aggregations and
+    a key-histogram join, never the joined row set itself.
+
+    Determinism: the sample is a pure function of (key, salt) via
+    ``md5_hash32``, and est/rel_err are plain double arithmetic over
+    exact BIGINT sums — engine-reproducible with NO rounding (exact
+    integer ratios divide bit-identically cross-engine; rounding them
+    is what diverges at decimal half-boundaries).
+    """
+    from .sampling import hash_bucket
+
+    lk = (
+        left.select(F.col(left_on).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    )
+    rk = (
+        right.select(F.col(right_on).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    per_key = lk.join(rk, "k").select(
+        "k", (F.col("n_l") * F.col("n_r")).alias("pairs")
+    )
+    sampled = per_key.filter(
+        hash_bucket("k", sample_buckets, salt) < sample_take
+    ).agg(F.sum("pairs").cast("long").alias("sampled_pairs"))
+    exact = per_key.agg(F.sum("pairs").cast("long").alias("exact_pairs"))
+    # bounded: two single-row aggregate scalars
+    out = sampled.join(F.broadcast(exact))
+    scale = F.lit(float(sample_buckets)) / F.lit(float(sample_take))
+    est = F.col("sampled_pairs").cast("double") * scale
+    return out.select(
+        "sampled_pairs",
+        est.alias("est_pairs"),
+        "exact_pairs",
+        (
+            F.abs(est - F.col("exact_pairs").cast("double"))
+            / F.col("exact_pairs").cast("double")
+        ).alias("rel_err"),
+    )

@@ -4756,6 +4756,45 @@ def text_bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stats_join_cardinality",
+    """
+    WITH lk AS (
+      SELECT l_partkey AS k, COUNT(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1
+    ),
+    pk AS (SELECT k, n * n AS pairs FROM lk),
+    s AS (
+      SELECT SUM(pairs)::BIGINT AS sampled_pairs FROM pk
+      WHERE ('0x' || substr(md5(k::VARCHAR || 'card'), 1, 8))::BIGINT % 100 < 25
+    ),
+    e AS (SELECT SUM(pairs)::BIGINT AS exact_pairs FROM pk)
+    SELECT sampled_pairs,
+           CAST(sampled_pairs AS DOUBLE) * (100.0 / 25.0) AS est_pairs,
+           exact_pairs,
+           ABS(CAST(sampled_pairs AS DOUBLE) * (100.0 / 25.0)
+               - CAST(exact_pairs AS DOUBLE)) / CAST(exact_pairs AS DOUBLE)
+             AS rel_err
+    FROM s CROSS JOIN e
+    """,
+)
+def stats_join_cardinality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output-size estimate for the lineitem⋈lineitem self-join
+    on l_partkey — the quadratic per-key fan-out Σn(k)² that decides
+    whether a shuffle join's output explodes (the advisor's missing
+    cost input). Key-level md5 hash sampling keeps per-key products
+    exact so skew is never smoothed; est/rel_err are raw double
+    arithmetic over exact BIGINT sums (no rounding — exact integer
+    ratios are bit-identical cross-engine)."""
+    from .operators.joins import join_cardinality_estimate
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return join_cardinality_estimate(
+        lineitem, lineitem, "l_partkey", "l_partkey",
+        sample_buckets=100, sample_take=25, salt="card",
+    )
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

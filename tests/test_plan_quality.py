@@ -73,6 +73,11 @@ EXPECTATIONS = {
     # one-row stats agg exchange + per-query top-k window exchange;
     # corpus scanned twice (doc pass + stats pass), never per query
     "text_bm25_search": (2, None),
+    # static plan: sampled + exact branches each agg both sides and
+    # join per-key histograms (3 each); at runtime the self-join's
+    # identical count aggregates REUSE (measured 4 run + 2 reused),
+    # and the sampled branch's key filter pushes below its aggs
+    "stats_join_cardinality": (6, None),
     "text_features": (0, None),      # narrow: scan + projects only
     "text_lang_id": (0, None),
     "text_token_stats": (0, None),
@@ -326,6 +331,8 @@ _NESTED_LOOP_ALLOWED = {
     "sql_subqueries": "scalar subquery demonstration",
     "join_strategy_advisor": "bounded advisor scenarios, not data-scaled",
     "stats_analyze_table": "scalar count broadcast",
+    "stats_join_cardinality": "two single-row aggregate scalars joined "
+                              "into the one-row diagnostic",
 }
 
 

@@ -465,3 +465,86 @@ def test_bm25_top_k_caps_output(spark):
     rows = bm25_rank(_docs(spark, texts), {"q": ["common"]}, top_k=5).collect()
     assert len(rows) == 5
     assert sorted(r["rnk"] for r in rows) == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampled join-cardinality estimation (joins.join_cardinality_estimate)
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k bigint")
+
+
+def test_join_cardinality_exact_branch_matches_real_join(spark):
+    from mapreduce_join_comparison_spark.operators.joins import (
+        join_cardinality_estimate,
+    )
+
+    left = _kv(spark, [1, 1, 1, 2, 2, 3, 5])
+    right = _kv(spark, [1, 2, 2, 2, 4, 5, 5])
+    row = join_cardinality_estimate(left, right, "k", "k").collect()[0]
+    real = left.join(right, "k").count()
+    assert row["exact_pairs"] == real == 3 * 1 + 2 * 3 + 1 * 2
+
+
+def test_join_cardinality_full_sample_is_exact(spark):
+    from mapreduce_join_comparison_spark.operators.joins import (
+        join_cardinality_estimate,
+    )
+
+    left = _kv(spark, list(range(50)) + [7] * 20)
+    right = _kv(spark, list(range(0, 100, 2)) + [7] * 10)
+    row = join_cardinality_estimate(
+        left, right, "k", "k", sample_buckets=100, sample_take=100
+    ).collect()[0]
+    assert row["sampled_pairs"] == row["exact_pairs"]
+    assert row["est_pairs"] == float(row["exact_pairs"])
+    assert row["rel_err"] == 0.0
+
+
+def test_join_cardinality_sample_keeps_hot_key_products_exact(spark):
+    """Key-level sampling: a sampled key contributes its FULL n_l*n_r
+    product — the estimate is a sum over a key subset, so every
+    sampled term appears in the exact sum and the sampled sum can
+    never exceed the exact sum."""
+    from mapreduce_join_comparison_spark.operators.joins import (
+        join_cardinality_estimate,
+    )
+    from mapreduce_join_comparison_spark.operators.sampling import hash_bucket
+
+    keys = list(range(40)) + [13] * 100  # hot key 13
+    left = _kv(spark, keys)
+    right = _kv(spark, keys)
+    row = join_cardinality_estimate(
+        left, right, "k", "k", sample_buckets=100, sample_take=50,
+        salt="card",
+    ).collect()[0]
+    # serial replica of the sampled sum via the same md5 bucketing
+    per_key = {}
+    for k in keys:
+        per_key[k] = per_key.get(k, 0) + 1
+    sampled_keys = {
+        r["k"]
+        for r in _kv(spark, sorted(per_key))
+        .select("k", hash_bucket("k", 100, "card").alias("b"))
+        .collect()
+        if r["b"] < 50
+    }
+    want = sum(per_key[k] ** 2 for k in sampled_keys)
+    assert row["sampled_pairs"] == want
+    assert row["sampled_pairs"] <= row["exact_pairs"]
+
+
+def test_join_cardinality_disjoint_sides(spark):
+    from mapreduce_join_comparison_spark.operators.joins import (
+        join_cardinality_estimate,
+    )
+
+    row = join_cardinality_estimate(
+        _kv(spark, [1, 2, 3]), _kv(spark, [4, 5, 6]), "k", "k",
+        sample_buckets=100, sample_take=100,
+    ).collect()[0]
+    # no co-occurring keys: exact 0; rel_err is 0/0 -> NaN, reported
+    # as-is rather than masked
+    assert row["exact_pairs"] is None or row["exact_pairs"] == 0
