@@ -4756,6 +4756,73 @@ def text_bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB replica of ``bpe.bpe_merges`` with the merge loop
+    UNROLLED as chained CTEs (p_i: pair counts, m_i: argmax with the
+    count-desc-then-lexicographic tie-break, s_i: sequences after the
+    merge). The merge rewrite uses the identical symbol-bracket
+    encoding + leftmost non-overlapping replace, so both engines
+    perform byte-identical greedy merges."""
+    parts = [
+        """w AS (
+      SELECT w, COUNT(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0 GROUP BY 1
+    )""",
+        "s0 AS (SELECT string_split(w, '') AS seq, freq FROM w)",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+      -- seq[:len(seq)-1], NOT seq[:-1]: DuckDB list slicing is
+      -- INCLUSIVE of the -1 position, and list_zip NULL-pads the
+      -- shorter list, which would fabricate (last_symbol, NULL) pairs
+      SELECT u.pr[1] AS l, u.pr[2] AS r, freq
+      FROM {prev}, UNNEST(list_zip(seq[:len(seq) - 1], seq[2:])) AS u(pr)
+    )"""
+        )
+        parts.append(
+            f"""m{i} AS (
+      SELECT l, r, SUM(freq)::BIGINT AS cnt FROM p{i}
+      GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+    )"""
+        )
+        if i < n_merges:
+            parts.append(
+                f"""s{i} AS (
+      SELECT string_split(substr(e, 2, length(e) - 2), ')(') AS seq, freq
+      FROM (
+        SELECT replace('(' || array_to_string(seq, ')(') || ')',
+                       '(' || m{i}.l || ')(' || m{i}.r || ')',
+                       '(' || m{i}.l || m{i}.r || ')') AS e, freq
+        FROM {prev} CROSS JOIN m{i}
+      ) t
+    )"""
+            )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count "
+        f"FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@register("pipeline_bpe_vocab", _bpe_oracle(8))
+def pipeline_bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 BPE merges learned from the document corpus — tokenizer
+    training as a Spark job. The corpus is scanned once (word-freq
+    aggregate); every merge iteration runs over the vocabulary-sized
+    distinct-word table with one map-side-combined pair-count shuffle
+    and a 1-row argmax collect (same driver-loop shape as pagerank),
+    and the merge rewrite itself is narrow JVM string work."""
+    from .operators.bpe import bpe_merges
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return bpe_merges(documents, n_merges=8)
+
+
 @register(
     "stats_join_cardinality",
     """

@@ -548,3 +548,104 @@ def test_join_cardinality_disjoint_sides(spark):
     # no co-occurring keys: exact 0; rel_err is 0/0 -> NaN, reported
     # as-is rather than masked
     assert row["exact_pairs"] is None or row["exact_pairs"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge induction (bpe.bpe_merges)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(texts, n_merges):
+    """Serial BPE (Sennrich): all-adjacent pair counts weighted by
+    word freq; argmax with (cnt desc, pair lexicographic) tie-break;
+    leftmost non-overlapping greedy merge."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = Counter()
+        for w, seq in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] += words[w]
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _bpe_rows(df):
+    return sorted(
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in df.collect()
+    )
+
+
+def test_bpe_known_answer(spark):
+    from mapreduce_join_comparison_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, "aaaa abab"), (1, "ba ba ba aaaa")], "doc_id bigint, text string"
+    )
+    got = _bpe_rows(bpe_merges(df, n_merges=4))
+    # iter1: (a,a)=6 (overlap counted); iter2: (b,a)=4; iter3 merges
+    # the merged symbols (aa,aa)=2; iter4 tie at 1 -> lexicographic
+    assert got == [
+        (1, "a", "a", 6),
+        (2, "b", "a", 4),
+        (3, "aa", "aa", 2),
+        (4, "a", "ba", 1),
+    ]
+
+
+def test_bpe_matches_serial_reference(spark):
+    from mapreduce_join_comparison_spark.operators.bpe import bpe_merges
+
+    texts = [
+        "the theme there then the other theory",
+        "hash hashing hashed rehash hash",
+        "low lower lowest slower slow low",
+        "new newer newest renew news new new",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    for n in (1, 5, 10):
+        got = _bpe_rows(bpe_merges(df, n_merges=n, persist_every=2))
+        assert got == sorted(_bpe_reference(texts, n)), f"n_merges={n}"
+
+
+def test_bpe_greedy_nonoverlapping_merge(spark):
+    from mapreduce_join_comparison_spark.operators.bpe import bpe_merges
+
+    # 'aaa' with merge (a,a): greedy leftmost -> [aa, a]; the pair
+    # count next round must see (aa, a), never (a, aa)
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id bigint, text string")
+    got = _bpe_rows(bpe_merges(df, n_merges=2))
+    assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    from mapreduce_join_comparison_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame([(0, "a b a b c")], "doc_id bigint, text string")
+    got = _bpe_rows(bpe_merges(df, n_merges=5))
+    assert got == []  # single-char words carry no adjacent pairs
