@@ -4756,6 +4756,57 @@ def text_bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_stream_session",
+    """
+    WITH x AS (
+      SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS ts_us,
+             lag(epoch_us(ts::TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    y AS (
+      SELECT user_id, value, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS f
+      FROM x
+    ),
+    z AS (
+      SELECT user_id, value, ts_us,
+             SUM(f) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS idx
+      FROM y
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM z GROUP BY user_id, idx
+    """,
+)
+def events_stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a REAL streaming query via Spark's NATIVE
+    ``session_window`` — the engine-managed merging-session state the
+    applyInPandasWithState sessionizer implements by hand. Builtin
+    semantics (INCLUSIVE gap boundary — an event exactly ``gap`` after
+    its predecessor still merges, proven by unit test — and window
+    end = last_ts + gap) are replicated exactly by the
+    gaps-and-islands oracle's ``> gap`` new-session flag and
+    ``max(ts) + gap`` end."""
+    import os as _os
+
+    from .streaming.events import (
+        load_events_stream,
+        run_stream_to_memory,
+        session_window_agg,
+    )
+
+    stream = load_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    agg = session_window_agg(stream, gap="30 minutes", watermark="1 hour")
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
 def _bpe_oracle(n_merges: int) -> str:
     """DuckDB replica of ``bpe.bpe_merges`` with the merge loop
     UNROLLED as chained CTEs (p_i: pair counts, m_i: argmax with the

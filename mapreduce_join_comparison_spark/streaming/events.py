@@ -550,3 +550,44 @@ def rolling_anomaly_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE ``session_window``
+    — the engine-managed merging-session state the hand-rolled
+    ``sessionize_stateful`` implements in Python. Works on batch AND
+    streaming frames (the catalog query runs the stream; batch ≡
+    stream is asserted in tests).
+
+    Semantics (the builtin's, unit-test-proven): an event extends its
+    predecessor's session while ``ts <= prev_ts + gap`` — INCLUSIVE,
+    an event exactly ``gap`` later still merges, matching
+    ``sessionize_batch``'s ``> gap`` new-session rule — and the
+    reported session end is ``last_ts + gap`` (the window's close),
+    not the last event time. The oracle replicates exactly that:
+    new-session flag at ``diff > gap_us``, end = ``max(ts) + gap_us``.
+
+    Scale shape: one shuffle on the grouping key; session merging is
+    engine state, bounded by the watermark horizon in streaming (late
+    rows beyond it are dropped instead of growing state forever).
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    agg = src.groupBy(
+        F.session_window("ts", gap), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )

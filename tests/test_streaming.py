@@ -216,3 +216,53 @@ def test_rolling_anomaly_stream_equals_batch(spark):
         (r["event_id"], r["zscore"], r["n_window"]) for r in out.collect()
     )
     assert got == batch
+
+
+def test_session_window_stream_equals_batch(spark, events_batch):
+    """Native session_window: the same merging-session plan run
+    incrementally must produce the batch answer."""
+    from mapreduce_join_comparison_spark.streaming import session_window_agg
+
+    stream = load_events_stream(spark, EVENTS_PARQUET)
+    got = rows_set(
+        run_stream_to_memory(
+            session_window_agg(stream, gap="30 minutes", watermark="1 hour"),
+            output_mode="complete",
+        )
+    )
+    want = rows_set(session_window_agg(events_batch, gap="30 minutes"))
+    assert got == want
+
+
+def test_session_window_gap_boundary_is_inclusive(spark):
+    """Builtin semantics the oracle must replicate: an event exactly
+    ``gap`` after its predecessor still MERGES (inclusive boundary —
+    session_window's [t, t+gap) windows merge on touch), one
+    microsecond past the gap starts a new session; reported end is
+    last_ts + gap."""
+    from mapreduce_join_comparison_spark.streaming import session_window_agg
+
+    gap_us = 30 * 60 * 1_000_000
+    rows = [
+        # user 1: second event exactly at the gap -> still one session
+        (1, 1, 0, 1.0),
+        (2, 1, gap_us, 1.0),
+        # user 2: second event 1 us past the gap -> two sessions
+        (3, 2, 0, 1.0),
+        (4, 2, gap_us + 1, 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, us bigint, value double"
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts"), "value"
+    )
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"],
+         r["n_events"])
+        for r in session_window_agg(ev, gap="30 minutes").collect()
+    }
+    assert got == {
+        (1, 0, 2 * gap_us, 2),
+        (2, 0, gap_us, 1),
+        (2, gap_us + 1, 2 * gap_us + 1, 1),
+    }
