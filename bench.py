@@ -243,6 +243,10 @@ HEADLINE = [
     "join_interval_multitier",
     "join_interval_overlap",
     "join_dominance_count",
+    "text_bm25_search",
+    "stats_join_cardinality",
+    "pipeline_bpe_vocab",
+    "pipeline_bpe_encode",
 ]
 
 

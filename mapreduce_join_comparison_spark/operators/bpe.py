@@ -72,7 +72,8 @@ def _apply_merge(seqs: DataFrame, left: str, right: str) -> DataFrame:
         F.lit(f"{_L}{left}{right}{_R}"),
     )
     dec = F.split(F.expr("substring(_m, 2, length(_m) - 2)"), r"\)\(")
-    return seqs.withColumn("_m", merged).select(dec.alias("seq"), "freq")
+    passthrough = [c for c in seqs.columns if c != "seq"]
+    return seqs.withColumn("_m", merged).select(dec.alias("seq"), *passthrough)
 
 
 def bpe_merges(
@@ -143,4 +144,84 @@ def bpe_merges(
         "lhs",
         "rhs",
         F.col("pair_count").cast("long").alias("pair_count"),
+    )
+
+
+def bpe_word_segments(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    persist_every: int = 4,
+) -> DataFrame:
+    """The word → BPE-token-sequence mapping after ``n_merges`` learned
+    merges: ``(w, freq, seq)`` over the corpus's distinct words — the
+    vocabulary artifact ``bpe_merges`` leaves implicit. Same loop,
+    same scale shape (corpus scanned once; iterations vocab-sized)."""
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seqs = words.select("w", F.split("w", "").alias("seq"), "freq")
+    seqs = seqs.persist()
+    seqs.count()
+    persisted = seqs
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(seqs)
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r = top[0]["l"], top[0]["r"]
+        merged = _apply_merge(seqs.select("seq", "freq", "w"), l, r)
+        seqs = merged.select("w", "seq", "freq")
+        if persist_every and rank % persist_every == 0 and rank < n_merges:
+            nxt = seqs.persist()
+            nxt.count()
+            persisted.unpersist()
+            persisted = nxt
+            seqs = nxt
+    return seqs
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE-encode the corpus with its own learned merges and report
+    per-document ``(doc_id, n_words, n_tokens)`` — the token-budget
+    accounting a training pipeline runs after tokenizer training
+    (compression = n_chars → n_tokens).
+
+    Scale shape: the segment table from ``bpe_word_segments`` is
+    vocabulary-sized; documents explode to words once and equi-join
+    the vocabulary on the word key (AQE picks broadcast when the
+    vocab fits, plain shuffle join when it doesn't — never forced),
+    then one per-doc re-aggregate. Nothing is ever corpus × vocab.
+    """
+    vocab = bpe_word_segments(df, n_merges=n_merges, text_col=text_col)
+    doc_words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    return (
+        doc_words.join(vocab.select("w", F.size("seq").alias("n_tok")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
     )

@@ -4807,11 +4807,11 @@ def events_stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, output_mode="complete")
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """DuckDB replica of ``bpe.bpe_merges`` with the merge loop
-    UNROLLED as chained CTEs (p_i: pair counts, m_i: argmax with the
-    count-desc-then-lexicographic tie-break, s_i: sequences after the
-    merge). The merge rewrite uses the identical symbol-bracket
+def _bpe_ctes(n_merges: int, keep_last_seqs: bool) -> list[str]:
+    """Shared CTE chain replicating ``bpe.bpe_merges`` with the merge
+    loop UNROLLED (p_i: pair counts, m_i: argmax with the
+    count-desc-then-lexicographic tie-break, s_i: word sequences after
+    the merge). The merge rewrite uses the identical symbol-bracket
     encoding + leftmost non-overlapping replace, so both engines
     perform byte-identical greedy merges."""
     parts = [
@@ -4821,7 +4821,7 @@ def _bpe_oracle(n_merges: int) -> str:
         FROM documents
       ) WHERE length(w) > 0 GROUP BY 1
     )""",
-        "s0 AS (SELECT string_split(w, '') AS seq, freq FROM w)",
+        "s0 AS (SELECT w, string_split(w, '') AS seq, freq FROM w)",
     ]
     for i in range(1, n_merges + 1):
         prev = f"s{i - 1}"
@@ -4840,24 +4840,72 @@ def _bpe_oracle(n_merges: int) -> str:
       GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
     )"""
         )
-        if i < n_merges:
+        if i < n_merges or keep_last_seqs:
             parts.append(
                 f"""s{i} AS (
-      SELECT string_split(substr(e, 2, length(e) - 2), ')(') AS seq, freq
+      SELECT w, string_split(substr(e, 2, length(e) - 2), ')(') AS seq, freq
       FROM (
-        SELECT replace('(' || array_to_string(seq, ')(') || ')',
-                       '(' || m{i}.l || ')(' || m{i}.r || ')',
-                       '(' || m{i}.l || m{i}.r || ')') AS e, freq
+        SELECT w, replace('(' || array_to_string(seq, ')(') || ')',
+                          '(' || m{i}.l || ')(' || m{i}.r || ')',
+                          '(' || m{i}.l || m{i}.r || ')') AS e, freq
         FROM {prev} CROSS JOIN m{i}
       ) t
     )"""
             )
+    return parts
+
+
+def _bpe_oracle(n_merges: int) -> str:
     union = "\n    UNION ALL\n    ".join(
         f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count "
         f"FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_ctes(n_merges, keep_last_seqs=False))
+        + "\n    "
+        + union
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Per-doc token accounting after applying the learned merges:
+    explode documents to words, join the final word→segments table."""
+    parts = _bpe_ctes(n_merges, keep_last_seqs=True)
+    parts.append(
+        """dw AS (
+      SELECT doc_id, wrd FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS wrd
+        FROM documents
+      ) WHERE length(wrd) > 0
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+           SUM(len(seq))::BIGINT AS n_tokens
+    FROM dw JOIN s{n_merges} ON dw.wrd = s{n_merges}.w
+    GROUP BY doc_id
+    """
+    )
+
+
+@register("pipeline_bpe_encode", _bpe_encode_oracle(8))
+def pipeline_bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus's own learned BPE merges back to the corpus:
+    per-document word and BPE-token counts — the token-budget
+    accounting step after tokenizer training. The vocabulary (word →
+    segment list) is vocabulary-sized; documents explode to words once
+    and equi-join it (AQE chooses broadcast vs shuffle — never
+    forced), then re-aggregate per doc."""
+    from .operators.bpe import bpe_encode_stats
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return bpe_encode_stats(documents, n_merges=8)
 
 
 @register("pipeline_bpe_vocab", _bpe_oracle(8))

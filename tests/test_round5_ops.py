@@ -649,3 +649,43 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     df = spark.createDataFrame([(0, "a b a b c")], "doc_id bigint, text string")
     got = _bpe_rows(bpe_merges(df, n_merges=5))
     assert got == []  # single-char words carry no adjacent pairs
+
+
+def test_bpe_encode_stats_matches_serial_reference(spark):
+    from mapreduce_join_comparison_spark.operators.bpe import bpe_encode_stats
+
+    texts = [
+        "the theme there then the",
+        "hash hashing hashed rehash hash",
+        "low lower lowest slower slow",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    n = 6
+    # serial: re-run reference merges, then segment each word
+    merges = _bpe_reference(texts, n)
+    def encode(word):
+        seq = list(word)
+        for _, l, r, _cnt in merges:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(seq[i]); i += 1
+            seq = out
+        return seq
+    want = {}
+    for d, t in enumerate(texts):
+        ws = [w for w in t.strip().lower().split() if w]
+        want[d] = (len(ws), sum(len(encode(w)) for w in ws))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode_stats(df, n_merges=n).collect()
+    }
+    assert got == want
+    # tokens compress: between word count and char count
+    for d, t in enumerate(texts):
+        ws = [w for w in t.strip().lower().split() if w]
+        assert len(ws) <= got[d][1] <= sum(len(w) for w in ws)
