@@ -157,7 +157,6 @@ def bpe_word_segments(
     merges: ``(w, freq, seq)`` over the corpus's distinct words — the
     vocabulary artifact ``bpe_merges`` leaves implicit. Same loop,
     same scale shape (corpus scanned once; iterations vocab-sized)."""
-    spark = df.sparkSession
     words = (
         df.select(
             F.explode(
@@ -190,6 +189,10 @@ def bpe_word_segments(
             persisted.unpersist()
             persisted = nxt
             seqs = nxt
+    # the snapshots only accelerate the driver-side argmax loop; the
+    # returned mapping recomputes its (vocab-sized) lineage instead of
+    # pinning executor storage the caller never asked for
+    persisted.unpersist()
     return seqs
 
 
