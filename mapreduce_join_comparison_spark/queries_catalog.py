@@ -4807,6 +4807,48 @@ def events_stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, output_mode="complete")
 
 
+@register(
+    "events_stream_running_stats",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us,
+             CAST(ROUND(value * 1000) AS BIGINT) AS vm
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS BIGINT)
+             AS run_cnt,
+           SUM(vm) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS run_sum_milli
+    FROM e
+    """,
+)
+def events_stream_running_stats_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user running event count + exact milli-value sum emitted
+    once per input event, computed with ``applyInPandasWithState``
+    (O(active users) state: two int64s per user). Pure int64
+    arithmetic, so the full relational oracle is an exact window
+    cumsum — the stream must reproduce it row-for-row, not
+    approximately. ``streaming/events.py`` also carries the
+    ``transformWithStateInPandas`` twin (Spark 4's new typed-state
+    API), import-gated on protobuf availability."""
+    import os as _os
+
+    from .streaming.events import (
+        load_events_stream,
+        run_stream_to_memory,
+        user_running_stats_stateful,
+    )
+
+    stream = load_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    return run_stream_to_memory(
+        user_running_stats_stateful(stream), output_mode="append"
+    )
+
+
 def _bpe_ctes(n_merges: int, keep_last_seqs: bool) -> list[str]:
     """Shared CTE chain replicating ``bpe.bpe_merges`` with the merge
     loop UNROLLED (p_i: pair counts, m_i: argmax with the

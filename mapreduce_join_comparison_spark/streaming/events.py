@@ -591,3 +591,173 @@ def session_window_agg(
         "n_events",
         "sum_value",
     )
+
+
+# output schema of the per-user running-stats stateful operators
+RUNNING_STATS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("run_cnt", T.LongType()),
+    T.StructField("run_sum_milli", T.LongType()),
+])
+
+_RUNNING_STATS_STATE_SCHEMA = "cnt BIGINT, vsum BIGINT"
+
+
+def _has_protobuf() -> bool:
+    """``transformWithStateInPandas`` launches a separate streaming
+    Python driver worker that imports the Spark Connect protobufs; if
+    ``google.protobuf`` is absent that worker crashes at init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Gate the TWS
+    path on the import so environments without protobuf fall back to
+    ``applyInPandasWithState`` cleanly."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _running_stats_input(events: DataFrame) -> DataFrame:
+    """Exact-integer projection shared by both forms: epoch-µs event
+    time and the engine-proven milli-value conversion
+    (``CAST(ROUND(value*1000) AS BIGINT)`` — same expression the
+    z-score family oracles replay)."""
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+
+
+def user_running_stats_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: per-user cumulative event count and exact milli-sum
+    in (ts, event_id) order — one shuffle on user_id, two window
+    functions sharing it."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _running_stats_input(events).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("run_cnt"),
+        F.sum("vm").over(w).cast("bigint").alias("run_sum_milli"),
+    )
+
+
+def user_running_stats_stateful(events: DataFrame) -> DataFrame:
+    """Per-user running stats via ``applyInPandasWithState``: a
+    GroupState carries the exact integer (count, milli-sum) pair
+    across micro-batches and every input event is emitted exactly
+    once (append) with its running aggregates.
+
+    State is O(active users) — two int64s per user, independent of
+    stream length (the 100 TB-ingest-safe shape). Rows within a
+    micro-batch are sorted by (event-time, event_id) before folding,
+    so with in-order file arrival the output equals the batch window
+    query row-for-row; the arithmetic is pure int64, so the equality
+    is exact, not approximate.
+
+    ``user_running_stats_tws`` is the same operator on Spark 4's new
+    ``transformWithStateInPandas`` API (typed ValueState handles);
+    it needs ``google.protobuf`` for its separate driver worker, so
+    this GroupState form is the portable default.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        pdf = pd.concat(list(pdf_iter))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["us", "event_id"])
+        if state.exists:
+            cnt0, sum0 = state.get
+        else:
+            cnt0, sum0 = 0, 0
+        n = len(pdf)
+        run_sum = pdf["vm"].cumsum() + sum0
+        state.update((cnt0 + n, int(run_sum.iloc[-1])))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "run_cnt": pd.Series(
+                    range(cnt0 + 1, cnt0 + n + 1), index=pdf.index
+                ),
+                "run_sum_milli": run_sum,
+            }
+        )
+
+    return (
+        _running_stats_input(events)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_RUNNING_STATS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` —
+    Spark 4's NEW arbitrary-stateful API (StatefulProcessor + typed
+    state handles). Identical semantics and exact-int64 output to
+    ``user_running_stats_stateful``; kept as the forward-looking form
+    (TWS adds typed ListState/MapState, TTL, and timers the old API
+    lacks). Requires ``google.protobuf`` (the TWS driver worker
+    imports it); call sites should gate on ``_has_protobuf()``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", _RUNNING_STATS_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            pdf = pd.concat(list(rows)).sort_values(["us", "event_id"])
+            if self._agg.exists():
+                cnt0, sum0 = self._agg.get()
+            else:
+                cnt0, sum0 = 0, 0
+            n = len(pdf)
+            run_cnt = pd.Series(range(cnt0 + 1, cnt0 + n + 1), index=pdf.index)
+            run_sum = pdf["vm"].cumsum() + sum0
+            self._agg.update((cnt0 + n, int(run_sum.iloc[-1])))
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "run_cnt": run_cnt,
+                    "run_sum_milli": run_sum,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        _running_stats_input(events)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStats(),
+            outputStructType=RUNNING_STATS_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+    )

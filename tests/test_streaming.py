@@ -266,3 +266,92 @@ def test_session_window_gap_boundary_is_inclusive(spark):
         (2, 0, gap_us, 1),
         (2, gap_us + 1, 2 * gap_us + 1, 1),
     }
+
+
+def test_running_stats_stateful_equals_batch(spark, events_batch):
+    """applyInPandasWithState per-user running stats: the stream must
+    equal the batch window cumsum EXACTLY (pure int64 state)."""
+    from mapreduce_join_comparison_spark.streaming.events import (
+        user_running_stats_batch,
+        user_running_stats_stateful,
+    )
+
+    stream = load_events_stream(spark, EVENTS_PARQUET)
+    got = rows_set(
+        run_stream_to_memory(
+            user_running_stats_stateful(stream), output_mode="append"
+        )
+    )
+    want = rows_set(user_running_stats_batch(events_batch))
+    assert got == want
+
+
+def test_running_stats_state_carries_across_batches(spark, tmp_path):
+    """Feed two files in event-time order with maxFilesPerTrigger=1:
+    the second micro-batch must CONTINUE each user's count/sum from
+    ValueState, not restart at zero."""
+    import pandas as pd
+
+    from mapreduce_join_comparison_spark.streaming.events import (
+        user_running_stats_stateful,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    base = 1_700_000_000_000_000
+    b1 = [(i + 1, 7, base + i * 1_000_000, 1.5) for i in range(3)]
+    b2 = [(10 + i, 7, base + (10 + i) * 1_000_000, 2.0) for i in range(2)]
+    for name, rows in (("a.parquet", b1), ("b.parquet", b2)):
+        spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, us bigint, value double"
+        ).select(
+            "event_id",
+            F.timestamp_micros("us").alias("ts"),
+            "user_id",
+            F.lit("e").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        # stage the single part file under src/ in arrival order
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / name)
+    stream = load_events_stream(spark, str(src), max_files_per_trigger=1)
+    out = run_stream_to_memory(
+        user_running_stats_stateful(stream), output_mode="append"
+    )
+    got = {
+        r["event_id"]: (r["run_cnt"], r["run_sum_milli"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (1, 1500), 2: (2, 3000), 3: (3, 4500),
+        10: (4, 6500), 11: (5, 8500),
+    }
+
+
+def test_running_stats_tws_equals_batch(spark, events_batch):
+    """transformWithStateInPandas twin: identical output to the
+    GroupState form and the batch cumsum. Skipped where protobuf is
+    absent (the TWS driver worker cannot start without it)."""
+    import pytest
+
+    from mapreduce_join_comparison_spark.streaming.events import (
+        _has_protobuf,
+        user_running_stats_batch,
+        user_running_stats_tws,
+    )
+
+    if not _has_protobuf():
+        pytest.skip("google.protobuf absent: TWS driver worker cannot start")
+    stream = load_events_stream(spark, EVENTS_PARQUET)
+    got = rows_set(
+        run_stream_to_memory(user_running_stats_tws(stream), output_mode="append")
+    )
+    want = rows_set(user_running_stats_batch(events_batch))
+    assert got == want
