@@ -247,6 +247,7 @@ HEADLINE = [
     "stats_join_cardinality",
     "pipeline_bpe_vocab",
     "pipeline_bpe_encode",
+    "sample_priority_weighted",
 ]
 
 

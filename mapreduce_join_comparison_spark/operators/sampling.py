@@ -211,3 +211,73 @@ def hash_reservoir_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 10,
+    salt: str = "pri",
+) -> DataFrame:
+    """Weight-proportional per-group k-sample via PRIORITY SAMPLING
+    (Duffield–Lund–Thorup, JACM 54(6) 2007): each row gets priority
+    q = w / u with u ~ Uniform(0, 1]; the k highest-priority rows are
+    the sample, and with τ = the (k+1)-th priority the per-row
+    estimate ŵ = max(w, τ) makes Σŵ over the sample an unbiased
+    estimator of the group's TOTAL weight — so a 10-doc sample per
+    language still reports each language's full token budget.
+
+    Deterministic u: u = (md5_32(key ∥ salt) + 1) / 2^32, so
+    q = w·2^32 / (h+1) — one division of two exact int64s, which IEEE
+    rounds identically in every engine (the repo's exact-ratio idiom;
+    no ROUND anywhere). Requires integer weights ≥ 1 (rows with
+    w < 1 are dropped); exactness holds while w·2^32 < 2^53, i.e.
+    w < 2^21 ≈ 2M — far above any per-document token count.
+
+    Scale: one hash Exchange on ``group_col`` shared by both windows
+    (rank, then τ over the rank-bounded k+1 rows); state after the
+    rank filter is O(groups × (k+1)). No global sort, no driver
+    collect. Reference has no sampling at all (SURVEY §2.8 scale
+    extension; nearest analogue is InputSampler.RandomSampler,
+    MergeJoin.java:194-196).
+    """
+    w_int = F.col(weight_col).cast("bigint")
+    u_int = (
+        md5_hash32(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+        + F.lit(1)
+    )
+    pri = (w_int * F.lit(1 << 32)) / u_int
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.col("_pri").desc(), F.col(key_col)
+    )
+    tau_w = Window.partitionBy(group_col)
+    return (
+        df.filter(w_int >= 1)
+        .select(
+            F.col(group_col),
+            F.col(key_col),
+            w_int.alias("weight"),
+            pri.alias("_pri"),
+        )
+        .withColumn("rnk", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rnk") <= k + 1)
+        .withColumn(
+            "tau",
+            F.max(
+                F.when(F.col("rnk") == k + 1, F.col("_pri"))
+            ).over(tau_w),
+        )
+        .filter(F.col("rnk") <= k)
+        .select(
+            group_col,
+            key_col,
+            "weight",
+            "rnk",
+            F.col("_pri").alias("priority"),
+            F.greatest(
+                F.col("weight").cast("double"), F.coalesce("tau", F.lit(0.0))
+            ).alias("w_est"),
+        )
+    )

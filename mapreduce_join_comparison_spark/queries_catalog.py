@@ -2644,6 +2644,58 @@ def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "multimodal_audio_probe",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS dlen,
+             doc_id % 3 AS var
+      FROM documents
+    ), v AS (
+      SELECT doc_id, dlen,
+             CASE var WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      ELSE 22050 END AS sample_rate,
+             CASE var WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 1 END AS channels,
+             CASE var WHEN 0 THEN 8 ELSE 16 END AS bits_per_sample,
+             CASE var WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 2 END AS block_align
+      FROM p
+    )
+    SELECT doc_id, CAST(dlen + 44 AS BIGINT) AS byte_len,
+           'riff' AS format,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           CAST(bits_per_sample AS INT) AS bits_per_sample,
+           CAST(dlen // block_align AS BIGINT) AS n_frames,
+           CAST((dlen // block_align) * 1000 // sample_rate AS BIGINT)
+             AS duration_ms,
+           'wav_header' AS decoder
+    FROM v
+    """,
+)
+def multimodal_audio_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio header extraction over REAL bytes: the documents table is
+    wrapped into spec-valid PCM WAV containers (JVM-side literal fmt
+    chunk + computed little-endian size fields, three rate/channel
+    variants on a doc_id rotation), then ``extract_audio_features``
+    parses the RIFF chunk walk back in the Arrow ``mapInPandas`` tier.
+    The oracle never sees the bytes — it re-derives every feature
+    arithmetically from the payload length, so a parser that misreads
+    any header field (or the 44-byte envelope accounting) hash-fails."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import extract_audio_features, wrap_wav
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    blob = (
+        F.when(F.col("doc_id") % 3 == 0, wrap_wav(payload, 1, 8000, 8))
+        .when(F.col("doc_id") % 3 == 1, wrap_wav(payload, 2, 16000, 16))
+        .otherwise(wrap_wav(payload, 1, 22050, 16))
+    )
+    return extract_audio_features(documents.withColumn("blob", blob))
+
+
 # --------------------------------------------------------------------------
 # Generator (SURVEY.md §2.11 G1-G4) — rows-only checks: the Zipf Newton
 # iteration is not SQL-expressible. Distribution properties are
@@ -4617,6 +4669,55 @@ def sample_reservoir_per_group_query(spark: SparkSession, sf_dir: str) -> DataFr
     return hash_reservoir_per_group(
         documents, group_col="source", key_col="doc_id", k=40
     ).select("source", "doc_id", "lang", "sample_rank")
+
+
+@register(
+    "sample_priority_weighted",
+    r"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'pri'), 1, 8))::BIGINT + 1
+               AS u
+      FROM documents
+    ), q AS (
+      SELECT lang, doc_id, w, (w * 4294967296) / u AS pri
+      FROM d WHERE w >= 1
+    ), r AS (
+      SELECT lang, doc_id, w, pri,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY pri DESC, doc_id) AS BIGINT)
+               AS rnk
+      FROM q
+    ), t AS (
+      SELECT lang, doc_id, w, pri, rnk,
+             MAX(CASE WHEN rnk = 11 THEN pri END)
+               OVER (PARTITION BY lang) AS tau
+      FROM r WHERE rnk <= 11
+    )
+    SELECT lang, doc_id, w AS weight, rnk, pri AS priority,
+           GREATEST(CAST(w AS DOUBLE), COALESCE(tau, 0.0)) AS w_est
+    FROM t
+    WHERE rnk <= 10
+    """,
+)
+def sample_priority_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): per-language top-10
+    docs by priority w/u with w = whitespace token count and
+    deterministic md5-derived u; ``w_est = max(w, τ)`` makes each
+    group's Σw_est an unbiased estimate of its total token budget.
+    Priorities are exact-int64 ratios (w·2^32 / (h+1)), so the oracle
+    reproduces every double bit-for-bit — no rounding anywhere."""
+    from .operators.sampling import priority_sample_per_group
+    from .operators.text import token_count
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    base = documents.select(
+        "lang", "doc_id", token_count("text").alias("n_tok")
+    )
+    return priority_sample_per_group(
+        base, group_col="lang", key_col="doc_id", weight_col="n_tok", k=10
+    )
 
 
 @register(

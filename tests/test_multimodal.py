@@ -261,3 +261,112 @@ def test_frame_sample_mp4_tier_and_stub_fallback(spark):
     r = by_key[(2, 0)]
     assert r["decoder"] == "stub"
     assert r["frame_ts_ms"] is None and r["video_width"] is None
+
+
+# ------------------------------------------------------------------ audio tier
+
+
+def _make_wav(rate=8000, channels=1, bits=16, n_frames=100) -> bytes:
+    """A real WAV via the stdlib wave module — independent of our
+    writer, so parser and writer cannot share a bug."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(bytes(n_frames * channels * (bits // 8)))
+    return buf.getvalue()
+
+
+def _make_flac(rate=44100, channels=2, bits=16, total=12345) -> bytes:
+    """Minimal FLAC: magic + one last-flag STREAMINFO block with the
+    bit-packed rate/channels/bits/total-samples word."""
+    packed = (
+        (rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total
+    )
+    info = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    assert len(info) == 34
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
+
+
+def test_parse_wav_real_bytes():
+    from mapreduce_join_comparison_spark.operators.multimodal import (
+        _parse_wav_header,
+    )
+
+    got = _parse_wav_header(_make_wav(rate=16000, channels=2, bits=16,
+                                      n_frames=321))
+    assert got == (16000, 2, 16, 321 * 4)
+    # non-PCM and truncated data chunks are rejected, not mis-parsed
+    wav = bytearray(_make_wav())
+    wav[20] = 3  # fmt tag -> IEEE float
+    assert _parse_wav_header(bytes(wav)) is None
+    assert _parse_wav_header(_make_wav()[:40]) is None
+    assert _parse_wav_header(b"RIFFxxxxAVI LIST") is None
+
+
+def test_parse_flac_real_bytes():
+    from mapreduce_join_comparison_spark.operators.multimodal import (
+        _parse_flac_header,
+    )
+
+    assert _parse_flac_header(
+        _make_flac(rate=44100, channels=2, bits=16, total=12345)
+    ) == (44100, 2, 16, 12345)
+    assert _parse_flac_header(b"fLaCxxxx") is None
+
+
+def test_wrap_wav_roundtrips_through_parser(spark):
+    """The JVM-side WAV writer and the Python-side parser agree on
+    every field — and stdlib wave can open our container too."""
+    import io
+    import wave
+
+    from mapreduce_join_comparison_spark.operators.multimodal import (
+        extract_audio_features,
+        wrap_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello audio"), (2, "x" * 1001)], "doc_id bigint, text string"
+    ).select(
+        "doc_id",
+        wrap_wav(F.encode("text", "UTF-8"), 2, 16000, 16).alias("blob"),
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["decoder"] == "wav_header"
+    assert rows[1]["sample_rate"] == 16000
+    assert rows[1]["channels"] == 2
+    assert rows[1]["n_frames"] == len("hello audio") // 4
+    assert rows[2]["n_frames"] == 1001 // 4
+    assert rows[2]["duration_ms"] == (1001 // 4) * 1000 // 16000
+    # cross-check with the stdlib reader
+    raw = bytes(
+        df.filter("doc_id = 2").collect()[0]["blob"]
+    )
+    with wave.open(io.BytesIO(raw), "rb") as w:
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 2
+        assert w.getnframes() == 1001 // 4
+
+
+def test_audio_stub_fallback(spark):
+    from mapreduce_join_comparison_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"not audio at all"), (2, _make_flac(total=7, rate=8000))],
+        "doc_id bigint, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["decoder"] == "stub"
+    assert rows[1]["sample_rate"] is None
+    assert rows[2]["decoder"] == "flac_header"
+    assert rows[2]["n_frames"] == 7

@@ -242,6 +242,9 @@ EXPECTATIONS = {
     "dedup_exact_survivor": (1, "Window"),
     # one group exchange; the hash-order window emits ≤ k rows/group
     "sample_reservoir_per_group": (1, "Window"),
+    # one lang exchange shared by the rank window and the τ window
+    # (same partitioning; second window needs no re-sort)
+    "sample_priority_weighted": (1, "Window"),
     # one shard_id exchange feeds the per-shard rank window — no
     # global-order single-partition window
     "corpus_shuffle_shards": (1, "Window"),

@@ -689,3 +689,83 @@ def test_bpe_encode_stats_matches_serial_reference(spark):
     for d, t in enumerate(texts):
         ws = [w for w in t.strip().lower().split() if w]
         assert len(ws) <= got[d][1] <= sum(len(w) for w in ws)
+
+
+# ---------------------------------------------------------------- priority sample
+
+
+def _docs_df(spark, rows):
+    """rows: (group, key, weight)"""
+    return spark.createDataFrame(rows, "grp string, key bigint, w bigint")
+
+
+class TestPrioritySample:
+    def _sample(self, spark, rows, k):
+        from mapreduce_join_comparison_spark.operators.sampling import (
+            priority_sample_per_group,
+        )
+
+        return priority_sample_per_group(
+            _docs_df(spark, rows), "grp", "key", "w", k=k
+        )
+
+    def test_small_group_is_exact(self, spark):
+        """Group with ≤ k rows: whole group sampled, τ absent, and the
+        estimator is EXACT (w_est == w for every row)."""
+        rows = [("a", i, 10 * (i + 1)) for i in range(5)]
+        out = self._sample(spark, rows, k=10).collect()
+        assert {r["key"] for r in out} == set(range(5))
+        assert all(r["w_est"] == float(r["weight"]) for r in out)
+
+    def test_tau_bounds_and_estimator(self, spark):
+        """Group with > k rows: exactly k rows kept, every kept
+        priority strictly above τ is not required (ties broken by
+        key), but every kept priority ≥ τ and w_est = max(w, τ)."""
+        rows = [("a", i, (i % 7) + 1) for i in range(40)]
+        k = 8
+        out = self._sample(spark, rows, k=k).collect()
+        assert len(out) == k
+        # τ = the (k+1)-th priority must lower-bound all kept priorities
+        from mapreduce_join_comparison_spark.operators.sampling import (
+            priority_sample_per_group,
+        )
+
+        kp1 = priority_sample_per_group(
+            _docs_df(spark, rows), "grp", "key", "w", k=k + 1
+        ).collect()
+        tau = min(r["priority"] for r in kp1)
+        for r in out:
+            assert r["priority"] >= tau
+            assert r["w_est"] == max(float(r["weight"]), tau)
+
+    def test_membership_stable_under_repartition(self, spark):
+        rows = [("g%d" % (i % 3), i, (i * 13) % 50 + 1) for i in range(300)]
+        a = self._sample(spark, rows, k=6).collect()
+        b_df = _docs_df(spark, rows).repartition(17)
+        from mapreduce_join_comparison_spark.operators.sampling import (
+            priority_sample_per_group,
+        )
+
+        b = priority_sample_per_group(b_df, "grp", "key", "w", k=6).collect()
+        key = lambda r: (r["grp"], r["key"], r["rnk"], r["priority"])
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+    def test_zero_weight_rows_dropped(self, spark):
+        rows = [("a", 1, 0), ("a", 2, 5), ("a", 3, -2)]
+        out = self._sample(spark, rows, k=10).collect()
+        assert [r["key"] for r in out] == [2]
+
+    def test_estimator_tracks_total_weight(self, spark):
+        """DLT subset-sum estimator sanity on a real-ish distribution:
+        Σ max(w, τ) over the k-sample lands within a generous band of
+        the group's true total (relative error ~1/√k in expectation;
+        the band below is deliberately loose — one deterministic draw,
+        not a mean over draws)."""
+        import random
+
+        rng = random.Random(7)
+        rows = [("a", i, rng.randint(1, 1000)) for i in range(2000)]
+        true_total = sum(w for _, _, w in rows)
+        out = self._sample(spark, rows, k=64).collect()
+        est = sum(r["w_est"] for r in out)
+        assert 0.5 * true_total < est < 2.0 * true_total
