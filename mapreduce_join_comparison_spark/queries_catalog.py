@@ -4920,8 +4920,9 @@ def events_stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY us, event_id) AS BIGINT)
              AS run_cnt,
-           SUM(vm) OVER (PARTITION BY user_id ORDER BY us, event_id
-                         ROWS UNBOUNDED PRECEDING) AS run_sum_milli
+           CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS run_sum_milli
     FROM e
     """,
 )
