@@ -281,3 +281,63 @@ def priority_sample_per_group(
             ).alias("w_est"),
         )
     )
+
+
+def kmv_distinct_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group distinct-count estimation via a KMV (k-minimum-values
+    / bottom-k) sketch (Bar-Yossef et al. 2002; Beyer et al. SIGMOD
+    2007 unbiased estimator): hash every value to [0, 2^32), keep each
+    group's k smallest DISTINCT hashes, and estimate
+    D̂ = (k−1)·2^32 / h_(k) from the k-th minimum. Groups with fewer
+    than k distinct values report their exact count (the sketch IS the
+    value set there).
+
+    Unlike HLL (``hll_sketch_agg`` — an opaque binary whose oracle can
+    only bound relative error), a KMV built on the repo's md5 hash is
+    ENGINE-REPRODUCIBLE: the k minima, the k-th minimum, and the
+    estimate (exact-int ratio ⇒ IEEE-identical division) replay
+    bit-for-bit in any engine, so the driver hash-compares every
+    column. The bottom-k set is also trivially mergeable (union, keep
+    k smallest) — shard sketches combine without re-scanning, and the
+    same property gives set-operation estimates (Jaccard from merged
+    sketches) for free.
+
+    Plan: map-side-combinable distinct on (group, hash), then one
+    group exchange for the rank window over ≤ distinct-hashes rows;
+    post-rank state is O(groups × k).
+    """
+    h = md5_hash32(F.concat(F.col(value_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy("_h")
+    cnt_w = Window.partitionBy(group_col)
+    return (
+        df.select(F.col(group_col), h.alias("_h"))
+        .distinct()
+        .withColumn("_rnk", F.row_number().over(w))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(cnt_w))
+        .filter(F.col("_rnk") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.max("n_distinct").cast("bigint").alias("n_exact"),
+            F.max(F.when(F.col("_rnk") == k, F.col("_h")))
+            .cast("bigint")
+            .alias("kth_min"),
+        )
+        .select(
+            group_col,
+            "n_exact",
+            "kth_min",
+            F.when(
+                F.col("kth_min").isNull(), F.col("n_exact").cast("double")
+            )
+            .otherwise(
+                (F.lit((k - 1) * (1 << 32))) / F.col("kth_min")
+            )
+            .alias("est_distinct"),
+        )
+    )

@@ -4672,6 +4672,46 @@ def sample_reservoir_per_group_query(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "agg_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR || 'kmv'), 1, 8))::BIGINT
+               AS hh
+      FROM events
+    ), r AS (
+      SELECT event_type, hh,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ), a AS (
+      SELECT event_type,
+             CAST(MAX(nd) AS BIGINT) AS n_exact,
+             CAST(MAX(CASE WHEN rnk = 64 THEN hh END) AS BIGINT) AS kth_min
+      FROM r WHERE rnk <= 64 GROUP BY event_type
+    )
+    SELECT event_type, n_exact, kth_min,
+           CASE WHEN kth_min IS NULL THEN CAST(n_exact AS DOUBLE)
+                ELSE 270582939648 / kth_min END AS est_distinct
+    FROM a
+    """,
+)
+def agg_kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-user sketch per event type — the
+    engine-reproducible counterpart of the HLL entries: k = 64 minimum
+    md5 hashes, estimate (k−1)·2^32 / h_(k) as an exact-int ratio, so
+    the driver hash-compares the sketch AND the estimate bit-for-bit
+    (HLL oracles can only bound relative error). Bottom-k sets merge
+    by union-keep-k-smallest, the shard-combinable shape."""
+    from .operators.sampling import kmv_distinct_per_group
+
+    (events,) = _load(spark, sf_dir, "events")
+    return kmv_distinct_per_group(
+        events, group_col="event_type", value_col="user_id", k=64
+    )
+
+
+@register(
     "sample_priority_weighted",
     r"""
     WITH d AS (

@@ -245,6 +245,9 @@ EXPECTATIONS = {
     # one lang exchange shared by the rank window and the τ window
     # (same partitioning; second window needs no re-sort)
     "sample_priority_weighted": (1, "Window"),
+    # map-side-combinable (group, hash) distinct exchange, then the
+    # group exchange shared by rank+count windows AND the final agg
+    "agg_kmv_distinct": (2, "Window"),
     # one shard_id exchange feeds the per-shard rank window — no
     # global-order single-partition window
     "corpus_shuffle_shards": (1, "Window"),

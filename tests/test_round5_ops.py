@@ -769,3 +769,63 @@ class TestPrioritySample:
         out = self._sample(spark, rows, k=64).collect()
         est = sum(r["w_est"] for r in out)
         assert 0.5 * true_total < est < 2.0 * true_total
+
+
+# ------------------------------------------------------------------ KMV sketch
+
+
+class TestKMVDistinct:
+    def _kmv(self, spark, rows, k=64):
+        from mapreduce_join_comparison_spark.operators.sampling import (
+            kmv_distinct_per_group,
+        )
+
+        df = spark.createDataFrame(rows, "grp string, v bigint")
+        return kmv_distinct_per_group(df, "grp", "v", k=k)
+
+    def test_small_group_exact_path(self, spark):
+        rows = [("a", i) for i in range(10)] * 3  # duplicates collapse
+        out = self._kmv(spark, rows, k=64).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_exact"] == 10
+        assert r["kth_min"] is None
+        assert r["est_distinct"] == 10.0
+
+    def test_estimator_accuracy_at_k64(self, spark):
+        """Beyer et al. estimator: rel. std err ≈ 1/√(k−2) ≈ 12.7 % at
+        k=64 — assert one deterministic draw lands within ±40 %."""
+        n = 20_000
+        rows = [("a", i) for i in range(n)]
+        r = self._kmv(spark, rows, k=64).collect()[0]
+        assert r["n_exact"] == n
+        assert 0.6 * n < r["est_distinct"] < 1.4 * n
+
+    def test_sketch_merges_by_union_keep_k(self, spark):
+        """Shard-combinability: union of two shard sketches, keep the
+        k smallest, equals the whole-data sketch."""
+        from mapreduce_join_comparison_spark.operators.sampling import (
+            md5_hash32,
+        )
+        k = 16
+        rows = [("a", i) for i in range(500)]
+        whole = self._kmv(spark, rows, k=k).collect()[0]
+        import hashlib
+
+        def h(v):
+            return int(
+                hashlib.md5((str(v) + "kmv").encode()).hexdigest()[:8], 16
+            )
+
+        shard1 = sorted(h(v) for _, v in rows[:250])[:k]
+        shard2 = sorted(h(v) for _, v in rows[250:])[:k]
+        merged = sorted(set(shard1) | set(shard2))[:k]
+        assert whole["kth_min"] == merged[-1]
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        base = [("a", i) for i in range(300)]
+        r1 = self._kmv(spark, base, k=32).collect()[0]
+        r2 = self._kmv(spark, base * 5, k=32).collect()[0]
+        assert (r1["kth_min"], r1["est_distinct"]) == (
+            r2["kth_min"], r2["est_distinct"]
+        )
