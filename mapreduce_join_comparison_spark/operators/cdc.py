@@ -197,3 +197,47 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def maintain_join_view(
+    view: DataFrame,
+    delta_left: DataFrame,
+    right: DataFrame,
+    upsert_key: str,
+    left_join_key: str,
+    right_join_key: str,
+) -> DataFrame:
+    """Incremental maintenance of a materialized join view
+    V = L ⋈ R when an upsert batch ΔL lands on the left side:
+
+        V′ = (V ▷ keys(ΔL))  ∪  (ΔL ⋈ R)
+
+    — retract every view row whose ``upsert_key`` (the LEFT table's
+    row identity, distinct from the join key) appears in the batch
+    (anti-join), then add the re-joined batch rows. Equivalent to
+    recomputing (L upserted with ΔL) ⋈ R, without touching the
+    untouched ~all of L: the classic delta-propagation rule of
+    incremental view maintenance (Gupta & Mumick, "Maintenance of
+    Materialized Views", IEEE Data Eng. Bull. 1995).
+
+    ``view`` must carry the same columns the caller's ΔL ⋈ R
+    projection produces (it IS that projection, materialized), and
+    ΔL must be keyed (≤1 row per ``upsert_key`` — run
+    ``latest_per_key`` first if the batch has internal history).
+
+    Scale: the nightly delta batch is bounded by ingest, so both the
+    retraction key set and the ΔL join side broadcast — V′ costs one
+    scan of V plus one scan of R, ZERO shuffles of either, vs the
+    full L ⋈ R recompute. Deletes compose the same way: feed the
+    delete keys into the retraction and nothing into the addition.
+    """
+    keys = delta_left.select(F.col(upsert_key)).distinct()
+    # bounded: by operator contract — ΔL is one ingest batch (nightly
+    # CDC window), orders of magnitude below the materialized view
+    kept = view.join(F.broadcast(keys), on=upsert_key, how="left_anti")
+    # bounded: same ingest-batch contract as the retraction key set —
+    # broadcasting ΔL turns ΔL ⋈ R into a shuffle-free scan of R
+    added = F.broadcast(delta_left).join(
+        right, on=F.col(left_join_key) == F.col(right_join_key), how="inner"
+    )
+    return kept.unionByName(added.select(*view.columns))

@@ -4672,6 +4672,65 @@ def sample_reservoir_per_group_query(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "cdc_join_view_maintain",
+    """
+    WITH delta AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    ), lp AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+      UNION ALL
+      SELECT * FROM delta
+    )
+    SELECT l.o_orderkey, l.o_custkey, l.o_totalprice,
+           c.c_name, c.c_nationkey
+    FROM lp l JOIN customer c ON l.o_custkey = c.c_custkey
+    """,
+)
+def cdc_join_view_maintain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized join view (Gupta &
+    Mumick delta rule): a deterministic upsert batch (every 97th order
+    repriced ×2, every 101st re-inserted under a shifted key) is
+    propagated into V = orders ⋈ customer as retraction-by-key ∪
+    re-joined delta — ZERO shuffles (both the key set and ΔL
+    broadcast), one scan of V, one scan of customer. The oracle is
+    the full recompute (upserted orders ⋈ customer); the maintained
+    view must equal it exactly — ×2 on a double is a power-of-two
+    multiply, bit-exact in both engines."""
+    from pyspark.sql import functions as F
+
+    from .operators.cdc import maintain_join_view
+
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    l_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    updates = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice",
+    )
+    delta = updates.unionByName(inserts)
+    dim = customer.select("c_custkey", "c_name", "c_nationkey")
+    view = (
+        orders.select(*l_cols)
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .select(*l_cols, "c_name", "c_nationkey")
+    )
+    return maintain_join_view(
+        view, delta, dim,
+        upsert_key="o_orderkey",
+        left_join_key="o_custkey",
+        right_join_key="c_custkey",
+    )
+
+
+@register(
     "agg_kmv_distinct",
     """
     WITH h AS (

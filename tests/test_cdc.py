@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mapreduce_join_comparison_spark.operators.cdc import (
     latest_per_key,
     merge_aggregates,
@@ -136,3 +138,72 @@ def test_merge_distinct_sketches_tracks_exact(spark, tables):
     assert set(merged) == set(exact)
     for k, n in exact.items():
         assert abs(merged[k] - n) <= 0.05 * n  # lgK=12: rsd ~0.8%
+
+
+# -------------------------------------------------- incremental join view
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_maintain_join_view_equals_recompute(spark):
+    from mapreduce_join_comparison_spark.operators.cdc import (
+        maintain_join_view,
+        merge_upsert,
+    )
+
+    left = _mk(spark, [(1, 10, 5.0), (2, 20, 6.0), (3, 10, 7.0)],
+               "id bigint, fk bigint, v double")
+    right = _mk(spark, [(10, "x"), (20, "y"), (30, "z")],
+                "rk bigint, name string")
+    view = left.join(right, F.col("fk") == F.col("rk")).select(
+        "id", "fk", "v", "name"
+    )
+    # delta: reprice id=2, move id=3 to fk=30, insert id=9
+    delta = _mk(spark, [(2, 20, 60.0), (3, 30, 7.0), (9, 20, 1.0)],
+                "id bigint, fk bigint, v double")
+    got = maintain_join_view(view, delta, right, "id", "fk", "rk")
+    new_left = merge_upsert(left, delta, "id")
+    want = new_left.join(right, F.col("fk") == F.col("rk")).select(
+        "id", "fk", "v", "name"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the moved row joined its NEW dim partner
+    assert got.filter("id = 3").collect()[0]["name"] == "z"
+
+
+def test_maintain_join_view_deletes(spark):
+    """Delete keys feed the retraction with an empty addition."""
+    from mapreduce_join_comparison_spark.operators.cdc import (
+        maintain_join_view,
+    )
+
+    left = _mk(spark, [(1, 10, 5.0), (2, 20, 6.0)],
+               "id bigint, fk bigint, v double")
+    right = _mk(spark, [(10, "x"), (20, "y")], "rk bigint, name string")
+    view = left.join(right, F.col("fk") == F.col("rk")).select(
+        "id", "fk", "v", "name"
+    )
+    # a delete is a delta row that re-joins nothing: key retracts,
+    # nothing is added back
+    ghost = _mk(spark, [(2, -1, 0.0)], "id bigint, fk bigint, v double")
+    got = maintain_join_view(view, ghost, right, "id", "fk", "rk")
+    assert [r["id"] for r in got.collect()] == [1]
+
+
+def test_maintain_join_view_unmatched_delta_drops(spark):
+    from mapreduce_join_comparison_spark.operators.cdc import (
+        maintain_join_view,
+    )
+
+    left = _mk(spark, [(1, 10, 5.0)], "id bigint, fk bigint, v double")
+    right = _mk(spark, [(10, "x")], "rk bigint, name string")
+    view = left.join(right, F.col("fk") == F.col("rk")).select(
+        "id", "fk", "v", "name"
+    )
+    delta = _mk(spark, [(1, 99, 5.0)], "id bigint, fk bigint, v double")
+    got = maintain_join_view(view, delta, right, "id", "fk", "rk")
+    assert got.count() == 0  # fk=99 has no dim row: inner-join semantics

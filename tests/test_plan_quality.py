@@ -248,6 +248,9 @@ EXPECTATIONS = {
     # map-side-combinable (group, hash) distinct exchange, then the
     # group exchange shared by rank+count windows AND the final agg
     "agg_kmv_distinct": (2, "Window"),
+    # the only exchange is the DELTA-sized key distinct; view retraction
+    # and the re-join are broadcast — neither big side shuffles
+    "cdc_join_view_maintain": (1, "BroadcastHashJoin"),
     # one shard_id exchange feeds the per-shard rank window — no
     # global-order single-partition window
     "corpus_shuffle_shards": (1, "Window"),
