@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import fan_out
@@ -818,4 +818,170 @@ def exact_dedup_survivor(
         .withColumn("n_copies", F.count(F.lit(1)).over(wp).cast("bigint"))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EXACT Jaccard ≥ t pairs via PREFIX FILTERING (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+    scalable exact alternative to ``ngram_jaccard_pairs``'s
+    every-shared-shingle blocking.
+
+    Under a global canonical shingle order (docfreq ascending — rarest
+    first), a pair with J ≥ t must share a shingle within BOTH docs'
+    first ``n − ⌈t·n⌉ + 1`` shingles (overlap c ≥ ⌈t·max(n_a, n_b)⌉ +
+    PPJoin Lemma 1), so only PREFIX shingles enter the candidate
+    stage — the frequent shingles that dominate the naive plan's
+    candidate count never leave their docs.
+
+    Implementation in four scans, no windows over corpus rows:
+      1. docfreq over exploded shingles, then a DENSE RANK id per
+         shingle in (df, shingle) order — canonical order becomes
+         integer order, and every later stage works on exact int64
+         ids (injective, so |A∩B| is EXACT — measured ~3.5× faster
+         than string-array intersection; a 64-bit content hash would
+         be the 100 TB swap where the vocab-sized rank sort grows).
+      2. per-doc sorted id array (one id exchange); the prefix is a
+         SLICE of it — no per-row window rank.
+      3. candidate pairs by per-shingle posting-list pair expansion
+         (groupBy prefix id + in-array combination explode) + the
+         length filter t·n_a ≤ n_b ∧ t·n_b ≤ n_a and the PPJoin
+         POSITIONAL filter (see inline comment) in exact milli ints.
+         Rare-first order bounds posting lists; the positional prune
+         measures 596k → 325k candidates at sf0.1/t=0.3.
+      4. exact verify: array_intersect of the two full sorted id
+         arrays — candidates only.
+
+    Output is IDENTICAL to the naive operator (proven in tests and by
+    the catalog oracle, which runs the naive plan): the filter is
+    lossless. At this toy corpus (5k docs over a 27k-shingle vocab)
+    the shared synthetic vocabulary keeps the candidate cut modest
+    (~2× at t=0.3) and the naive plan measures faster; the crossover
+    is corpus size — vocabulary grows with corpus, rare shingles
+    approach unique, and candidates approach the true pair count
+    while the naive plan's candidates keep growing quadratically in
+    per-shingle document frequency.
+
+    Single-query plan note: the (id, n_sh, sids) index subtree is
+    consumed three times (prefix + both verify sides) and
+    column-pruning divergence defeats AQE exchange reuse, so it
+    executes ~3× here. A deployment runs AllPairs as two jobs —
+    materialize the index once (it IS the inverted index a dedup
+    service keeps), then join against it — which this operator's
+    stages map onto directly.
+    """
+    t_milli = int(round(threshold * 1000))
+    df = fan_out(df)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    # bounded: single-partition rank over the VOCABULARY dim (distinct
+    # shingles), not corpus rows; swap to a 64-bit hash id at 100 TB
+    dict_w = Window.orderBy("df_sh", "shingle")
+    sdict = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_sh"))
+        .withColumn("sid", F.row_number().over(dict_w).cast("bigint"))
+        .select("shingle", "sid")
+    )
+    sh_ids = (
+        exploded.join(sdict, "shingle")
+        .groupBy("id")
+        .agg(
+            F.max("n_sh").alias("n_sh"),
+            F.array_sort(F.collect_list("sid")).alias("sids"),
+        )
+    )
+    # prefix length n − ⌈t·n⌉ + 1, ceil in exact milli ints
+    plen = (
+        F.col("n_sh")
+        - F.floor((F.col("n_sh") * t_milli + 999) / 1000)
+        + 1
+    )
+    prefix = sh_ids.select(
+        "id", "n_sh",
+        F.posexplode(F.slice("sids", 1, plen.cast("int"))),
+    ).select(
+        "id", "n_sh", F.col("col").alias("sid"),
+        (F.col("pos") + 1).alias("pos"),
+    )
+    docs_arr = F.array_sort(F.collect_list(F.struct("id", "n_sh", "pos")))
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("docs"), i + 2,
+                        F.greatest(F.size(F.col("docs")) - i - 1, F.lit(0)),
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"), x["n_sh"].alias("n_a"),
+                        x["pos"].alias("pos_a"),
+                        y["id"].alias("id_b"), y["n_sh"].alias("n_b"),
+                        y["pos"].alias("pos_b"),
+                    ),
+                ),
+            )
+        )
+    )
+    # POSITIONAL filter (PPJoin): the smallest prefix-matched token is
+    # the smallest COMMON token outright (a smaller common token would
+    # sit at smaller positions in both docs, hence inside both
+    # prefixes), so overlap ≤ min(n_a−i+1, n_b−j+1) at its positions
+    # (i, j). Require that bound to reach α = ⌈t(n_a+n_b)/(1+t)⌉ —
+    # X ≥ ⌈Y/Z⌉ ⟺ X·Z ≥ Y in exact ints. Replaces the plain
+    # distinct with a same-key groupBy: no extra shuffle, and most
+    # false candidates never reach the verify join.
+    cand = (
+        prefix.groupBy("sid")
+        .agg(docs_arr.alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(pair_expr.alias("p"))
+        .filter(
+            (F.col("p.n_b") * 1000 >= F.col("p.n_a") * t_milli)
+            & (F.col("p.n_a") * 1000 >= F.col("p.n_b") * t_milli)
+        )
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
+            F.col("p.n_a").alias("n_a"), F.col("p.n_b").alias("n_b"),
+        )
+        .agg(
+            F.min("p.pos_a").alias("mi"), F.min("p.pos_b").alias("mj")
+        )
+        .filter(
+            F.least(
+                F.col("n_a") - F.col("mi") + 1, F.col("n_b") - F.col("mj") + 1
+            )
+            * (1000 + t_milli)
+            >= t_milli * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+    )
+    verified = (
+        cand.join(
+            sh_ids.select(F.col("id").alias("id_a"),
+                          F.col("sids").alias("sids_a"),
+                          F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sh_ids.select(F.col("id").alias("id_b"),
+                          F.col("sids").alias("sids_b"),
+                          F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sids_a", "sids_b")))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        verified.withColumn("jaccard", jac.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )

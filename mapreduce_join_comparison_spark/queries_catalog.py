@@ -1355,6 +1355,35 @@ def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(documents, k=3, threshold=0.2)
 
 
+@register(
+    "dedup_prefix_filter",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS common
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
+    FROM p WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.3
+    """,
+)
+def dedup_prefix_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.3 pairs via PREFIX FILTERING (AllPairs/PPJoin)
+    — only each doc's n−⌈t·n⌉+1 RAREST shingles (global docfreq order)
+    enter the candidate join, then candidates are length-filtered and
+    verified exactly. The oracle deliberately runs the NAIVE
+    every-shared-shingle plan: equal output proves the prefix filter
+    dropped no qualifying pair."""
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(documents, k=3, threshold=0.3)
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str:
     from .operators.dedup import MERSENNE_P, minhash_params
 

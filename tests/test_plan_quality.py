@@ -251,6 +251,14 @@ EXPECTATIONS = {
     # the only exchange is the DELTA-sized key distinct; view retraction
     # and the re-join are broadcast — neither big side shuffles
     "cdc_join_view_maintain": (1, "BroadcastHashJoin"),
+    # the (id, n_sh, sids) index subtree is consumed 3× (prefix +
+    # both verify sides) and column-pruning divergence defeats AQE
+    # exchange reuse, so the static plan carries 3 copies of its
+    # explode/dict/agg exchanges; distinct work: dict (shingle +
+    # vocab-rank single partition), doc agg (id), pair groupBy,
+    # fan_out round-robins. At scale the index is materialized once
+    # (see operator docstring).
+    "dedup_prefix_filter": (17, None),
     # one shard_id exchange feeds the per-shard rank window — no
     # global-order single-partition window
     "corpus_shuffle_shards": (1, "Window"),

@@ -262,3 +262,55 @@ def test_chunk_windows_known_answers(spark):
     assert chunks[(2, 0)]["chunk_tokens"] == 3
     # overlap property: chunk 1 begins inside chunk 0's token range
     assert "48" in chunks[(1, 0)]["chunk_text"].split()
+
+
+# ------------------------------------------------- prefix-filter jaccard
+
+
+def test_prefix_filter_equals_naive_on_corpus(spark, tables):
+    """The AllPairs/PPJoin prefix filter must lose NOTHING: identical
+    output to the every-shared-shingle naive plan at the same
+    threshold, on the real corpus."""
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = tables["documents"]
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, k=3, threshold=0.3
+        ).collect()
+    }
+    assert fast == naive
+    assert len(fast) > 0  # the corpus does contain near-dups
+
+
+def test_prefix_filter_handles_identical_and_disjoint(spark):
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # identical
+        (3, "one two three four five six seven eight"),  # disjoint
+        (4, "alpha beta gamma delta epsilon eta"),       # near-dup of 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            df, k=3, threshold=0.3
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got and (2, 3) not in got and (3, 4) not in got
+    # 6 tokens -> 4 shingles; docs 1 and 4 share 3 of 5 distinct: J=0.6
+    assert abs(got[(1, 4)] - 0.6) < 1e-12
+    assert got[(1, 4)] == got[(2, 4)]
