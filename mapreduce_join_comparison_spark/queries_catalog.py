@@ -2525,6 +2525,60 @@ def events_json_props_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_variant_extract",
+    """
+    SELECT event_id,
+           user_id AS uid,
+           event_type AS kind,
+           CAST(ROUND(value * 1000) AS BIGINT) AS vm,
+           'u' || CAST(user_id AS VARCHAR) AS tag1,
+           CAST(NULL AS BIGINT) AS kind_as_int,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM events
+    """,
+)
+def events_variant_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round-trip: nested JSON (object-in-object +
+    array) is built JVM-side from the event columns, parsed into the
+    binary VARIANT type (``parse_json``), and read back with typed
+    path extraction — ``variant_get`` for present paths (including an
+    array index), ``try_variant_get`` for a type-mismatched path
+    (string as bigint → NULL) and a missing path. The oracle never
+    sees JSON: it re-derives every output arithmetically from the
+    base columns, so any loss in the build→parse→extract round-trip
+    (int exactness, array order, null semantics) hash-fails. All
+    JVM-side — the VARIANT scan path a 100 TB semi-structured event
+    lake would use, with shredded columnar access instead of
+    per-query JSON string re-parsing."""
+    from pyspark.sql import functions as F
+
+    (events,) = _load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.struct(
+                F.col("event_type").alias("kind"),
+                F.round(F.col("value") * 1000).cast("bigint").alias("vm"),
+            ).alias("meta"),
+            F.array(
+                F.col("event_type"),
+                F.concat(F.lit("u"), F.col("user_id").cast("string")),
+            ).alias("tags"),
+        )
+    )
+    v = F.parse_json(doc)
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.uid", "bigint").alias("uid"),
+        F.variant_get(v, "$.meta.kind", "string").alias("kind"),
+        F.variant_get(v, "$.meta.vm", "bigint").alias("vm"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag1"),
+        F.try_variant_get(v, "$.meta.kind", "bigint").alias("kind_as_int"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    )
+
+
+@register(
     "events_stream_interval_join",
     """
     SELECT e.event_id, e.user_id, epoch_us(e.ts::TIMESTAMP) AS ts_us,

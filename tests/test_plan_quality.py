@@ -251,6 +251,9 @@ EXPECTATIONS = {
     # the only exchange is the DELTA-sized key distinct; view retraction
     # and the re-join are broadcast — neither big side shuffles
     "cdc_join_view_maintain": (1, "BroadcastHashJoin"),
+    # pure narrow projection: JSON build → VARIANT parse → typed
+    # path extraction, all in one codegen stage, zero exchanges
+    "events_variant_extract": (0, None),
     # the (id, n_sh, sids) index subtree is consumed 3× (prefix +
     # both verify sides) and column-pruning divergence defeats AQE
     # exchange reuse, so the static plan carries 3 copies of its
