@@ -239,19 +239,7 @@ def pq_assign(
     )
     cols: list[Column] = [F.col(id_col)]
     mins: list[Column] = []
-    for j in range(m):
-        sl = F.slice(emb, j * sub + 1, sub)
-        ds = []
-        for cw in cb[j]:
-            lit = F.array(*[F.lit(v) for v in cw])
-            ds.append(
-                F.aggregate(
-                    F.zip_with(sl, lit, lambda x, c: (x - c) * (x - c)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        darr = F.array(*ds)
+    for j, darr in enumerate(_pq_dist_arrays(emb, cb, sub)):
         dmin = F.array_min(darr)
         cols.append(
             (F.array_position(darr, dmin) - 1).cast("int").alias(f"code{j}")
@@ -262,6 +250,29 @@ def pq_assign(
         err = err + t
     cols.append(err.alias("recon_err"))
     return df.select(*cols)
+
+
+def _pq_dist_arrays(vec: Column, cb, sub: int) -> list[Column]:
+    """Per-subspace arrays of exact-L2² fold expressions against the
+    literal codebook — shared by code assignment (argmin over the
+    array) and the query-side ADC distance tables (``element_at`` by
+    code). One left-fold per codeword, the order ``list_sum`` replays
+    in SQL engines."""
+    out = []
+    for j, words in enumerate(cb):
+        sl = F.slice(vec, j * sub + 1, sub)
+        ds = []
+        for cw in words:
+            lit = F.array(*[F.lit(v) for v in cw])
+            ds.append(
+                F.aggregate(
+                    F.zip_with(sl, lit, lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        out.append(F.array(*ds))
+    return out
 
 
 def projected_rerank_topk(
@@ -594,6 +605,105 @@ def lsh_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 40,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    kc: int = 4,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    pq_seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ ANN — the two-level large-scale index (Jégou et al.
+    TPAMI 2011; the FAISS default at billion scale), composed from
+    this module's IVF coarse quantizer and PQ code assignment:
+
+      1. coarse: corpus rows hash to their nearest cell, queries
+         probe their ``nprobe`` nearest cells (same quantizer as
+         ``ivf_topk``).
+      2. ADC shortlist: within probed cells, candidates are ranked by
+         ASYMMETRIC DISTANCE — the query's exact per-subspace
+         distance table, indexed by each candidate's PQ codes: ``m``
+         array lookups per candidate instead of a ``dim``-d dot.
+      3. exact re-rank: only the ``shortlist`` best ADC candidates
+         per query get the true cosine, which orders the final top-k.
+
+    At 100 TB the index stores (cell, m small ints) per vector —
+    ~64× smaller than the float vectors — and the full vectors are
+    fetched only for shortlist re-ranking. Here the distance table is
+    inlined per candidate row (keeps every value a deterministic
+    JVM-side fold the oracle replays); a deployment materializes it
+    once per query (m·kc doubles) before the probe join.
+
+    All arithmetic is exact double folds against literal
+    centroids/codewords; every ordering ties to ``corpus_id`` — the
+    whole pipeline is engine-reproducible, so the oracle replays ADC
+    ranking AND the re-rank bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    cents = centroids or train_ivf_centroids(
+        corpus, dim, n_cells, seed=seed, vec_col=vec_col
+    )
+    cb = pq_codebook(dim, m, kc, pq_seed)
+    sub = dim // m
+    c_emb = F.transform(F.col("c_vec"), lambda x: x.cast("double"))
+    code_cols = [
+        (F.array_position(d, F.array_min(d)) - 1).cast("int").alias(f"code{j}")
+        for j, d in enumerate(_pq_dist_arrays(c_emb, cb, sub))
+    ]
+    c = (
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col(vec_col).alias("c_vec"),
+            )
+        )
+        .withColumn(
+            "cell", F.element_at(_nearest_cells_expr("c_vec", cents, 1), 1)
+        )
+        .select("corpus_id", "c_vec", "cell", *code_cols)
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("cell", F.explode(_nearest_cells_expr("q_vec", cents, nprobe)))
+    q_emb = F.transform(F.col("q_vec"), lambda x: x.cast("double"))
+    adc = None
+    for j, dt in enumerate(_pq_dist_arrays(q_emb, cb, sub)):
+        term = F.element_at(dt, F.col(f"code{j}") + 1)
+        adc = term if adc is None else adc + term
+    cand = (
+        # bounded: query batch (ANN workload), orders smaller than the corpus
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("corpus_id").asc()
+    )
+    sl = (
+        cand.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= shortlist)
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        sl.withColumn("cosine", cosine_expr("c_vec", "q_vec"))
+        .withColumn("rank", F.row_number().over(w_cos))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )

@@ -275,3 +275,49 @@ def test_projected_rerank_recall_vs_exact(spark, embeddings):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) > 0.5
+
+
+def test_ivfpq_recall_and_subset(spark, embeddings):
+    """IVF-PQ: the ADC shortlist + exact re-rank must (a) return exact
+    cosines, (b) recover most of the IVF-Flat recall ceiling (the
+    coarse probe bounds recall; the seeded random codebook costs some
+    of the rest — production trains it), (c) stay within the probed
+    cells (subset of IVF-Flat's candidate universe at equal nprobe
+    when shortlist covers the cells)."""
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+    )
+    from mapreduce_join_comparison_spark.queries_catalog import (
+        _IVF_CENTROIDS,
+    )
+
+    q = embeddings.filter("vec_id < 20").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    bf = {(r["query_id"], r["corpus_id"])
+          for r in brute_force_topk(embeddings, q, k=10).collect()}
+    flat = {(r["query_id"], r["corpus_id"])
+            for r in ivf_topk(embeddings, q, dim=64, k=10,
+                              centroids=_IVF_CENTROIDS).collect()}
+    pq_rows = ivfpq_topk(embeddings, q, dim=64, k=10, shortlist=120,
+                         centroids=_IVF_CENTROIDS).collect()
+    pq = {(r["query_id"], r["corpus_id"]) for r in pq_rows}
+    ceiling = len(flat & bf) / len(bf)
+    recall = len(pq & bf) / len(bf)
+    assert recall >= 0.8 * ceiling
+    # exact cosines on the re-ranked rows
+    import math
+
+    emb = {r["vec_id"]: r["embedding"] for r in embeddings.collect()}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return d / (na * nb)
+
+    for r in pq_rows[:20]:
+        want = cos(emb[r["query_id"]], emb[r["corpus_id"]])
+        assert abs(r["cosine"] - want) < 1e-9
