@@ -254,9 +254,10 @@ EXPECTATIONS = {
     # pure narrow projection: JSON build → VARIANT parse → typed
     # path extraction, all in one codegen stage, zero exchanges
     "events_variant_extract": (0, None),
-    # probe-query broadcast onto the cell-assigned corpus; the single
-    # exchange feeds BOTH query_id windows (ADC shortlist + re-rank)
-    "similarity_ivfpq_ann": (1, "BroadcastHashJoin"),
+    # probe-query broadcast onto the cell-assigned corpus; one
+    # query_id exchange feeds BOTH windows (ADC shortlist + re-rank),
+    # plus fan_out's round-robin on the corpus scan
+    "similarity_ivfpq_ann": (2, "BroadcastHashJoin"),
     # the (id, n_sh, sids) index subtree is consumed 3× (prefix +
     # both verify sides) and column-pruning divergence defeats AQE
     # exchange reuse, so the static plan carries 3 copies of its
