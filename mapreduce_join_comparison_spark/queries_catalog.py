@@ -251,6 +251,43 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.crossJoin(nation).select("r_name", "n_name")
 
 
+_RECURSIVE_SQL = """
+    WITH RECURSIVE e AS (
+      SELECT n_nationkey AS src,
+             (2 * n_nationkey + 3) % 25 AS dst
+      FROM nation
+    ),
+    r(node, hops) AS (
+      SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM r JOIN e ON e.src = r.node
+      WHERE r.hops < 25
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM r GROUP BY node
+"""
+
+
+@register("sql_recursive_reachability", _RECURSIVE_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): BFS reachability with hop
+    counts over a deterministic functional graph derived from nation
+    (edge n → (2n+3) mod 25), anchored at node 0, hop-bounded for
+    termination on the cycle, MIN(hops) per reached node. The SAME
+    SQL text runs in Spark and DuckDB — iterative graph traversal
+    expressed declaratively where ``graph_pagerank`` /
+    ``dedup_clusters`` hand-roll driver-side loops. Each recursion
+    step is one joined increment over the previous frontier; at scale
+    the per-step plan is the same broadcast-dim join the hand-rolled
+    loops use."""
+    from .sources.io import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+
 @register(
     "sql_subqueries",
     """
