@@ -341,3 +341,72 @@ def kmv_distinct_per_group(
             .alias("est_distinct"),
         )
     )
+
+
+def kmv_sketch_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Each group's bottom-k sketch as a sorted array — the mergeable
+    synopsis behind ``kmv_distinct_per_group``, materialized for
+    set-operation estimation. Same plan shape: map-side-combinable
+    distinct on (group, hash), one group exchange for the rank
+    window, O(groups × k) after the rank filter."""
+    h = md5_hash32(F.concat(F.col(value_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy("_h")
+    return (
+        df.select(F.col(group_col), h.alias("_h"))
+        .distinct()
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("_h")).alias("sketch"))
+    )
+
+
+def kmv_jaccard_matrix(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise Jaccard ESTIMATES between groups' value sets from
+    their bottom-k sketches alone (Beyer et al. SIGMOD 2007): for a
+    pair, merge the two sketches, keep the k smallest of the union
+    (a valid bottom-k sketch OF THE UNION — the mergeability that
+    makes KMV shard-safe), and estimate
+    Ĵ = |merged_k ∩ A_k ∩ B_k| / |merged_k|. The estimate is a ratio
+    of two small exact ints — bit-identical in any engine, so unlike
+    an HLL-intersection heuristic the driver hash-compares it.
+
+    Scale: the per-group sketches are O(groups × k); the pair join is
+    over the GROUP dimension (broadcast), never the data. Estimating
+    cross-source / cross-shard audience overlap from nightly
+    per-shard sketches is exactly this query.
+    """
+    sk = kmv_sketch_per_group(df, group_col, value_col, k, salt)
+    a = sk.select(
+        F.col(group_col).alias("g_a"), F.col("sketch").alias("sk_a")
+    )
+    b = sk.select(
+        F.col(group_col).alias("g_b"), F.col("sketch").alias("sk_b")
+    )
+    # bounded: one row per group — the sketch table IS the synopsis
+    pairs = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b"))), 1, k
+    )
+    common = F.size(
+        F.array_intersect(F.array_intersect(merged, F.col("sk_a")), "sk_b")
+    )
+    return pairs.select(
+        "g_a",
+        "g_b",
+        F.size(merged).cast("bigint").alias("union_k"),
+        common.cast("bigint").alias("common_k"),
+        (common / F.size(merged)).alias("est_jaccard"),
+    )

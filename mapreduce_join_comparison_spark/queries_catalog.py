@@ -5009,6 +5009,59 @@ def agg_kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_kmv_overlap",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR || 'kmv'), 1, 8))::BIGINT
+               AS hh
+      FROM events
+    ), r AS (
+      SELECT event_type, hh,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rnk
+      FROM h
+    ), s AS (
+      SELECT event_type, list_sort(list(hh)) AS sk
+      FROM r WHERE rnk <= 64 GROUP BY event_type
+    ), p AS (
+      SELECT a.event_type AS g_a, b.event_type AS g_b,
+             a.sk AS sk_a, b.sk AS sk_b
+      FROM s a JOIN s b ON a.event_type < b.event_type
+    ), m AS (
+      SELECT g_a, g_b, sk_a, sk_b,
+             list_sort(list_distinct(list_concat(sk_a, sk_b))) AS un
+      FROM p
+    ), t AS (
+      SELECT g_a, g_b, sk_a, sk_b,
+             CASE WHEN len(un) > 64 THEN un[1:64] ELSE un END AS mk
+      FROM m
+    )
+    SELECT g_a, g_b,
+           CAST(len(mk) AS BIGINT) AS union_k,
+           CAST(len(list_intersect(list_intersect(mk, sk_a), sk_b))
+                AS BIGINT) AS common_k,
+           len(list_intersect(list_intersect(mk, sk_a), sk_b)) / len(mk)
+             AS est_jaccard
+    FROM t
+    """,
+)
+def agg_kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap (Jaccard) estimates between event
+    types' user sets from merged bottom-k sketches — the
+    set-operation payoff of KMV mergeability: the k smallest of a
+    sketch union is a valid sketch of the set union, and
+    Ĵ = |merged_k ∩ A_k ∩ B_k| / |merged_k| is a ratio of small
+    exact ints, so the estimate itself hash-compares across engines
+    (HLL intersection heuristics cannot)."""
+    from .operators.sampling import kmv_jaccard_matrix
+
+    (events,) = _load(spark, sf_dir, "events")
+    return kmv_jaccard_matrix(
+        events, group_col="event_type", value_col="user_id", k=64
+    )
+
+
+@register(
     "sample_priority_weighted",
     r"""
     WITH d AS (

@@ -258,6 +258,10 @@ EXPECTATIONS = {
     # query_id exchange feeds BOTH windows (ADC shortlist + re-rank),
     # plus fan_out's round-robin on the corpus scan
     "similarity_ivfpq_ann": (2, "BroadcastHashJoin"),
+    # sketch subtree (distinct + rank window) statically repeated for
+    # the pair-join sides; the join itself is over the group-dim
+    # synopsis (allowlisted BNLJ)
+    "agg_kmv_overlap": (4, None),
     # the (id, n_sh, sids) index subtree is consumed 3× (prefix +
     # both verify sides) and column-pruning divergence defeats AQE
     # exchange reuse, so the static plan carries 3 copies of its
@@ -357,6 +361,8 @@ _NESTED_LOOP_ALLOWED = {
     "stats_analyze_table": "scalar count broadcast",
     "stats_join_cardinality": "two single-row aggregate scalars joined "
                               "into the one-row diagnostic",
+    "agg_kmv_overlap": "pair join over the GROUP-dim sketch synopsis "
+                       "(one row per group), never the data",
 }
 
 

@@ -829,3 +829,43 @@ class TestKMVDistinct:
         assert (r1["kth_min"], r1["est_distinct"]) == (
             r2["kth_min"], r2["est_distinct"]
         )
+
+    def test_jaccard_estimate_tracks_exact(self, spark):
+        """Ĵ from merged bottom-k sketches vs the true Jaccard on
+        constructed overlapping sets (|A∩B|/|A∪B| = 1000/3000):
+        k=64 → rel std err ≈ 1/√k ≈ 12 %; assert a generous band."""
+        from mapreduce_join_comparison_spark.operators.sampling import (
+            kmv_jaccard_matrix,
+        )
+
+        rows = [("a", i) for i in range(2000)] + [
+            ("b", i) for i in range(1000, 3000)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v bigint")
+        r = kmv_jaccard_matrix(df, "grp", "v", k=64).collect()[0]
+        true_j = 1000 / 3000
+        assert abs(r["est_jaccard"] - true_j) < 0.15
+        assert r["union_k"] == 64  # union is large: sketch saturated
+
+    def test_merged_sketch_is_union_sketch(self, spark):
+        """The k smallest of two sketches' union equal the bottom-k
+        sketch of the unioned data — mergeability, pairwise form."""
+        from mapreduce_join_comparison_spark.operators.sampling import (
+            kmv_sketch_per_group,
+        )
+
+        rows_a = [("a", i) for i in range(300)]
+        rows_b = [("b", i) for i in range(150, 450)]
+        df = spark.createDataFrame(
+            rows_a + rows_b, "grp string, v bigint"
+        )
+        sk = {r["grp"]: r["sketch"]
+              for r in kmv_sketch_per_group(df, "grp", "v", k=16).collect()}
+        both = spark.createDataFrame(
+            [("u", v) for _, v in rows_a + rows_b], "grp string, v bigint"
+        )
+        want = kmv_sketch_per_group(both, "grp", "v", k=16).collect()[0][
+            "sketch"
+        ]
+        merged = sorted(set(sk["a"]) | set(sk["b"]))[:16]
+        assert merged == sorted(want)
