@@ -53,3 +53,73 @@ def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
 
 def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     return df.cube(*keys).agg(*aggs)
+
+
+def data_quality_audit(
+    df: DataFrame,
+    checks: list[tuple[str, Column]],
+    ref_checks: list[tuple[str, str, DataFrame, str]] | None = None,
+    unique_checks: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/Great-Expectations
+    shape, relationally): every row-level predicate in ``checks``
+    [(name, violation_condition)] is a conditional count folded into
+    ONE narrow aggregate pass over the table; each
+    ``unique_checks`` (name, col) entry adds COUNT − COUNT DISTINCT
+    from the same pass; each ``ref_checks`` entry
+    (name, fk_col, dim_df, pk_col) counts orphans via a broadcast
+    anti-join (one extra scan each — dims are the small side by
+    contract). Output: one row per check with
+    (check_name, n_violations, n_checked) — the violation RATIO is
+    left to the reader as n_violations/n_checked (exact-int division,
+    engine-identical) to keep every emitted value an exact integer.
+
+    Scale: K row-level + U uniqueness constraints cost ONE scan with
+    map-side partial aggregation regardless of K and U; referential
+    checks cost one broadcast-filtered scan each. Nothing collects,
+    nothing is per-row Python.
+    """
+    n_rows = F.count(F.lit(1))
+    aggs = [n_rows.cast("bigint").alias("_n")]
+    names: list[str] = []
+    for name, cond in checks:
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+        )
+        names.append(name)
+    for name, col in unique_checks or []:
+        aggs.append(
+            (F.count(col) - F.count_distinct(F.col(col)))
+            .cast("bigint")
+            .alias(name)
+        )
+        names.append(name)
+    base = df.agg(*aggs)
+    # unpivot the single aggregate row into (constraint, n_violations)
+    stacked = base.select(
+        F.expr(
+            "stack({n}, {items}) AS (check_name, n_violations)".format(
+                n=len(names),
+                items=", ".join(f"'{n}', {n}" for n in names),
+            )
+        ),
+        F.col("_n").alias("n_checked"),
+    )
+    out = stacked.select("check_name", "n_violations", "n_checked")
+    for name, fk, dim, pk in ref_checks or []:
+        row = (
+            df.select(F.col(fk))
+            .filter(F.col(fk).isNotNull())
+            # bounded: referential dims are the small side by contract
+            .join(F.broadcast(dim.select(pk)),
+                  on=F.col(fk) == F.col(pk), how="left")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violations"),
+                F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            )
+        )
+        out = out.unionByName(row)
+    return out

@@ -5009,6 +5009,60 @@ def agg_kmv_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_quality_audit",
+    """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_custkey,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpositive_price,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                  AS BIGINT) AS dup_orderkey
+      FROM orders
+    )
+    SELECT 'null_custkey' AS check_name,
+           null_custkey AS n_violations, n AS n_checked FROM base
+    UNION ALL SELECT 'nonpositive_price', nonpositive_price, n FROM base
+    UNION ALL SELECT 'bad_status', bad_status, n FROM base
+    UNION ALL SELECT 'dup_orderkey', dup_orderkey, n FROM base
+    UNION ALL
+    SELECT 'orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE o.o_custkey IS NOT NULL
+                   AND c.c_custkey IS NULL) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey IS NOT NULL) AS BIGINT)
+    """,
+)
+def pipeline_quality_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ / Great-Expectations
+    shape): null, range, domain, and uniqueness constraints fold into
+    ONE narrow aggregate pass over orders regardless of constraint
+    count; the referential check (o_custkey → customer) is a
+    broadcast anti-join count. One row per check, every value an
+    exact integer."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import data_quality_audit
+
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    return data_quality_audit(
+        orders,
+        checks=[
+            ("null_custkey", F.col("o_custkey").isNull()),
+            ("nonpositive_price", F.col("o_totalprice") <= 0),
+            ("bad_status", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        ],
+        unique_checks=[("dup_orderkey", "o_orderkey")],
+        ref_checks=[("orphan_custkey", "o_custkey", customer, "c_custkey")],
+    )
+
+
+@register(
     "agg_kmv_overlap",
     """
     WITH h AS (

@@ -262,6 +262,10 @@ EXPECTATIONS = {
     # the pair-join sides; the join itself is over the group-dim
     # synopsis (allowlisted BNLJ)
     "agg_kmv_overlap": (4, None),
+    # all row-level + uniqueness checks in ONE single-partition agg;
+    # the referential check adds a broadcast-left-join agg; the third
+    # exchange is the tiny union alignment
+    "pipeline_quality_audit": (3, "BroadcastHashJoin"),
     # the (id, n_sh, sids) index subtree is consumed 3× (prefix +
     # both verify sides) and column-pruning divergence defeats AQE
     # exchange reuse, so the static plan carries 3 copies of its

@@ -113,3 +113,43 @@ def test_resample_locf_gap_fill(spark):
     assert got[("b", base + 0 * m)] == (0, None)  # before first obs
     assert got[("b", base + 2 * m)] == (0, None)
     assert got[("b", base + 3 * m)] == (1, 7.0)
+
+
+def test_data_quality_audit_detects_constructed_violations(spark):
+    """Dirty fixture: every constraint class fires with a known count."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_join_comparison_spark.operators.aggregates import (
+        data_quality_audit,
+    )
+
+    rows = [
+        (1, 10, 5.0, "O"),
+        (2, None, 6.0, "F"),    # null fk
+        (3, 99, -1.0, "P"),     # orphan fk + nonpositive
+        (3, 10, 7.0, "X"),      # dup key + bad status
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, fk bigint, price double, status string"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "pk bigint")
+    out = {
+        r["check_name"]: (r["n_violations"], r["n_checked"])
+        for r in data_quality_audit(
+            df,
+            checks=[
+                ("null_fk", F.col("fk").isNull()),
+                ("nonpositive_price", F.col("price") <= 0),
+                ("bad_status", ~F.col("status").isin("O", "F", "P")),
+            ],
+            unique_checks=[("dup_k", "k")],
+            ref_checks=[("orphan_fk", "fk", dim, "pk")],
+        ).collect()
+    }
+    assert out == {
+        "null_fk": (1, 4),
+        "nonpositive_price": (1, 4),
+        "bad_status": (1, 4),
+        "dup_k": (1, 4),
+        "orphan_fk": (1, 3),  # null fk excluded from referential check
+    }
