@@ -248,6 +248,9 @@ HEADLINE = [
     "pipeline_bpe_vocab",
     "pipeline_bpe_encode",
     "sample_priority_weighted",
+    "similarity_ivfpq_ann",
+    "events_variant_extract",
+    "pipeline_quality_audit",
 ]
 
 
