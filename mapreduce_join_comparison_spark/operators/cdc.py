@@ -241,3 +241,37 @@ def maintain_join_view(
         right, on=F.col(left_join_key) == F.col(right_join_key), how="inner"
     )
     return kept.unionByName(added.select(*view.columns))
+
+
+def scd2_pointintime_join(
+    history: DataFrame,
+    probes: DataFrame,
+    key: str,
+    ts_col: str,
+    from_col: str = "valid_from_us",
+    to_col: str = "valid_to_us",
+) -> DataFrame:
+    """Point-in-time (as-of) join against an SCD2 history: each probe
+    row picks up the dimension version that was valid AT ITS OWN
+    timestamp — key equality plus containment in the half-open
+    validity interval [from, to) (NULL ``to`` = current version).
+    This is the dimensional-model completion of ``scd2_history``: the
+    history build answers "what changed when", this join answers
+    "what was true when each fact happened".
+
+    Scale: the equi-key (``key``) drives the join strategy — a hash
+    or sort-merge join on the key with the interval containment as a
+    post-join filter; per-key version counts are small (runs of
+    changes), so the per-key fan-out is bounded. No nested-loop, no
+    interval bucketing needed (unlike the general interval joins,
+    the SCD2 right side has ~versions-per-key rows, not a scaled
+    table)."""
+    h = history.withColumnRenamed(key, "_hist_key")
+    joined = probes.join(
+        h,
+        (F.col(key) == F.col("_hist_key"))
+        & (F.col(ts_col) >= F.col(from_col))
+        & (F.col(to_col).isNull() | (F.col(ts_col) < F.col(to_col))),
+        "inner",
+    )
+    return joined.drop("_hist_key")

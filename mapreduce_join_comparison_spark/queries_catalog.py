@@ -4458,6 +4458,55 @@ def cdc_scd2_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_scd2_pointintime",
+    f"""
+    WITH hist AS (SELECT * FROM ({_SCD2_ORACLE}) h),
+    p AS (
+      SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS probe_us
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.probe_us,
+           hist.event_type AS dim_event_type,
+           hist.version, hist.valid_from_us
+    FROM p JOIN hist ON p.user_id = hist.user_id
+     AND p.probe_us >= hist.valid_from_us
+     AND (hist.valid_to_us IS NULL OR p.probe_us < hist.valid_to_us)
+    """,
+)
+def cdc_scd2_pointintime_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 history — the dimensional
+    completion of ``cdc_scd2_history``: every error event picks up
+    the dimension version valid AT ITS OWN timestamp (key equality +
+    half-open interval containment, NULL-to = current). The equi-key
+    drives the join strategy; the interval test is a post-join
+    filter over the per-key version runs."""
+    from pyspark.sql import functions as F
+
+    from .operators.cdc import scd2_history, scd2_pointintime_join
+
+    (events,) = _load(spark, sf_dir, "events")
+    hist = scd2_history(
+        events, key="user_id", attr="event_type",
+        version_col="ts", tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("dim_event_type"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version",
+    )
+    probes = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("probe_us")
+    )
+    return scd2_pointintime_join(
+        hist, probes, key="user_id", ts_col="probe_us"
+    ).select(
+        "event_id", "user_id", "probe_us",
+        "dim_event_type", "version", "valid_from_us",
+    )
+
+
 _ANOMALY_WINDOW_US = 24 * 3600 * 1_000_000
 
 _ANOMALY_ORACLE = f"""

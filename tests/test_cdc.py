@@ -207,3 +207,47 @@ def test_maintain_join_view_unmatched_delta_drops(spark):
     delta = _mk(spark, [(1, 99, 5.0)], "id bigint, fk bigint, v double")
     got = maintain_join_view(view, delta, right, "id", "fk", "rk")
     assert got.count() == 0  # fk=99 has no dim row: inner-join semantics
+
+
+def test_scd2_pointintime_boundaries(spark):
+    """Half-open interval semantics: a probe AT valid_from joins that
+    version; a probe at valid_to joins the NEXT version; probes after
+    the last change join the open current version."""
+    import datetime
+
+    from mapreduce_join_comparison_spark.operators.cdc import (
+        scd2_history,
+        scd2_pointintime_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + datetime.timedelta(minutes=m)
+
+    log = spark.createDataFrame(
+        [(1, 7, t(0), "a"), (2, 7, t(10), "b"), (3, 7, t(20), "c")],
+        "event_id bigint, user_id bigint, ts timestamp, attr string",
+    )
+    hist = scd2_history(
+        log, key="user_id", attr="attr", version_col="ts",
+        tiebreak="event_id",
+    ).select(
+        "user_id", F.col("attr").alias("dim_attr"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version",
+    )
+    us = lambda m: int(t(m).timestamp() * 1_000_000)
+    probes = spark.createDataFrame(
+        [(100, 7, us(0)), (101, 7, us(10)), (102, 7, us(15)),
+         (103, 7, us(99))],
+        "probe_id bigint, user_id bigint, probe_us bigint",
+    )
+    got = {
+        r["probe_id"]: r["dim_attr"]
+        for r in scd2_pointintime_join(
+            hist, probes, key="user_id", ts_col="probe_us"
+        ).collect()
+    }
+    assert got == {100: "a", 101: "b", 102: "b", 103: "c"}

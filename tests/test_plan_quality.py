@@ -262,6 +262,9 @@ EXPECTATIONS = {
     # the pair-join sides; the join itself is over the group-dim
     # synopsis (allowlisted BNLJ)
     "agg_kmv_overlap": (4, None),
+    # one user exchange for the history windows; the probe side
+    # broadcasts onto it, interval containment is a post-join filter
+    "cdc_scd2_pointintime": (1, "BroadcastHashJoin"),
     # all row-level + uniqueness checks in ONE single-partition agg;
     # the referential check adds a broadcast-left-join agg; the third
     # exchange is the tiny union alignment
