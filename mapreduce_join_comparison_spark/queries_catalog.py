@@ -251,6 +251,41 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.crossJoin(nation).select("r_name", "n_name")
 
 
+_WINDOW_EXT_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS top_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS bottom_key,
+           LEAD(o_orderkey, 1, -1) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("window_functions_extended", _WINDOW_EXT_SQL)
+def window_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the window-function surface in one pass sharing a
+    single (key × order) sort: NTILE quartiles, PERCENT_RANK /
+    CUME_DIST (exact-int ratios — bit-identical divisions),
+    NTH_VALUE under the default growing frame, FIRST/LAST_VALUE over
+    the full frame, LEAD with an explicit default. The SAME SQL text
+    runs in Spark and DuckDB."""
+    from .sources.io import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_WINDOW_EXT_SQL)
+
+
 _RECURSIVE_SQL = """
     WITH RECURSIVE e AS (
       SELECT n_nationkey AS src,

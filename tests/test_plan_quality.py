@@ -262,6 +262,9 @@ EXPECTATIONS = {
     # the pair-join sides; the join itself is over the group-dim
     # synopsis (allowlisted BNLJ)
     "agg_kmv_overlap": (4, None),
+    # every ranking/value function shares ONE (key × order) sort; the
+    # full-frame FIRST/LAST add no exchange
+    "window_functions_extended": (1, "Window"),
     # one user exchange for the history windows; the probe side
     # broadcasts onto it, interval containment is a post-join filter
     "cdc_scd2_pointintime": (1, "BroadcastHashJoin"),
