@@ -251,6 +251,10 @@ HEADLINE = [
     "similarity_ivfpq_ann",
     "events_variant_extract",
     "pipeline_quality_audit",
+    "events_cohort_retention",
+    "agg_countmin_freq",
+    "sort_skyline_frontier",
+    "join_spatial_grid",
 ]
 
 

@@ -410,3 +410,73 @@ def kmv_jaccard_matrix(
         common.cast("bigint").alias("common_k"),
         (common / F.size(merged)).alias("est_jaccard"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+    a ``depth × width`` grid of counters; each value increments one
+    counter per row ``j`` at column ``h_j(v) = md5(j ∥ v ∥ salt) %
+    width``. Point-estimate = min over rows — always ≥ the true count,
+    over-counting only from collisions (error ≤ ε·N with prob 1−δ for
+    width=⌈e/ε⌉, depth=⌈ln 1/δ⌉).
+
+    Like the KMV family (``kmv_distinct_per_group``) and unlike
+    ``count_min_sketch``'s opaque binary, an md5-based grid is
+    ENGINE-REPRODUCIBLE: every counter replays bit-for-bit in any
+    engine that can md5, so a driver oracle hash-compares the whole
+    sketch, and shard sketches merge by elementwise ADD (the grid is a
+    linear projection of the frequency vector — the property that also
+    gives sliding-window and delta sketches for free; proven in
+    tests).
+
+    Scale: the explode is ×depth but the groupBy has map-side partial
+    aggregation, so the shuffle is ≤ depth·width rows per map task and
+    final state is exactly depth·width counters — corpus-size-
+    independent. Returns (row_j, col_h, cnt).
+    """
+    j = F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row_j")
+    rows = df.select(j, F.col(value_col).cast("string").alias("_v"))
+    col_h = (
+        md5_hash32(F.concat(F.col("row_j").cast("string"), F.lit(":"),
+                            F.col("_v"), F.lit(salt)))
+        % width
+    ).alias("col_h")
+    return (
+        rows.select("row_j", col_h)
+        .groupBy("row_j", "col_h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-estimates from a ``countmin_sketch`` grid for each probe
+    key: re-derive the depth cells a key hashes to, fetch their
+    counters, take the min. The sketch is depth·width rows —
+    broadcast by construction — so probing is a narrow pass over the
+    probe set: no shuffle touches the original corpus again."""
+    j = F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row_j")
+    cells = probes.select(F.col(key_col), j).withColumn(
+        "col_h",
+        md5_hash32(F.concat(F.col("row_j").cast("string"), F.lit(":"),
+                            F.col(key_col).cast("string"), F.lit(salt)))
+        % width,
+    )
+    # bounded: sketch is exactly depth×width counter rows
+    hit = cells.join(F.broadcast(sketch), ["row_j", "col_h"], "left")
+    return (
+        hit.groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cm_est"))
+    )

@@ -17,7 +17,7 @@ Reference mapping:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,4 +65,81 @@ def top_k_per_group(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bins: int = 512,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier), minimizing both columns: keep
+    every row for which no other row is ≤ in both dimensions and < in
+    at least one (Börzsönyi et al., ICDE 2001 "The Skyline Operator").
+    Duplicates of a frontier point are all kept (neither dominates).
+
+    The textbook plan — sort globally by x, keep rows whose y beats
+    the running strict-prefix min — needs a GLOBAL ordered window
+    (single partition, the classic scale-killer). This is the binned
+    two-level decomposition instead (same trick as
+    ``rolling_zscore_anomalies_binned``):
+
+      1. collapse to per-distinct-x grain: (x, min y) — the frontier
+         can only contain each x's min-y rows, and the distinct-x
+         grain makes "strictly smaller x" expressible as a ROWS frame,
+      2. coarse-bin x (bounds from a 2-scalar fetch, same precedent as
+         the quantile-prune histogram); per-bin min-y is a bins-sized
+         aggregate whose strict-prefix min is an O(bins) window,
+      3. intra-bin strict-prefix min via a ROWS frame PARTITIONED BY
+         bin (earlier row in the per-x grain ⇔ strictly smaller x),
+      4. a per-x row survives iff min(prior-bin, intra-bin prefix) > y
+         — strictly: an equal y at smaller x dominates —
+      5. re-attach original rows by equi-join on x, keeping y == the
+         group min.
+
+    Every window is either bins-sized or partitioned by bin — nothing
+    global, frames all ROWS (O(1) incremental evaluation). Cost: two
+    x-keyed exchanges of the per-x grain + the row re-attach join.
+    Maximizing a dimension = pass its negation.
+    """
+    lo, hi = df.agg(F.min(x_col), F.max(x_col)).first()  # 2-scalar fetch
+    if lo is None:
+        return df  # empty input: empty frontier
+    span = (hi - lo) or 1
+    bin_of = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col(x_col) - F.lit(lo)) * bins / F.lit(span)).cast("int"),
+    )
+    perx = (
+        df.groupBy(x_col)
+        .agg(F.min(y_col).alias("_miny"))
+        .withColumn("_bin", bin_of)
+    )
+    binmin = perx.groupBy("_bin").agg(F.min("_miny").alias("_bmin"))
+    w_bins = (
+        Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    )  # bins-sized table: single-partition window is O(bins), bounded
+    prior = binmin.withColumn("_prior", F.min("_bmin").over(w_bins)).drop(
+        "_bmin"
+    )
+    w_intra = (
+        Window.partitionBy("_bin")
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # bounded: one row per coarse bin
+    sur = (
+        perx.join(F.broadcast(prior), "_bin", "left")
+        .withColumn(
+            # least() skips nulls, so a missing prior bin / first row
+            # in bin degrades to the other operand alone
+            "_prev",
+            F.least(F.min("_miny").over(w_intra), F.col("_prior")),
+        )
+        .filter(F.col("_prev").isNull() | (F.col("_prev") > F.col("_miny")))
+        .select(x_col, "_miny")
+    )
+    return df.join(sur, on=x_col).filter(F.col(y_col) == F.col("_miny")).drop(
+        "_miny"
     )

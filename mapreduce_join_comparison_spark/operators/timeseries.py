@@ -435,3 +435,60 @@ def rolling_zscore_anomalies_binned(
         )
     )
     return _finish_zscore(stats, series_col, id_col, min_points, z_threshold)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: assign each user to the ISO week of their
+    FIRST event (the cohort), then count how many of each cohort's
+    users are active in each subsequent week. The product-analytics
+    workhorse (same shape as Mixpanel/Amplitude retention curves) —
+    one (cohort_week, week_offset) cell per combination, with
+    ``retention_ppm = active·10⁶ ÷ cohort_size`` as an exact integer
+    ratio so every engine reproduces it bit-for-bit.
+
+    Scale: ONE events-scale shuffle — the cohort week (min ts) and the
+    distinct active weeks (collect_set, bounded by the span in weeks,
+    with map-side partial merge) come out of the same user-keyed
+    aggregate. Everything downstream is user-grain or smaller: the
+    exploded user-weeks roll up to O(weeks²) cells, cohort sizes are a
+    weeks-sized aggregate re-attached by broadcast. No join back to
+    the event table, no window, nothing driver-side.
+    """
+    wk = lambda c: F.date_trunc("week", F.col(c)).cast("date")  # noqa: E731
+    per_user = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week"),
+        # bounded: distinct weeks per user ≤ data span in weeks
+        F.collect_set(wk(ts_col)).alias("_weeks"),
+    )
+    cells = (
+        per_user.select(
+            "cohort_week", F.explode("_weeks").alias("act_week")
+        )
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+    )
+    sizes = per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    # bounded: one row per cohort week (≤ weeks in the data span)
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.expr("active_users * 1000000 DIV cohort_size").alias(
+                "retention_ppm"
+            ),
+        )
+    )

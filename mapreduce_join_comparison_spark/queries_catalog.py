@@ -5633,6 +5633,193 @@ def stats_join_cardinality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events
+    ),
+    cells AS (
+      SELECT f.cohort_week,
+             CAST((a.act_week - f.cohort_week) // 7 AS INT) AS week_offset,
+             COUNT(*)::BIGINT AS active_users
+      FROM act a JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    sz AS (
+      SELECT cohort_week, COUNT(*)::BIGINT AS cohort_size
+      FROM first GROUP BY 1
+    )
+    SELECT c.cohort_week, c.week_offset, c.active_users, s.cohort_size,
+           c.active_users * 1000000 // s.cohort_size AS retention_ppm
+    FROM cells c JOIN sz s USING (cohort_week)
+    """,
+)
+def events_cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention curves over the events stream: users bucketed
+    by first-seen week, activity counted per (cohort, week-offset)
+    cell — the product-analytics retention matrix. ``retention_ppm``
+    is an exact integer ratio (active·10⁶ ÷ size) so the driver
+    hash-compares it. Scale shape in
+    ``operators.timeseries.cohort_retention``."""
+    from .operators.timeseries import cohort_retention
+
+    (events,) = _load(spark, sf_dir, "events")
+    return cohort_retention(events, "user_id", "ts")
+
+
+@register(
+    "agg_countmin_freq",
+    """
+    WITH t AS (
+      SELECT user_id, COUNT(*)::BIGINT AS true_cnt FROM events GROUP BY 1
+      ORDER BY true_cnt DESC, user_id LIMIT 10
+    ),
+    grid AS (
+      SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || e.user_id::VARCHAR
+                                    || 'cm'), 1, 8))::BIGINT % 256 AS col_h,
+             COUNT(*)::BIGINT AS cnt
+      FROM events e CROSS JOIN range(4) r(j) GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT t.user_id, t.true_cnt, r.j,
+             ('0x' || substr(md5(r.j::VARCHAR || ':' || t.user_id::VARCHAR
+                                 || 'cm'), 1, 8))::BIGINT % 256 AS col_h
+      FROM t CROSS JOIN range(4) r(j)
+    )
+    SELECT c.user_id, c.true_cnt, MIN(g.cnt)::BIGINT AS cm_est,
+           (MIN(g.cnt) - c.true_cnt)::BIGINT AS overcount
+    FROM cells c JOIN grid g USING (j, col_h)
+    GROUP BY c.user_id, c.true_cnt
+    """,
+)
+def agg_countmin_freq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: build the 4×256 md5
+    counter grid over event user_ids, then point-estimate the 10
+    heaviest users and report the overcount vs truth (always ≥ 0 —
+    CM errors are one-sided). The md5 grid is engine-reproducible, so
+    unlike ``count_min_sketch``'s opaque binary the oracle replays
+    every counter bit-for-bit. Sketch mergeability (elementwise add)
+    is proven in tests."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import countmin_estimate, countmin_sketch
+
+    (events,) = _load(spark, sf_dir, "events")
+    sketch = countmin_sketch(events, "user_id", depth=4, width=256)
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(10)
+    )
+    est = countmin_estimate(sketch, top.select("user_id"), "user_id",
+                            depth=4, width=256)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "true_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+@register(
+    "sort_skyline_frontier",
+    """
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
+             -l_quantity AS negq, l_quantity AS quantity
+      FROM lineitem
+    ),
+    perx AS (SELECT price, MIN(negq) AS miny FROM pts GROUP BY price),
+    pf AS (
+      SELECT price, miny,
+             MIN(miny) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prevmin
+      FROM perx
+    ),
+    sur AS (SELECT price, miny FROM pf
+            WHERE prevmin IS NULL OR prevmin > miny)
+    SELECT p.l_orderkey, p.l_linenumber, p.price, p.quantity
+    FROM pts p JOIN sur s ON p.price = s.price AND p.negq = s.miny
+    """,
+)
+def sort_skyline_frontier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of lineitems — cheapest price for every
+    quantity tier (minimize price, maximize quantity): no other line
+    is both ≤ price and ≥ quantity with one strict. The Spark side
+    runs the BINNED two-level skyline (``operators.sorts.skyline_2d``
+    — no global window); the oracle runs the direct global-prefix-min
+    form, so parity cross-checks the binned decomposition itself."""
+    from pyspark.sql import functions as F
+
+    from .operators.sorts import skyline_2d
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    pts = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        (-F.col("l_quantity")).alias("_negq"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    return skyline_2d(pts, "price", "_negq").select(
+        "l_orderkey", "l_linenumber", "price", "quantity"
+    )
+
+
+@register(
+    "join_spatial_grid",
+    """
+    WITH p AS (
+      SELECT c_custkey AS id,
+             ('0x' || substr(md5(c_custkey::VARCHAR || 'px'), 1, 8))::BIGINT
+               % 1000000 AS x,
+             ('0x' || substr(md5(c_custkey::VARCHAR || 'py'), 1, 8))::BIGINT
+               % 1000000 AS y
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist_sq
+    FROM p a JOIN p b
+      ON a.id < b.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= 5000 * 5000
+    """,
+)
+def join_spatial_grid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within Euclidean radius 5000 on a synthetic
+    10⁶×10⁶ integer grid (coordinates md5-derived from the key, so
+    both engines generate identical geometry). Spark runs the
+    3×3-neighbor-cell blocked equi-join
+    (``operators.joins.grid_distance_join`` — O(near pairs)); the
+    oracle grinds the naive quadratic predicate, so parity proves the
+    grid blocking LOSSLESS. All-integer arithmetic: ``dist_sq`` is
+    exact BIGINT."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import grid_distance_join
+    from .operators.text import md5_hash32
+
+    (customer,) = _load(spark, sf_dir, "customer")
+    coord = lambda salt: (  # noqa: E731
+        md5_hash32(F.concat(F.col("c_custkey").cast("string"), F.lit(salt)))
+        % 1000000
+    )
+    pts = customer.select(
+        F.col("c_custkey").alias("id"),
+        coord("px").alias("x"),
+        coord("py").alias("y"),
+    )
+    return grid_distance_join(pts, "id", "x", "y", radius=5000)
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

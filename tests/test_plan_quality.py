@@ -65,6 +65,17 @@ EXPECTATIONS = {
     # + the bucket-candidate distinct
     "similarity_lsh_ann": (3, None),
     "sort_total_order": (1, None),   # range partition + local sort only
+    # one events-scale user agg; cells/sizes aggs are user-grain or
+    # smaller; sizes re-attach by broadcast
+    "events_cohort_retention": (4, "BroadcastHashJoin"),
+    # grid agg + true-count agg + probe-estimate agg; sketch and
+    # probes join by broadcast; top-10 via TakeOrderedAndProject
+    "agg_countmin_freq": (3, "TakeOrderedAndProject"),
+    # binned two-level skyline: per-x grain agg + bin windows + row
+    # re-attach; the only single-partition window is bins-sized
+    "sort_skyline_frontier": (5, None),
+    # 3×3-cell blocked equi-join — must never plan the naive BNLJ
+    "join_spatial_grid": (2, None),
     "window_functions": (1, None),
     "window_analytics": (1, None),
     "set_ops": (1, None),
