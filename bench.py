@@ -255,6 +255,9 @@ HEADLINE = [
     "agg_countmin_freq",
     "sort_skyline_frontier",
     "join_spatial_grid",
+    "join_bloom_prune",
+    "agg_basket_affinity",
+    "events_markov_transitions",
 ]
 
 

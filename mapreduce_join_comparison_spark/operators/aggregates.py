@@ -123,3 +123,74 @@ def data_quality_audit(
         )
         out = out.unionByName(row)
     return out
+
+
+def basket_affinity(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Market-basket pair affinity (the counting core of
+    Agrawal-Srikant A-Priori, VLDB 1994): for every unordered pair of
+    items co-occurring in a basket, the co-occurrence count, each
+    item's basket count, and lift — how much more often the pair
+    co-occurs than independence predicts.
+
+    All statistics are exact integers; lift is the raw double ratio
+    ``(co·N) / (cnt_a·cnt_b)`` of exact BIGINT products, so it divides
+    bit-identically in any engine (the repo's no-rounding convention).
+    ``support_ppm = co·10⁶ DIV N`` is an exact integer.
+
+    Scale shape: the basket→distinct-item table is the only
+    basket-scale relation; the pair self-join equi-joins it ON THE
+    BASKET KEY (co-partitioned, never a cross join), and
+    ``item_a < item_b`` halves the output. Pair/item counts carry
+    map-side partial aggregation; the per-item counts and the 1-row
+    basket total re-attach by broadcast (bounded by the item
+    vocabulary, which for brand/category-grain affinity is tiny and
+    for any real vocabulary is ≪ baskets). Returns one row per
+    co-occurring pair.
+    """
+    bi = items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    total = bi.select("_b").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    item_cnt = bi.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    left = bi.select("_b", F.col("_i").alias("item_a"))
+    right = bi.select("_b", F.col("_i").alias("item_b"))
+    pairs = (
+        left.join(right, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+    )
+    # bounded: item-vocabulary-sized count tables + a 1-row total
+    ca = item_cnt.select(
+        F.col("_i").alias("item_a"), F.col("_cnt").alias("count_a")
+    )
+    cb = item_cnt.select(
+        F.col("_i").alias("item_b"), F.col("_cnt").alias("count_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .join(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.expr("pair_count * 1000000 DIV n_baskets").alias(
+                "support_ppm"
+            ),
+            (
+                (F.col("pair_count") * F.col("n_baskets")).cast("double")
+                / (F.col("count_a") * F.col("count_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

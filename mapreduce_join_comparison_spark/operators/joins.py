@@ -838,3 +838,87 @@ def grid_distance_join(
         )
         .select("id_a", "id_b", d2.cast("bigint").alias("dist_sq"))
     )
+
+
+def bloom_prune_stats(
+    fact_keys: DataFrame,
+    dim_keys: DataFrame,
+    key_col: str,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+    salt: str = "bl",
+) -> DataFrame:
+    """Bloom-filter runtime pruning (Bloom, CACM 1970) — the
+    sideways-information-passing pattern every 100 TB engine applies
+    before an expensive fact-side shuffle join (Spark's own
+    ``spark.sql.optimizer.runtimeFilter.bloomFilter`` injects the same
+    shape): hash the build-side join keys into an ``n_bits`` bitset,
+    broadcast it, and drop probe rows whose key misses ANY of the
+    ``n_hashes`` positions — only passes (members + a bounded
+    false-positive residue) reach the shuffle.
+
+    Unlike ``bloom_filter_agg``'s opaque binary, the bitset here is the
+    md5 grid convention (`h_j(k) = md5(j:k:salt) % n_bits`), so every
+    bit — and therefore the exact false-positive SET, not just a rate
+    bound — replays bit-for-bit in any md5-capable engine: the oracle
+    can hash-compare pruning decisions, which an opaque sketch can
+    never prove.
+
+    Plan shape: the bitset materializes as a ≤ ``n_bits``-row distinct
+    position table (broadcast by construction); probing explodes each
+    DISTINCT probe key ×``n_hashes`` and equi-joins the broadcast —
+    a narrow pass over the key dictionary, the fact table itself is
+    never rescanned or reshuffled. Returns one row per distinct probe
+    key: (key, bloom_pass, is_member, is_false_pos) — aggregate or
+    semi-join it against the fact as needed.
+    """
+    from .text import md5_hash32
+
+    def positions(c):
+        return [
+            (
+                md5_hash32(
+                    F.concat(
+                        F.lit(f"{j}:"), c.cast("string"), F.lit(salt)
+                    )
+                )
+                % n_bits
+            )
+            for j in range(n_hashes)
+        ]
+
+    dkeys = dim_keys.select(F.col(key_col).alias("_k")).distinct()
+    bits = (
+        dkeys.select(
+            F.explode(F.array(*positions(F.col("_k")))).alias("_pos")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    pkeys = fact_keys.select(F.col(key_col)).distinct()
+    cells = pkeys.select(
+        key_col,
+        F.posexplode(F.array(*positions(F.col(key_col)))).alias(
+            "_j", "_pos"
+        ),
+    )
+    # bounded: the bitset is at most n_bits distinct position rows
+    probed = (
+        cells.join(F.broadcast(bits), "_pos", "left")
+        .groupBy(key_col)
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(0))))
+            .alias("bloom_pass")
+        )
+    )
+    member = dkeys.withColumn("_m", F.lit(True))
+    return (
+        probed.join(member, probed[key_col] == member["_k"], "left")
+        .select(
+            key_col,
+            "bloom_pass",
+            F.coalesce("_m", F.lit(False)).alias("is_member"),
+            (F.col("bloom_pass") & F.coalesce(~F.col("_m"), F.lit(True)))
+            .alias("is_false_pos"),
+        )
+    )

@@ -492,3 +492,56 @@ def cohort_retention(
             ),
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: P(next state | current state), estimated from every
+    consecutive pair in each entity's timeline — the click-path /
+    next-action model behind product-flow sankeys and simple
+    next-event predictors.
+
+    Ordering is (ts, tiebreak) so ties are deterministic across
+    engines; the last event of each entity emits no pair.
+    ``prob`` is the raw double ratio of two exact BIGINTs
+    (pair count ÷ from-state total), bit-identical cross-engine;
+    ``prob_ppm`` is its exact integer form.
+
+    Scale shape: ONE events-scale exchange — the per-entity window
+    (hash-partitioned by entity, sorted within partitions) produces
+    the (state, next) pairs, whose count aggregate carries map-side
+    partial aggregation into a state-vocabulary-sized result. Row
+    totals are a second vocabulary-sized aggregate OF THAT RESULT
+    (no second pass over events) re-attached by broadcast.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_state").agg(
+        F.sum("n_trans").cast("bigint").alias("from_total")
+    )
+    # bounded: one row per from-state (state vocabulary)
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        "from_total",
+        F.expr("n_trans * 1000000 DIV from_total").alias("prob_ppm"),
+        (
+            F.col("n_trans").cast("double")
+            / F.col("from_total").cast("double")
+        ).alias("prob"),
+    )

@@ -5820,6 +5820,172 @@ def join_spatial_grid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_distance_join(pts, "id", "x", "y", radius=5000)
 
 
+@register(
+    "join_bloom_prune",
+    """
+    WITH dim AS (
+      SELECT DISTINCT o_orderkey AS l_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(r.j::VARCHAR || ':'
+                 || d.l_orderkey::VARCHAR || 'bl'), 1, 8))::BIGINT
+             % 262144 AS pos
+      FROM dim d CROSS JOIN range(3) r(j)
+    ),
+    probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    cells AS (
+      SELECT p.l_orderkey, ('0x' || substr(md5(r.j::VARCHAR || ':'
+                 || p.l_orderkey::VARCHAR || 'bl'), 1, 8))::BIGINT
+             % 262144 AS pos
+      FROM probe p CROSS JOIN range(3) r(j)
+    ),
+    passed AS (
+      SELECT c.l_orderkey,
+             COUNT(*) = SUM(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+               AS bloom_pass
+      FROM cells c LEFT JOIN bits b USING (pos)
+      GROUP BY c.l_orderkey
+    ),
+    flags AS (
+      SELECT p.l_orderkey, p.bloom_pass,
+             d.l_orderkey IS NOT NULL AS is_member
+      FROM passed p LEFT JOIN dim d USING (l_orderkey)
+    )
+    SELECT COUNT(*)::BIGINT AS n_probe_keys,
+           SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           SUM(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS n_member,
+           SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0
+               END)::BIGINT AS n_false_pos,
+           SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS false_pos_ppm
+    FROM flags
+    """,
+)
+def join_bloom_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning of a fact-side join: hash urgent
+    orderkeys into a 2¹⁸-bit md5 bitset, probe every distinct lineitem
+    orderkey, and report exact pass/member/false-positive counts in
+    one row. The md5 grid makes every pruning decision — including the
+    exact false-positive set — engine-reproducible, so the oracle
+    replays the whole filter bit-for-bit (an opaque bloom_filter_agg
+    could only bound the rate). Scale shape in
+    ``operators.joins.bloom_prune_stats``."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import bloom_prune_stats
+
+    orders, lineitem = _load(spark, sf_dir, "orders", "lineitem")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    stats = bloom_prune_stats(
+        lineitem, dim, "l_orderkey", n_bits=262144, n_hashes=3
+    )
+    return stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_keys"),
+        F.sum(F.col("bloom_pass").cast("int")).cast("bigint").alias("n_pass"),
+        F.sum(F.col("is_member").cast("int")).cast("bigint").alias("n_member"),
+        F.sum(F.col("is_false_pos").cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    ).select(
+        "n_probe_keys",
+        "n_pass",
+        "n_member",
+        "n_false_pos",
+        F.expr("n_false_pos * 1000000 DIV n_probe_keys").alias(
+            "false_pos_ppm"
+        ),
+    )
+
+
+@register(
+    "agg_basket_affinity",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT b)::BIGINT AS n FROM bi),
+    ic AS (SELECT i, COUNT(*)::BIGINT AS cnt FROM bi GROUP BY i),
+    pr AS (
+      SELECT a.i AS item_a, b.i AS item_b, COUNT(*)::BIGINT AS pair_count
+      FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2
+    )
+    SELECT pr.item_a, pr.item_b, pr.pair_count,
+           ca.cnt AS count_a, cb.cnt AS count_b,
+           pr.pair_count * 1000000 // t.n AS support_ppm,
+           (pr.pair_count * t.n)::DOUBLE
+             / (ca.cnt * cb.cnt)::DOUBLE AS lift
+    FROM pr
+    CROSS JOIN tot t
+    JOIN ic ca ON pr.item_a = ca.i
+    JOIN ic cb ON pr.item_b = cb.i
+    ORDER BY pr.pair_count DESC, pr.item_a, pr.item_b
+    LIMIT 20
+    """,
+)
+def agg_basket_affinity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over orders: which part brands co-occur
+    in the same order more than independence predicts. Top-20 pairs by
+    co-count (deterministic tie-break), with exact-integer supports and
+    the raw-ratio lift (bit-identical cross-engine — no rounding).
+    Scale shape in ``operators.aggregates.basket_affinity``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import basket_affinity
+
+    lineitem, part = _load(spark, sf_dir, "lineitem", "part")
+    items = lineitem.join(
+        part, lineitem["l_partkey"] == part["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    return (
+        basket_affinity(items, "l_orderkey", "p_brand")
+        .orderBy(F.desc("pair_count"), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_state
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_state, to_state, COUNT(*)::BIGINT AS n_trans
+      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_state, SUM(n_trans)::BIGINT AS from_total
+      FROM pairs GROUP BY 1
+    )
+    SELECT p.from_state, p.to_state, p.n_trans, t.from_total,
+           p.n_trans * 1000000 // t.from_total AS prob_ppm,
+           p.n_trans::DOUBLE / t.from_total::DOUBLE AS prob
+    FROM pairs p JOIN tot t USING (from_state)
+    """,
+)
+def events_markov_transitions_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the click-path model: P(next event type | current),
+    from every consecutive (ts, event_id)-ordered pair. Probabilities
+    are raw ratios of exact BIGINTs (plus the exact prob_ppm integer
+    form). Scale shape in ``operators.timeseries.markov_transitions``."""
+    from .operators.timeseries import markov_transitions
+
+    (events,) = _load(spark, sf_dir, "events")
+    return markov_transitions(events, "user_id", "event_type", "ts", "event_id")
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

@@ -326,6 +326,19 @@ EXPECTATIONS = {
     # frames sharing the grid exchanges) + the same-bucket strip join
     # + the per-row grid fetch — all O(N·sqrt(M)), no pair blowup
     "join_dominance_count": (7, "Window"),
+    # bitset build (dim distinct + position distinct) + probe-key
+    # distinct + per-key pass agg + the 1-row final agg; bitset and
+    # membership re-attach by broadcast — the fact is never reshuffled
+    "join_bloom_prune": (5, "BroadcastHashJoin"),
+    # the basket→item distinct subtree is consumed 5× statically
+    # (total / count_a / count_b / both pair sides); runtime exchange
+    # reuse collapses the copies. Real work: 1 distinct + the basket-key
+    # pair join + the pair agg; counts re-attach by broadcast
+    "agg_basket_affinity": (11, "BroadcastHashJoin"),
+    # ONE events-scale exchange (the per-user window); the pair agg is
+    # state-vocab-sized and its subtree repeats statically under the
+    # totals branch (reused at runtime); totals re-attach by broadcast
+    "events_markov_transitions": (5, "BroadcastHashJoin"),
 }
 
 
@@ -384,6 +397,8 @@ _NESTED_LOOP_ALLOWED = {
                               "into the one-row diagnostic",
     "agg_kmv_overlap": "pair join over the GROUP-dim sketch synopsis "
                        "(one row per group), never the data",
+    "agg_basket_affinity": "one-row basket-total scalar broadcast onto "
+                           "the vocab-sized pair table",
 }
 
 
