@@ -258,6 +258,10 @@ HEADLINE = [
     "join_bloom_prune",
     "agg_basket_affinity",
     "events_markov_transitions",
+    "agg_bitmap_distinct",
+    "stats_table_checksum",
+    "cdc_snapshot_diff",
+    "events_sliding_distinct",
 ]
 
 

@@ -194,3 +194,80 @@ def basket_affinity(
             ).alias("lift"),
         )
     )
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    word_bits: int = 63,
+) -> DataFrame:
+    """Exact distinct counting via integer bitmaps — the
+    roaring-bitmap pattern (Chambi et al., SPE 2016) ClickHouse/Druid
+    use for mergeable EXACT distincts, expressed relationally: each
+    value sets one bit in word ``value DIV word_bits`` (bit
+    ``value % word_bits``), per-(group, word) bitmaps reduce with the
+    ``bit_or`` aggregate, and the distinct count is the popcount sum.
+
+    Unlike ``count_distinct`` (whose two-phase Expand plan must carry
+    every distinct VALUE to the merge), the partial state here is one
+    BIGINT per touched word — OR-mergeable across partitions, files,
+    days, or engines, which is what makes incremental / MPP rollup of
+    exact distincts possible. KMV/HLL (``agg_kmv_distinct``,
+    ``agg_approx_sketches``) trade exactness for constant size; the
+    bitmap is exact and its size tracks the ID range.
+
+    ``word_bits`` defaults to 63, not 64: the mask stays a positive
+    BIGINT (``1 << 63`` overflows signed 64-bit — DuckDB raises, Java
+    wraps negative), so every word value and popcount replays
+    bit-for-bit in any engine. Values must be non-negative integers.
+
+    Scale shape: one (group, word) exchange with map-side bit_or
+    partials (the bitmap equivalent of a partial agg), then the tiny
+    per-group popcount rollup. No Expand, no value-level shuffle.
+    """
+    word = F.expr(f"{value_col} div {word_bits}").alias("_word")
+    mask = F.expr(f"shiftleft(1L, int({value_col} % {word_bits}))")
+    per_word = df.groupBy(*group_cols, word).agg(F.bit_or(mask).alias("_bits"))
+    return per_word.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("_bits")).cast("bigint").alias("n_distinct"),
+    )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str],
+) -> DataFrame:
+    """Order-independent table fingerprint for cross-replica / cross-
+    engine reconciliation: per group, the row count plus TWO
+    independent commutative combiners of a per-row md5 hash — the
+    BIGINT sum and the bitwise XOR. Either combiner alone admits
+    crafted collisions; agreeing on both (and on the count) makes an
+    undetected difference implausible, and both are exact integers
+    that replay bit-for-bit in any md5-capable engine.
+
+    The row hash covers ``cols`` rendered canonically: strings/ints
+    as-is, with NULL distinguished from empty via a sentinel. Callers
+    must pre-convert floats/timestamps to exact-integer forms
+    (e.g. ``unix_micros``) — float→string rendering is NOT
+    engine-portable.
+
+    Scale shape: one narrow hash projection + one group exchange with
+    map-side partial aggregation; at 100 TB this is the cheapest
+    possible "are these two copies identical, and if not in which
+    partition" primitive (group by the partition column to localize
+    diffs).
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    from .text import md5_hash32
+
+    h = md5_hash32(canon)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("checksum_sum"),
+        F.bit_xor(h).cast("bigint").alias("checksum_xor"),
+    )

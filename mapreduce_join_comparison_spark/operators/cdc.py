@@ -275,3 +275,52 @@ def scd2_pointintime_join(
         "inner",
     )
     return joined.drop("_hist_key")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two table
+    snapshots as ``added`` / ``removed`` / ``changed`` by comparing a
+    per-row md5 over the compared columns (NULL distinguished from
+    empty by a sentinel); ``unchanged`` rows are dropped — the diff is
+    the deliverable. Callers pre-convert floats/timestamps to exact
+    integer forms (``unix_micros``): float→string rendering is not
+    engine-portable.
+
+    This is the at-scale "what changed between yesterday's and today's
+    copy" primitive (replication audit, CDC backfill validation). Scale
+    shape: each side reduces to (key, row_hash) NARROWLY — full rows
+    never shuffle — then ONE full-outer equi-join on the key (two
+    key-partitioned exchanges, or zero on bucketed/co-partitioned
+    snapshots). Output is diff-sized, not snapshot-sized.
+    """
+    def hashed(df: DataFrame) -> DataFrame:
+        canon = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in compare_cols
+            ],
+        )
+        return df.select(*key_cols, F.md5(canon).alias("_h"))
+
+    o = hashed(old)
+    n = hashed(new)
+    joined = o.withColumnRenamed("_h", "_h_old").join(
+        n.withColumnRenamed("_h", "_h_new"), key_cols, "full_outer"
+    )
+    return (
+        joined.withColumn(
+            "diff_class",
+            F.when(F.col("_h_old").isNull(), F.lit("added"))
+            .when(F.col("_h_new").isNull(), F.lit("removed"))
+            .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .filter(F.col("diff_class") != "unchanged")
+        .select(*key_cols, "diff_class")
+    )

@@ -545,3 +545,61 @@ def markov_transitions(
             / F.col("from_total").cast("double")
         ).alias("prob"),
     )
+
+
+def sliding_window_distinct(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    window_hours: int = 24,
+    slide_hours: int = 1,
+) -> DataFrame:
+    """Sliding-window exact distinct count — "distinct users in the
+    trailing 24 h, reported hourly": the one dashboard aggregate a
+    tumbling window can't produce and an HLL can only approximate.
+
+    Standard at-scale rewrite: each event REPLICATES onto the
+    ``window_hours / slide_hours`` report slots whose trailing window
+    contains it (a bounded ``sequence`` explode — replication factor
+    is the window/slide ratio, a design constant independent of data
+    size), then exact distinct = the two-level (slot, id) dedup +
+    count. Report slots are restricted to hours that actually contain
+    events (the dashboard convention; trailing windows at the data's
+    leading edge would otherwise emit partial phantom rows).
+
+    Scale shape: explode is narrow (×window/slide); the (slot, id)
+    distinct carries map-side partial dedup into one exchange; the
+    per-slot count reuses that partitioning prefix; active slots
+    re-attach by broadcast (calendar-bounded — hours in the retention
+    window). For wider ratios (e.g. 30-day windows sliding hourly =
+    720×) the mergeable-bitmap form (``bitmap_distinct`` per tumbling
+    hour, OR-merged over the trailing window) replaces replication —
+    documented here as the scale escape hatch.
+    """
+    n_slots = window_hours // slide_hours
+    slide_us = slide_hours * 3_600_000_000
+    # integer div — a double quotient rounds before the floor at
+    # slot boundaries (unix micros ~1.7e15 sit in double's exact range
+    # but their quotients don't)
+    slot = F.expr(f"unix_micros({ts_col}) div {slide_us}")
+    events = df.select(
+        slot.alias("_slot"), F.col(id_col).alias("_id")
+    )
+    active = events.select(F.col("_slot").alias("report_slot")).distinct()
+    replicated = events.select(
+        F.explode(
+            F.sequence(F.col("_slot"), F.col("_slot") + F.lit(n_slots - 1))
+        ).alias("report_slot"),
+        "_id",
+    )
+    per_slot = (
+        replicated.join(F.broadcast(active), "report_slot")
+        .groupBy("report_slot", "_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("report_slot")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    )
+    return per_slot.select(
+        (F.col("report_slot") * F.lit(slide_us)).alias("slot_start_us"),
+        "n_distinct",
+    )

@@ -5986,6 +5986,174 @@ def events_markov_transitions_query(
     return markov_transitions(events, "user_id", "event_type", "ts", "event_id")
 
 
+@register(
+    "agg_bitmap_distinct",
+    """
+    WITH pw AS (
+      SELECT event_type, user_id // 63 AS w,
+             bit_or(1::BIGINT << (user_id % 63)::INT) AS bits
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct
+    FROM pw GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via OR-mergeable integer
+    bitmaps (the roaring-bitmap pattern) — the partial state is one
+    BIGINT per touched 63-bit word, not the distinct values themselves,
+    so partials merge across partitions/days/engines with plain
+    ``bit_or``. Every word and popcount is engine-replayable (63-bit
+    words keep masks positive — 1<<63 overflows signed 64-bit).
+    Scale shape in ``operators.aggregates.bitmap_distinct``."""
+    from .operators.aggregates import bitmap_distinct
+
+    (events,) = _load(spark, sf_dir, "events")
+    return bitmap_distinct(events, ["event_type"], "user_id")
+
+
+@register(
+    "stats_table_checksum",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             l_suppkey, epoch_us(l_shipdate::TIMESTAMP) AS l_ship_us
+      FROM lineitem
+    ),
+    h AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(
+                coalesce(l_orderkey::VARCHAR, chr(0)) || '|' ||
+                coalesce(l_linenumber::VARCHAR, chr(0)) || '|' ||
+                coalesce(l_suppkey::VARCHAR, chr(0)) || '|' ||
+                coalesce(l_returnflag, chr(0)) || '|' ||
+                coalesce(l_linestatus, chr(0)) || '|' ||
+                coalesce(l_ship_us::VARCHAR, chr(0))
+             ), 1, 8))::BIGINT AS h
+      FROM t
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+    FROM h GROUP BY 1
+    """,
+)
+def stats_table_checksum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group table fingerprint (count + md5-sum
+    + md5-xor) over lineitem's exact-typed columns, timestamps
+    pre-converted to ``unix_micros`` (float→string rendering is not
+    engine-portable; exact ints are). The reconciliation primitive:
+    two copies of a 100 TB table agree iff these tiny rows agree,
+    and a per-partition grouping localizes any diff. Scale shape in
+    ``operators.aggregates.table_checksum``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import table_checksum
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    t = lineitem.withColumn("l_ship_us", F.unix_micros("l_shipdate"))
+    return table_checksum(
+        t,
+        ["l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag",
+         "l_linestatus", "l_ship_us"],
+        ["l_returnflag"],
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey,
+             md5(coalesce(o_custkey::VARCHAR, chr(0)) || '|' ||
+                 coalesce(o_orderstatus, chr(0)) || '|' ||
+                 coalesce(o_orderpriority, chr(0))) AS h
+      FROM orders WHERE o_orderkey % 97 != 3
+    ),
+    new AS (
+      SELECT o_orderkey,
+             md5(coalesce(o_custkey::VARCHAR, chr(0)) || '|' ||
+                 coalesce(o_orderstatus, chr(0)) || '|' ||
+                 coalesce(CASE WHEN o_orderkey % 53 = 5
+                               THEN 'X-' || o_orderpriority
+                               ELSE o_orderpriority END, chr(0))) AS h
+      FROM orders WHERE o_orderkey % 89 != 7
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff_class
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.h IS NULL OR n.h IS NULL OR o.h != n.h
+    """,
+)
+def cdc_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two deterministic derived
+    snapshots of orders (old misses keys ≡3 mod 97 → 'added'; new
+    misses keys ≡7 mod 89 → 'removed'; keys ≡5 mod 53 carry a modified
+    priority → 'changed'): each side reduces narrowly to
+    (key, row-md5), ONE full-outer key join classifies, unchanged rows
+    drop. Output is diff-sized, never snapshot-sized. Scale shape in
+    ``operators.cdc.snapshot_diff``."""
+    from pyspark.sql import functions as F
+
+    from .operators.cdc import snapshot_diff
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 3)
+    new = orders.filter(F.col("o_orderkey") % 89 != 7).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 53 == 5,
+            F.concat(F.lit("X-"), F.col("o_orderpriority")),
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
+    "events_sliding_distinct",
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS slot, user_id
+      FROM events
+    ),
+    active AS (SELECT DISTINCT slot AS report_slot FROM ev),
+    repl AS (
+      SELECT e.slot + r.j AS report_slot, e.user_id
+      FROM ev e CROSS JOIN range(24) r(j)
+    ),
+    du AS (
+      SELECT DISTINCT report_slot, user_id
+      FROM repl JOIN active USING (report_slot)
+    )
+    SELECT CAST(report_slot * 3600000000 AS BIGINT) AS slot_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM du GROUP BY 1
+    """,
+)
+def events_sliding_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24 h distinct users reported hourly — the sliding
+    exact-distinct a tumbling window can't express: events replicate
+    onto the 24 report slots whose trailing window contains them
+    (bounded sequence explode, ×window/slide by construction), then
+    two-level (slot, user) dedup + count; report slots restricted to
+    hours containing events. Scale shape (and the bitmap-merge escape
+    hatch for wide ratios) in
+    ``operators.timeseries.sliding_window_distinct``."""
+    from .operators.timeseries import sliding_window_distinct
+
+    (events,) = _load(spark, sf_dir, "events")
+    return sliding_window_distinct(
+        events, "ts", "user_id", window_hours=24, slide_hours=1
+    )
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

@@ -339,6 +339,17 @@ EXPECTATIONS = {
     # state-vocab-sized and its subtree repeats statically under the
     # totals branch (reused at runtime); totals re-attach by broadcast
     "events_markov_transitions": (5, "BroadcastHashJoin"),
+    # one (group, word) exchange with map-side bit_or partials + the
+    # tiny per-group popcount rollup — no Expand, no value shuffle
+    "agg_bitmap_distinct": (2, None),
+    # narrow hash projection + ONE group exchange (partial agg)
+    "stats_table_checksum": (1, None),
+    # each snapshot reduces narrowly to (key, md5); one full-outer
+    # key join = two key exchanges; output diff-sized
+    "cdc_snapshot_diff": (2, "FullOuter"),
+    # bounded ×24 explode is narrow; (slot, id) distinct + per-slot
+    # count; active-slot set re-attaches by broadcast
+    "events_sliding_distinct": (3, "BroadcastHashJoin"),
 }
 
 
