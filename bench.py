@@ -262,6 +262,9 @@ HEADLINE = [
     "stats_table_checksum",
     "cdc_snapshot_diff",
     "events_sliding_distinct",
+    "events_attribution_linear",
+    "stats_ab_ztest",
+    "events_outlier_fences",
 ]
 
 

@@ -271,3 +271,112 @@ def table_checksum(
         F.sum(h).cast("bigint").alias("checksum_sum"),
         F.bit_xor(h).cast("bigint").alias("checksum_xor"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_cols: list[str],
+    arm_col: Column,
+    success_col: Column,
+) -> DataFrame:
+    """Per-group two-proportion z-test — the A/B-experiment readout:
+    split rows into arms by ``arm_col`` (boolean; True = treatment),
+    count trials/successes per arm, and compute the pooled z statistic
+
+        z = (p1 - p0) / sqrt(p·(1-p)·(1/n1 + 1/n0))
+
+    All four counts are exact BIGINTs from ONE conditional aggregate
+    pass (no per-arm re-scan); the z expression is a fixed tree of
+    correctly-rounded IEEE-754 ops over those exact ints, so it
+    reproduces bit-for-bit in any engine that evaluates the same tree
+    (the repo's no-rounding convention — division and sqrt are exactly
+    specified by IEEE-754).
+
+    Scale shape: one group exchange with map-side partial aggregation;
+    output is experiment-vocabulary-sized. Groups with an empty arm or
+    a degenerate pool (p ∈ {0,1}) yield NULL z (0/0), reported rather
+    than dropped.
+    """
+    t = F.when(arm_col, 1).otherwise(0)
+    s = F.when(success_col, 1).otherwise(0)
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(t).cast("bigint").alias("n1"),
+        F.sum(t * s).cast("bigint").alias("s1"),
+        F.sum(1 - t).cast("bigint").alias("n0"),
+        F.sum((1 - t) * s).cast("bigint").alias("s0"),
+    )
+    # try_divide: an empty arm yields NULL z instead of the ANSI
+    # divide-by-zero error (identical to plain / on the non-degenerate
+    # path, so cross-engine bit-equality is unaffected)
+    p1 = F.try_divide(F.col("s1").cast("double"), F.col("n1").cast("double"))
+    p0 = F.try_divide(F.col("s0").cast("double"), F.col("n0").cast("double"))
+    p = F.try_divide(
+        (F.col("s1") + F.col("s0")).cast("double"),
+        (F.col("n1") + F.col("n0")).cast("double"),
+    )
+    se = F.sqrt(
+        p * (F.lit(1.0) - p)
+        * (
+            F.try_divide(F.lit(1.0), F.col("n1").cast("double"))
+            + F.try_divide(F.lit(1.0), F.col("n0").cast("double"))
+        )
+    )
+    return agg.select(
+        *group_cols, "n1", "s1", "n0", "s0",
+        F.try_divide(p1 - p0, se).alias("z"),
+    )
+
+
+def group_outlier_fences(
+    df: DataFrame,
+    group_cols: list[str],
+    value_milli: Column,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier counts over an exact integer
+    milli-value: Q1/Q3 by continuous interpolation, fences at
+    Q1 − 1.5·IQR / Q3 + 1.5·IQR, exact counts outside them.
+
+    Determinism note: on an integer value grid the interpolated
+    quantiles and the 1.5·IQR fences are dyadic rationals computed
+    without ANY floating-point rounding (positions (n−1)·q land on
+    exact quarters), so the strict fence comparisons — and therefore
+    the counts — are engine-exact, no output rounding needed. A
+    float-valued input would not have this property; milli-quantize
+    first (the repo convention).
+
+    Scale shape: quantile pass (one group exchange; Spark's exact
+    ``percentile`` buffers each group's values — fine for bounded
+    per-group cardinality; at unbounded scale swap in the bounded
+    milli-histogram threshold technique of ``text_quality_prune``),
+    fences re-attach by group-vocabulary broadcast, then one counting
+    aggregate sharing the group exchange.
+    """
+    vm = value_milli.alias("_vm")
+    base = df.select(*group_cols, vm)
+    q = base.groupBy(*group_cols).agg(
+        F.expr("percentile(_vm, 0.25)").alias("q1_milli"),
+        F.expr("percentile(_vm, 0.75)").alias("q3_milli"),
+    )
+    q = q.select(
+        *group_cols, "q1_milli", "q3_milli",
+        (F.col("q1_milli")
+         - F.lit(1.5) * (F.col("q3_milli") - F.col("q1_milli"))).alias("lo"),
+        (F.col("q3_milli")
+         + F.lit(1.5) * (F.col("q3_milli") - F.col("q1_milli"))).alias("hi"),
+    )
+    # bounded: one fence row per group (experiment vocabulary)
+    return (
+        base.join(F.broadcast(q), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("q1_milli").alias("q1_milli"),
+            F.first("q3_milli").alias("q3_milli"),
+            F.sum(F.when(F.col("_vm") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("_vm") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+    )

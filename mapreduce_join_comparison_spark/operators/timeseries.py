@@ -603,3 +603,63 @@ def sliding_window_distinct(
         (F.col("report_slot") * F.lit(slide_us)).alias("slot_start_us"),
         "n_distinct",
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str,
+    event_id_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conv_type: str,
+    touch_types: list[str],
+    lookback_hours: int = 168,
+) -> DataFrame:
+    """Multi-touch linear attribution: every conversion's value splits
+    evenly across the user's touch events inside the lookback window
+    ending strictly before the conversion — the marketing-analytics
+    workhorse between last-touch (an as-of join) and Shapley.
+
+    Exactness: conversion values quantize to integer milli-units and
+    each touch is credited ``value_milli DIV n_touches`` — an exact
+    integer, deterministic in any engine (double credit sums would be
+    summation-order-dependent). The per-touch-type report carries
+    credit totals, pair counts, and distinct conversions reached.
+
+    Scale shape: conversions and touches are two narrow filters of one
+    scan; the pair join is USER-equi (never an interval cross join) —
+    per-user histories are human-bounded, and a hot-user salt is the
+    standard mitigation if not. The per-conversion touch count is a
+    window over the join output partitioned by (user, conv) — the
+    user-hash partitioning already clusters it, so no second exchange;
+    the final per-type aggregate is touch-vocabulary-sized.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    lookback_us = lookback_hours * 3_600_000_000
+    convs = df.filter(F.col(type_col) == conv_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(event_id_col).alias("_cid"),
+        us.alias("_cus"),
+        F.round(F.col(value_col) * 1000).cast("bigint").alias("_vm"),
+    )
+    touches = df.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("touch_type"),
+        us.alias("_tus"),
+    )
+    pairs = convs.join(touches, "_u").filter(
+        (F.col("_tus") < F.col("_cus"))
+        & (F.col("_tus") >= F.col("_cus") - F.lit(lookback_us))
+    )
+    # integer div keeps each credit an exact BIGINT; the (u, cid)
+    # window rides the join's user-hash partitioning (no new exchange)
+    credited = pairs.withColumn(
+        "credit_milli",
+        F.expr("_vm div count(1) over (partition by _u, _cid)"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum("credit_milli").cast("bigint").alias("attributed_milli"),
+        F.count_distinct("_cid").cast("bigint").alias("n_convs_reached"),
+    )

@@ -6154,6 +6154,151 @@ def events_sliding_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "events_attribution_linear",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts::TIMESTAMP) AS us,
+             CAST(ROUND(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, event_id AS cid, us AS cus, vm
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_type AS touch_type, us AS tus
+      FROM ev WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT c.cid, c.vm, t.touch_type
+      FROM conv c JOIN touch t ON c.user_id = t.user_id
+       AND t.tus < c.cus AND t.tus >= c.cus - 604800000000
+    ),
+    nt AS (SELECT cid, COUNT(*) AS n FROM pairs GROUP BY 1)
+    SELECT p.touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(p.vm // nt.n) AS BIGINT) AS attributed_milli,
+           CAST(COUNT(DISTINCT p.cid) AS BIGINT) AS n_convs_reached
+    FROM pairs p JOIN nt USING (cid) GROUP BY 1
+    """,
+)
+def events_attribution_linear_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's milli-value
+    splits evenly (exact integer DIV — double credit sums would be
+    summation-order-dependent) across the user's click/view touches in
+    the trailing 7 days; per-touch-type credit totals. The pair join is
+    user-equi, never an interval cross join. Scale shape in
+    ``operators.timeseries.linear_attribution``."""
+    from .operators.timeseries import linear_attribution
+
+    (events,) = _load(spark, sf_dir, "events")
+    return linear_attribution(
+        events, "user_id", "event_id", "ts", "event_type", "value",
+        conv_type="purchase", touch_types=["click", "view"],
+        lookback_hours=168,
+    )
+
+
+@register(
+    "stats_ab_ztest",
+    """
+    WITH e AS (
+      SELECT event_type,
+             user_id % 2 = 1 AS arm,
+             CAST(ROUND(value * 1000) AS BIGINT) > 100000 AS success
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm AND success THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN NOT arm AND success THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s0
+      FROM e GROUP BY 1
+    )
+    SELECT event_type, n1, s1, n0, s0,
+           (s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE)
+           / sqrt(((s1 + s0)::DOUBLE / (n1 + n0)::DOUBLE)
+                  * (1.0 - (s1 + s0)::DOUBLE / (n1 + n0)::DOUBLE)
+                  * (1.0 / n1::DOUBLE + 1.0 / n0::DOUBLE)) AS z
+    FROM agg
+    """,
+)
+def stats_ab_ztest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type (arm = user parity,
+    success = value > 100): the A/B readout. Counts are exact BIGINTs
+    from one conditional pass; z is a fixed tree of correctly-rounded
+    IEEE ops over them — bit-identical cross-engine with NO rounding
+    (the repo convention: division and sqrt are exactly specified).
+    Scale shape in ``operators.aggregates.two_proportion_ztest``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import two_proportion_ztest
+
+    (events,) = _load(spark, sf_dir, "events")
+    return two_proportion_ztest(
+        events,
+        ["event_type"],
+        arm_col=F.col("user_id") % 2 == 1,
+        success_col=F.round(F.col("value") * 1000).cast("bigint") > 100000,
+    )
+
+
+@register(
+    "events_outlier_fences",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_cont(CAST(vm AS DOUBLE), 0.25) AS q1_milli,
+             quantile_cont(CAST(vm AS DOUBLE), 0.75) AS q3_milli
+      FROM e GROUP BY 1
+    ),
+    f AS (
+      SELECT event_type, q1_milli, q3_milli,
+             q1_milli - 1.5 * (q3_milli - q1_milli) AS lo,
+             q3_milli + 1.5 * (q3_milli - q1_milli) AS hi
+      FROM q
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(f.q1_milli) AS q1_milli,
+           MIN(f.q3_milli) AS q3_milli,
+           CAST(SUM(CASE WHEN e.vm < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(SUM(CASE WHEN e.vm > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high
+    FROM e JOIN f USING (event_type) GROUP BY 1
+    """,
+)
+def events_outlier_fences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Tukey-fence outlier counts on exact milli-values:
+    Q1/Q3 by continuous interpolation land on dyadic rationals (an
+    integer grid interpolated at quarters — ZERO float rounding), so
+    fences and strict comparisons are engine-exact unrounded. Quantile
+    pass + vocab-sized fence broadcast + one counting aggregate. Scale
+    shape (and the bounded-histogram escape hatch) in
+    ``operators.aggregates.group_outlier_fences``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import group_outlier_fences
+
+    (events,) = _load(spark, sf_dir, "events")
+    return group_outlier_fences(
+        events, ["event_type"],
+        F.round(F.col("value") * 1000).cast("bigint"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

@@ -350,6 +350,14 @@ EXPECTATIONS = {
     # bounded ×24 explode is narrow; (slot, id) distinct + per-slot
     # count; active-slot set re-attaches by broadcast
     "events_sliding_distinct": (3, "BroadcastHashJoin"),
+    # user-equi pair join (2 side exchanges); the per-conversion count
+    # window rides the join's user partitioning; + the exact
+    # count_distinct final agg (vocab-sized)
+    "events_attribution_linear": (3, "Window"),
+    # ONE conditional-count group exchange; z is a scalar expression
+    "stats_ab_ztest": (1, None),
+    # quantile pass + vocab-sized fence broadcast + counting agg
+    "events_outlier_fences": (2, "BroadcastHashJoin"),
 }
 
 
