@@ -168,7 +168,6 @@ def basket_affinity(
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
     )
-    # bounded: item-vocabulary-sized count tables + a 1-row total
     ca = item_cnt.select(
         F.col("_i").alias("item_a"), F.col("_cnt").alias("count_a")
     )
@@ -176,6 +175,7 @@ def basket_affinity(
         F.col("_i").alias("item_b"), F.col("_cnt").alias("count_b")
     )
     return (
+        # bounded: item-vocabulary-sized count tables + a 1-row total
         pairs.join(F.broadcast(ca), "item_a")
         .join(F.broadcast(cb), "item_b")
         .join(F.broadcast(total))

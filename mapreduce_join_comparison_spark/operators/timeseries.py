@@ -593,6 +593,7 @@ def sliding_window_distinct(
         "_id",
     )
     per_slot = (
+        # bounded: active slots are calendar hours in the data's span
         replicated.join(F.broadcast(active), "report_slot")
         .groupBy("report_slot", "_id")
         .agg(F.lit(1).alias("_one"))

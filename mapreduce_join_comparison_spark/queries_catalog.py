@@ -5857,8 +5857,8 @@ def join_spatial_grid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS n_member,
            SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0
                END)::BIGINT AS n_false_pos,
-           SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
-             * 1000000 // COUNT(*) AS false_pos_ppm
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS false_pos_ppm
     FROM flags
     """,
 )
