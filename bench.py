@@ -265,6 +265,9 @@ HEADLINE = [
     "events_attribution_linear",
     "stats_ab_ztest",
     "events_outlier_fences",
+    "join_asof_nearest",
+    "stats_benford_audit",
+    "similarity_truncation_recall",
 ]
 
 

@@ -380,3 +380,44 @@ def group_outlier_fences(
             .alias("n_high"),
         )
     )
+
+
+def benford_digit_audit(df: DataFrame, value_cents: Column) -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-data screen
+    (Benford 1938; Nigrini's forensic-accounting use): distribution of
+    leading significant digits vs the log₁₀(1 + 1/d) law, with the
+    per-digit χ² contribution.
+
+    Counts are exact BIGINTs; expected counts and χ² contributions are
+    rounded (4dp / 6dp, the repo's tfidf convention) because log₁₀ is
+    a transcendental whose last ulp is not guaranteed identical across
+    engines. The leading digit is taken from the decimal string of the
+    exact integer value — no float log/pow in the extraction path.
+
+    Scale shape: one narrow digit projection + one 9-row aggregate;
+    the single-row total re-attaches by broadcast. Output: one row per
+    digit 1–9.
+    """
+    d = (
+        df.select(value_cents.alias("_cents"))
+        .filter(F.col("_cents") > 0)
+        .select(
+            F.substring(F.col("_cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").cast("bigint").alias("_n_total"))
+    expected = F.col("_n_total") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    # bounded: single-row grand total
+    return counts.join(F.broadcast(total)).select(
+        "digit",
+        "n_obs",
+        F.round(expected, 4).alias("expected"),
+        F.round((F.col("n_obs") - expected) ** 2 / expected, 6).alias(
+            "chi2_contrib"
+        ),
+    )

@@ -922,3 +922,103 @@ def bloom_prune_stats(
             .alias("is_false_pos"),
         )
     )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Nearest-neighbor as-of join: for each left row, the right row
+    (same key) temporally CLOSEST in either direction — the sensor /
+    quote-alignment semantic where plain backward as-of silently drops
+    rows that only have a later match. Equal distance resolves to the
+    backward match; a right row at the exact left timestamp is a
+    distance-0 backward match. Left-outer: keyless left rows keep
+    NULLs and a NULL distance.
+
+    Same scale shape as ``asof_join`` (its docstring has the union+
+    window rationale): both sides tagged and unioned, then the
+    backward pass (ascending last-seen carry) and the forward pass
+    (descending re-sort, same technique) run over ONE key exchange —
+    the second window re-sorts within partitions but never reshuffles.
+    Tie groups (multiple right rows sharing (key, ts)) yield the
+    max-payload survivor in BOTH directions (the forward window orders
+    payload columns ascending under the descending timestamp so
+    ``last`` lands on the same survivor the backward pass picks).
+    Distances are exact epoch-µs BIGINTs.
+    """
+    from pyspark.sql.window import Window
+
+    # timestamps are carried as exact epoch-µs BIGINTs (left_ts_us /
+    # nearest_ts_us); raw timestamp columns never reach the output
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        l_us.alias("_us"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        r_us.alias("_us"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy("_us", "_side", *rcols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").desc(), F.col("_side").asc(), *rcols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r_us_col = F.when(F.col("_side") == 0, F.col("_us"))
+    carried = unioned.select(
+        "_k", "_us", "_side", *lcols,
+        F.last(r_us_col, ignorenulls=True).over(w_back).alias("_bus"),
+        F.last(r_us_col, ignorenulls=True).over(w_fwd).alias("_fus"),
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w_back)
+            .alias(f"_b_{c}")
+            for c in rcols
+        ],
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w_fwd)
+            .alias(f"_f_{c}")
+            for c in rcols
+        ],
+    ).filter(F.col("_side") == 1)
+    bd = F.col("_us") - F.col("_bus")
+    fd = F.col("_fus") - F.col("_us")
+    pick_b = F.col("_bus").isNotNull() & (F.col("_fus").isNull() | (bd <= fd))
+    return carried.select(
+        F.col("_k").alias(on),
+        F.col("_us").alias("left_ts_us"),
+        *lcols,
+        F.when(pick_b, F.col("_bus")).otherwise(F.col("_fus")).alias(
+            "nearest_ts_us"
+        ),
+        *[
+            F.when(pick_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(c)
+            for c in rcols
+        ],
+        F.when(pick_b, bd)
+        .when(F.col("_fus").isNotNull(), fd)
+        .alias("nearest_dist_us"),
+    )

@@ -707,3 +707,62 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def truncated_dim_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    keep_dims: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@k of
+    cosine top-k computed on the first ``keep_dims`` coordinates
+    against the full-dimension exact top-k — the measurement behind
+    shipping truncated (MRL) embeddings to cut index cost 4–8×.
+
+    Both rankings come from ``brute_force_topk`` (bit-equal fold
+    scoring, corpus-id tie-break), so the overlap count — and
+    therefore recall — is deterministic. ``recall_ppm`` is the exact
+    integer ``overlap·10⁶ DIV k``; queries with zero overlap still
+    emit a row (left join), so the mean over queries is computable
+    downstream.
+
+    Scale shape: two broadcast-query corpus scans (the slice is a
+    narrow projection) + the two top-k windows; the recall join is
+    over k·|queries| rows. At index scale the truncated branch is the
+    one you'd serve — this operator is the offline eval that licenses
+    it.
+    """
+    full = brute_force_topk(
+        corpus, queries, k=k, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "corpus_id")
+    c16 = corpus.select(
+        F.col(id_col), F.slice(vec_col, 1, keep_dims).alias(vec_col)
+    )
+    q16 = queries.select(
+        F.col(query_id_col), F.slice(vec_col, 1, keep_dims).alias(vec_col)
+    )
+    trunc = brute_force_topk(
+        c16, q16, k=k, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "corpus_id")
+    overlap = (
+        full.join(trunc, ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        queries.select(F.col(query_id_col).alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.expr(f"coalesce(n_overlap, 0L) * 1000000 DIV {k}").alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -6299,6 +6299,193 @@ def events_outlier_fences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_nearest",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us
+      FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+             event_id AS click_event_id,
+             CAST(ROUND(value * 1000) AS BIGINT) AS click_vm
+      FROM events WHERE event_type = 'click'
+    ),
+    u AS (
+      SELECT user_id, us, 1 AS side, event_id,
+             NULL::BIGINT AS rus, NULL::BIGINT AS click_event_id,
+             NULL::BIGINT AS click_vm
+      FROM l
+      UNION ALL
+      SELECT user_id, us, 0, NULL, us, click_event_id, click_vm FROM r
+    ),
+    c AS (
+      SELECT user_id, us, side, event_id,
+             last_value(rus IGNORE NULLS) OVER wb AS bus,
+             last_value(rus IGNORE NULLS) OVER wf AS fus,
+             last_value(click_event_id IGNORE NULLS) OVER wb AS b_id,
+             last_value(click_event_id IGNORE NULLS) OVER wf AS f_id,
+             last_value(click_vm IGNORE NULLS) OVER wb AS b_vm,
+             last_value(click_vm IGNORE NULLS) OVER wf AS f_vm
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id
+                    ORDER BY us, side, click_event_id, click_vm
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id
+                    ORDER BY us DESC, side ASC, click_event_id, click_vm
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, us AS left_ts_us, event_id,
+           CASE WHEN bus IS NOT NULL
+                 AND (fus IS NULL OR us - bus <= fus - us)
+                THEN bus ELSE fus END AS nearest_ts_us,
+           CASE WHEN bus IS NOT NULL
+                 AND (fus IS NULL OR us - bus <= fus - us)
+                THEN b_id ELSE f_id END AS click_event_id,
+           CASE WHEN bus IS NOT NULL
+                 AND (fus IS NULL OR us - bus <= fus - us)
+                THEN b_vm ELSE f_vm END AS click_vm,
+           CASE WHEN bus IS NOT NULL
+                 AND (fus IS NULL OR us - bus <= fus - us)
+                THEN us - bus
+                WHEN fus IS NOT NULL THEN fus - us END AS nearest_dist_us
+    FROM c WHERE side = 1
+    """,
+)
+def join_asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: every error event ← the temporally CLOSEST
+    click by the same user in EITHER direction (equal distance →
+    backward; plain backward as-of drops rows whose only click is
+    later). One key exchange, two window passes (the forward pass is a
+    descending re-sort of the same partitions). The oracle replays the
+    union+window algorithm with identical tie ordering. Scale shape in
+    ``operators.joins.asof_nearest_join``."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import asof_nearest_join
+
+    (events,) = _load(spark, sf_dir, "events")
+    errors = events.filter("event_type = 'error'").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("click_vm"),
+    )
+    return asof_nearest_join(errors, clicks, on="user_id")
+
+
+@register(
+    "stats_benford_audit",
+    """
+    WITH e AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CAST(substr(cents::VARCHAR, 1, 1) AS INT) AS digit
+      FROM e WHERE cents > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts)
+    SELECT digit, n_obs,
+           ROUND(n_total * log10(1.0 + 1.0 / digit), 4) AS expected,
+           ROUND(pow(n_obs - n_total * log10(1.0 + 1.0 / digit), 2)
+                 / (n_total * log10(1.0 + 1.0 / digit)), 6) AS chi2_contrib
+    FROM counts CROSS JOIN tot
+    """,
+)
+def stats_benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem prices (in exact cents;
+    leading digit taken from the integer's decimal string — no float
+    log in the extraction path): per-digit observed counts vs the
+    log10(1+1/d) law with χ² contributions (rounded 4dp/6dp — log10 is
+    transcendental, the tfidf convention). The synthetic prices are
+    uniform, so the audit correctly reports a strong Benford
+    violation. Scale shape in
+    ``operators.aggregates.benford_digit_audit``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import benford_digit_audit
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return benford_digit_audit(
+        lineitem, F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    )
+
+
+@register(
+    "similarity_truncation_recall",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 20
+    ),
+    full_scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[])
+               AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    ),
+    full_topk AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rk
+        FROM full_scored
+      ) WHERE rk <= 10
+    ),
+    trunc_scored AS (
+      SELECT q.query_id, c.vec_id AS corpus_id,
+             list_cosine_similarity(c.embedding[1:16]::DOUBLE[],
+                                    q.qv[1:16]::DOUBLE[]) AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    ),
+    trunc_topk AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id ASC) AS rk
+        FROM trunc_scored
+      ) WHERE rk <= 10
+    ),
+    ov AS (
+      SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM full_topk f JOIN trunc_topk t
+        ON f.query_id = t.query_id AND f.corpus_id = t.corpus_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n_overlap, 0) * 1000000 // 10 AS BIGINT)
+             AS recall_ppm
+    FROM q LEFT JOIN ov USING (query_id)
+    """,
+)
+def similarity_truncation_recall_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka dimension-truncation eval: recall@10 of first-16-dim
+    cosine top-10 vs the full-64-dim exact top-10 for 20 query vectors
+    — the offline measurement that licenses serving truncated (MRL)
+    embeddings at a fraction of index cost. Both rankings use the
+    bit-equal fold scoring + corpus-id tie-break, so overlap counts
+    are deterministic. Scale shape in
+    ``operators.similarity.truncated_dim_recall``."""
+    from .operators.similarity import truncated_dim_recall
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter("vec_id < 20").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    return truncated_dim_recall(embeddings, queries, keep_dims=16, k=10)
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

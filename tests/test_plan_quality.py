@@ -358,6 +358,15 @@ EXPECTATIONS = {
     "stats_ab_ztest": (1, None),
     # quantile pass + vocab-sized fence broadcast + counting agg
     "events_outlier_fences": (2, "BroadcastHashJoin"),
+    # ONE key exchange; the forward pass is a descending re-sort of
+    # the same partitions (Sort, no new Exchange)
+    "join_asof_nearest": (1, "Window"),
+    # narrow digit projection + 9-row digit agg + its grand total;
+    # the 1-row total re-attaches by (allowlisted) scalar broadcast
+    "stats_benford_audit": (3, None),
+    # two brute-force top-k towers (fan_out + query window each) +
+    # the overlap join/agg + the per-query left join
+    "similarity_truncation_recall": (8, None),
 }
 
 
@@ -418,6 +427,11 @@ _NESTED_LOOP_ALLOWED = {
                        "(one row per group), never the data",
     "agg_basket_affinity": "one-row basket-total scalar broadcast onto "
                            "the vocab-sized pair table",
+    "stats_benford_audit": "one-row grand-total scalar broadcast onto "
+                           "the 9-row digit table",
+    "similarity_truncation_recall": "offline eval harness: BOTH rankings "
+                                    "are the documented O(N·Q) brute-force "
+                                    "baseline by definition",
 }
 
 
