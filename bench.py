@@ -268,6 +268,9 @@ HEADLINE = [
     "join_asof_nearest",
     "stats_benford_audit",
     "similarity_truncation_recall",
+    "stats_linear_fit",
+    "events_activity_islands",
+    "events_time_to_convert",
 ]
 
 

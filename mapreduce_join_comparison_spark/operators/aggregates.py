@@ -421,3 +421,63 @@ def benford_digit_audit(df: DataFrame, value_cents: Column) -> DataFrame:
             "chi2_contrib"
         ),
     )
+
+
+def group_linear_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group OLS line fit (slope / intercept / Pearson r) from the
+    five classic sufficient statistics — the trend-detection aggregate
+    (metric drift per series, price-vs-time per segment) computed in
+    ONE map-side-combinable pass, no centering pre-pass.
+
+    Exactness: x and y must be exact integers (milli-quantize floats
+    first). The per-row products and the five sums stay inside BIGINT;
+    the closed-form cross terms (n·Σxy − Σx·Σy etc.) would overflow
+    64 bits, so they are computed in DECIMAL(38,0) — exact 128-bit
+    integer arithmetic in Spark, HUGEINT in DuckDB — and only the
+    final ratios convert to double (int→double conversion and
+    division are correctly rounded, so results replay bit-for-bit).
+    Groups with a degenerate x (all equal) yield NULL slope/r via
+    try_divide.
+
+    Scale shape: one group exchange with partial aggregation; output
+    is group-vocabulary-sized. This is the pattern that makes
+    regression-per-key feasible at 100 TB — no per-group iteration,
+    no second pass.
+    """
+    xs = x.cast("bigint")
+    ys = y.cast("bigint")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xs).cast("bigint").alias("sx"),
+        F.sum(ys).cast("bigint").alias("sy"),
+        F.sum(xs * ys).cast("bigint").alias("sxy"),
+        F.sum(xs * xs).cast("bigint").alias("sxx"),
+        F.sum(ys * ys).cast("bigint").alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    n = F.col("n").cast(dec)
+    sx = F.col("sx").cast(dec)
+    sy = F.col("sy").cast(dec)
+    sxy = F.col("sxy").cast(dec)
+    sxx = F.col("sxx").cast(dec)
+    syy = F.col("syy").cast(dec)
+    numer = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    slope = F.try_divide(numer, denx)
+    intercept = F.try_divide(
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double"),
+        F.col("n").cast("double"),
+    )
+    r = F.try_divide(numer, F.sqrt(denx * deny))
+    return agg.select(
+        *group_cols, "n", "sx", "sy", "sxy", "sxx", "syy",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r.alias("pearson_r"),
+    )

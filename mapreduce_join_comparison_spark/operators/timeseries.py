@@ -664,3 +664,107 @@ def linear_attribution(
         F.sum("credit_milli").cast("bigint").alias("attributed_milli"),
         F.count_distinct("_cid").cast("bigint").alias("n_convs_reached"),
     )
+
+
+def activity_islands(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: collapse each entity's active DAYS into
+    maximal consecutive-day runs ("islands") — the streak/churn-gap
+    primitive — via the classic ``day − row_number`` trick: within an
+    entity, consecutive days share ``day − rn``, so islands fall out
+    of one ordered window and a re-aggregate, with no self-join and no
+    iteration. Output per entity: active-day count, island count,
+    longest/first/last streak facts — all exact integers.
+
+    Scale shape: the (entity, day) distinct carries map-side partial
+    dedup into ONE entity-clustered exchange; the rn window and BOTH
+    re-aggregates (island grain, then entity grain) reuse that same
+    partitioning — no further shuffles.
+    """
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    days = (
+        df.select(F.col(entity_col).alias("_e"), day.alias("_day"))
+        .distinct()
+    )
+    w = Window.partitionBy("_e").orderBy("_day")
+    islands = (
+        days.withColumn("_grp", F.col("_day") - F.row_number().over(w))
+        .groupBy("_e", "_grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_len"),
+            F.min("_day").alias("_start"),
+        )
+    )
+    return islands.groupBy(F.col("_e").alias(entity_col)).agg(
+        F.sum("_len").cast("bigint").alias("active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("_len").cast("bigint").alias("longest_streak"),
+        F.min("_start").cast("bigint").alias("first_day"),
+        F.max(F.col("_start") + F.col("_len") - 1)
+        .cast("bigint")
+        .alias("last_day"),
+    )
+
+
+def time_to_convert(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    start_type: str,
+    convert_type: str,
+) -> DataFrame:
+    """Conversion-latency distribution: per entity, the FIRST
+    ``start_type`` event and the first ``convert_type`` event at or
+    after it; one summary row with exact-µs latency quantiles — the
+    activation-funnel health metric.
+
+    The conditional "first conversion ≥ first start" needs the
+    per-entity min-start visible on every row, so it cannot collapse
+    into one flat aggregate; instead a whole-partition MIN window
+    attaches the start and the grouped conditional MIN follows — both
+    over the SAME entity exchange (the groupBy reuses the window's
+    hash partitioning), so the two-level reduction still costs one
+    shuffle, no self-join. Latency quantiles interpolate on exact
+    integer µs (dyadic — engine-exact unrounded); counts are exact
+    BIGINTs. Output: one summary row.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    ev = df.select(
+        F.col(entity_col).alias("_e"), F.col(type_col).alias("_t"),
+        us.alias("_us"),
+    ).filter(F.col("_t").isin([start_type, convert_type]))
+    w = Window.partitionBy("_e")
+    start_us = F.min(
+        F.when(F.col("_t") == start_type, F.col("_us"))
+    ).over(w)
+    with_start = ev.withColumn("_start", start_us)
+    per_entity = (
+        with_start.filter(F.col("_start").isNotNull())
+        .groupBy("_e")
+        .agg(
+            F.min("_start").alias("start_us"),
+            F.min(
+                F.when(
+                    (F.col("_t") == convert_type)
+                    & (F.col("_us") >= F.col("_start")),
+                    F.col("_us"),
+                )
+            ).alias("convert_us"),
+        )
+    )
+    lat = (F.col("convert_us") - F.col("start_us")).alias("_lat")
+    return per_entity.select(lat).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_started"),
+        F.count("_lat").cast("bigint").alias("n_converted"),
+        F.min("_lat").cast("bigint").alias("min_lat_us"),
+        F.expr("percentile(_lat, 0.25)").alias("p25_lat_us"),
+        F.expr("percentile(_lat, 0.5)").alias("p50_lat_us"),
+        F.expr("percentile(_lat, 0.75)").alias("p75_lat_us"),
+        F.max("_lat").cast("bigint").alias("max_lat_us"),
+    )

@@ -6486,6 +6486,153 @@ def similarity_truncation_recall_query(
     return truncated_dim_recall(embeddings, queries, keep_dims=16, k=10)
 
 
+@register(
+    "stats_linear_fit",
+    """
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts::TIMESTAMP) // 86400000000 AS x,
+             CAST(ROUND(value * 1000) AS BIGINT) AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM e GROUP BY 1
+    ),
+    c AS (
+      SELECT *,
+             (n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT)::DOUBLE
+               AS numer,
+             (n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT)::DOUBLE
+               AS denx,
+             (n::HUGEINT * syy::HUGEINT - sy::HUGEINT * sy::HUGEINT)::DOUBLE
+               AS deny
+      FROM agg
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx, syy,
+           numer / denx AS slope,
+           (sy::DOUBLE - (numer / denx) * sx::DOUBLE) / n::DOUBLE
+             AS intercept,
+           numer / sqrt(denx * deny) AS pearson_r
+    FROM c
+    """,
+)
+def stats_linear_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS fit of milli-value vs epoch-day — trend
+    detection as ONE map-side-combinable aggregate. The five sufficient
+    sums stay exact BIGINTs; the closed-form cross terms run in
+    128-bit integer arithmetic (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT)
+    and only final ratios convert to double — bit-identical
+    cross-engine, NO rounding. Scale shape in
+    ``operators.aggregates.group_linear_fit``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import group_linear_fit
+
+    (events,) = _load(spark, sf_dir, "events")
+    return group_linear_fit(
+        events,
+        ["event_type"],
+        x=F.expr("unix_micros(ts) div 86400000000"),
+        y=F.round(F.col("value") * 1000).cast("bigint"),
+    )
+
+
+@register(
+    "events_activity_islands",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    ),
+    i AS (
+      SELECT user_id, grp,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day) AS start
+      FROM g GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(MIN(start) AS BIGINT) AS first_day,
+           CAST(MAX(start + len - 1) AS BIGINT) AS last_day
+    FROM i GROUP BY 1
+    """,
+)
+def events_activity_islands_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gaps-and-islands per user: maximal consecutive-active-day
+    streaks via the day − row_number trick — no self-join, no
+    iteration; the (user, day) distinct, the rn window, and both
+    re-aggregates share ONE user-clustered exchange. All exact
+    integers. Scale shape in
+    ``operators.timeseries.activity_islands``."""
+    from .operators.timeseries import activity_islands
+
+    (events,) = _load(spark, sf_dir, "events")
+    return activity_islands(events, "user_id", "ts")
+
+
+@register(
+    "events_time_to_convert",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    ws AS (
+      SELECT user_id, event_type, us,
+             MIN(CASE WHEN event_type = 'signup' THEN us END)
+               OVER (PARTITION BY user_id) AS start_us
+      FROM ev
+    ),
+    pe AS (
+      SELECT user_id, MIN(start_us) AS start_us,
+             MIN(CASE WHEN event_type = 'purchase' AND us >= start_us
+                      THEN us END) AS convert_us
+      FROM ws WHERE start_us IS NOT NULL GROUP BY 1
+    ),
+    lat AS (SELECT convert_us - start_us AS l FROM pe)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_started,
+           CAST(COUNT(l) AS BIGINT) AS n_converted,
+           CAST(MIN(l) AS BIGINT) AS min_lat_us,
+           quantile_cont(CAST(l AS DOUBLE), 0.25) AS p25_lat_us,
+           quantile_cont(CAST(l AS DOUBLE), 0.5) AS p50_lat_us,
+           quantile_cont(CAST(l AS DOUBLE), 0.75) AS p75_lat_us,
+           CAST(MAX(l) AS BIGINT) AS max_lat_us
+    FROM lat
+    """,
+)
+def events_time_to_convert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency distribution: per-user
+    whole-partition MIN window attaches the first signup, a grouped
+    conditional MIN over the same exchange finds the first purchase at
+    or after it, one 1-row summary with exact-µs interpolated
+    quantiles (dyadic — unrounded). Scale shape in
+    ``operators.timeseries.time_to_convert``."""
+    from .operators.timeseries import time_to_convert
+
+    (events,) = _load(spark, sf_dir, "events")
+    return time_to_convert(
+        events, "user_id", "ts", "event_type", "signup", "purchase"
+    )
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

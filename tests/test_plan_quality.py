@@ -367,6 +367,15 @@ EXPECTATIONS = {
     # two brute-force top-k towers (fan_out + query window each) +
     # the overlap join/agg + the per-query left join
     "similarity_truncation_recall": (8, None),
+    # ONE group exchange; the 128-bit cross terms are scalar
+    # expressions over the aggregated row
+    "stats_linear_fit": (1, None),
+    # (user, day) distinct exchange shared by the rn window and both
+    # re-aggregates + the final user agg
+    "events_activity_islands": (2, "Window"),
+    # one user exchange (window + conditional-min re-agg share it) +
+    # the 1-row summary aggregate
+    "events_time_to_convert": (2, "Window"),
 }
 
 
