@@ -271,6 +271,9 @@ HEADLINE = [
     "stats_linear_fit",
     "events_activity_islands",
     "events_time_to_convert",
+    "stats_bootstrap_ci",
+    "stats_gini_skew",
+    "events_disorder_audit",
 ]
 
 

@@ -481,3 +481,153 @@ def group_linear_fit(
         intercept.alias("intercept"),
         r.alias("pearson_r"),
     )
+
+
+# floor(CDF_Poisson(1)(k) * 2^32) for k = 0..7 — integer thresholds for
+# the md5-uniform inverse-CDF draw in poisson_bootstrap_ci (weights > 8
+# have probability < 1.2e-6 and truncate to 8; the bias is negligible
+# and the truncation is part of the documented estimator)
+_POISSON1_THRESHOLDS = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_milli: Column,
+    n_reps: int = 100,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean — THE
+    bootstrap that works on partitioned data (Chamandy et al., Google
+    2012): instead of resampling n rows with replacement (which needs
+    global coordination), each row independently receives a
+    Poisson(1)-distributed weight per replicate; replicate means are
+    weighted means. One narrow pass computes all ``n_reps`` replicates.
+
+    Engine-reproducibility: the weight draw is an md5-uniform compared
+    against PRE-COMPUTED integer thresholds (floor(CDF·2³²)) — pure
+    BIGINT comparisons, zero floating-point in the sampling path, so
+    every replicate's weight vector replays bit-for-bit in any engine.
+    Replicate means are raw ratios of exact BIGINT sums; the CI bounds
+    are ORDER STATISTICS of the replicate means (rank ⌈α·B⌉ and
+    ⌈(1−α)·B⌉ via row_number, mean-then-replicate ordering) — no
+    quantile interpolation anywhere.
+
+    Scale shape: the ×``n_reps`` explode is narrow and the replicate
+    aggregate carries map-side partials (``n_reps`` groups — the
+    exchange moves ~n_reps·partitions collapsed rows, not data); the
+    order-statistic window runs on ``n_reps`` rows. Output: one row
+    (n_rows, mean_full, ci_lo, ci_hi, n_reps).
+    """
+    from .text import md5_hash32
+
+    thresholds = _POISSON1_THRESHOLDS
+    base = df.select(
+        F.col(id_col).alias("_id"), value_milli.alias("_vm")
+    )
+    rep = base.select(
+        "_id", "_vm", F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("_b")
+    )
+    h = md5_hash32(
+        F.concat(F.col("_id").cast("string"), F.lit(":"),
+                 F.col("_b").cast("string"), F.lit(salt))
+    )
+    w = F.lit(8)
+    for k in range(len(thresholds) - 1, -1, -1):
+        w = F.when(h < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("_w", w.cast("bigint"))
+        .groupBy("_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_vm")).cast("bigint").alias("_ws"),
+            F.sum("_w").cast("bigint").alias("_wn"),
+        )
+        .select(
+            "_b",
+            F.try_divide(
+                F.col("_ws").cast("double"), F.col("_wn").cast("double")
+            ).alias("_mean"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.orderBy("_mean", "_b"))
+    ranked = means.withColumn("_rn", rn)
+    lo_rank = max(1, int(0.025 * n_reps))
+    hi_rank = min(n_reps, int(0.975 * n_reps) + 1)
+    bounds = ranked.filter(F.col("_rn").isin([lo_rank, hi_rank])).agg(
+        F.min(F.when(F.col("_rn") == lo_rank, F.col("_mean"))).alias("ci_lo"),
+        F.min(F.when(F.col("_rn") == hi_rank, F.col("_mean"))).alias("ci_hi"),
+    )
+    full = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.try_divide(
+            F.sum("_vm").cast("double"), F.count(F.lit(1)).cast("double")
+        ).alias("mean_full"),
+    )
+    # bounded: both sides are single-row aggregates
+    return full.join(F.broadcast(bounds)).select(
+        "n_rows", "mean_full", "ci_lo", "ci_hi",
+        F.lit(n_reps).cast("bigint").alias("n_reps"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Gini coefficient of key-frequency concentration — the skew
+    scalar behind this repo's join-skew story (G = 0: uniform keys;
+    G → 1: one hot key dominates), computed WITHOUT the global
+    sorted-rank form (a fact-scale single-partition window): group to
+    per-key counts, then to the COUNT-OF-COUNTS histogram — bounded by
+    the maximum multiplicity, not the key count — and evaluate the
+    tied-rank closed form over that tiny table:
+
+        G = (2·Σ blocks v·(m·a + m(m+1)/2) − (n+1)·T) / (n·T)
+
+    (v = frequency value, m = #keys with it, a = keys before the
+    block, n = total keys, T = total rows). Every term is an exact
+    BIGINT; G is ONE division of exact ints — bit-identical
+    cross-engine, no rounding.
+
+    Scale shape: one key exchange (map-side partials) + a tiny
+    histogram exchange; the cumsum window runs on the count-of-counts
+    table (≤ max multiplicity rows — single partition is fine and
+    bounded). Output: one row (n_keys, n_rows, max_freq, gini).
+    """
+    from pyspark.sql.window import Window
+
+    per_key = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    hist = per_key.groupBy("_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m")
+    )
+    w = Window.orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # keys BEFORE this block = cumulative m minus the block's own m
+    cum = F.sum("_m").over(w) - F.col("_m")
+    # 2 × Σ_block v·(m·a + m(m+1)/2), kept division-free in BIGINT
+    blocks = hist.select(
+        "_c", "_m",
+        (F.col("_c") * (
+            F.col("_m") * cum * 2 + F.col("_m") * (F.col("_m") + 1)
+        )).cast("bigint").alias("_contrib2"),
+    )
+    return blocks.agg(
+        F.sum("_m").cast("bigint").alias("n_keys"),
+        F.sum(F.col("_c") * F.col("_m")).cast("bigint").alias("n_rows"),
+        F.max("_c").cast("bigint").alias("max_freq"),
+        F.try_divide(
+            (
+                F.sum("_contrib2")
+                - (F.sum("_m") + 1) * F.sum(F.col("_c") * F.col("_m"))
+            ).cast("double"),
+            (F.sum("_m") * F.sum(F.col("_c") * F.col("_m"))).cast("double"),
+        ).alias("gini"),
+    )

@@ -768,3 +768,54 @@ def time_to_convert(
         F.expr("percentile(_lat, 0.75)").alias("p75_lat_us"),
         F.max("_lat").cast("bigint").alias("max_lat_us"),
     )
+
+
+def disorder_audit(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    arrival_col: str,
+) -> DataFrame:
+    """Event-time disorder audit — the measurement that sizes a
+    streaming watermark: per series, how far events arrive BEHIND the
+    running event-time high-water mark when processed in arrival
+    order. ``disorder = running_max(ts) − ts`` (0 for in-order
+    events); a watermark of the observed p75/max bounds the state a
+    `withWatermark` pipeline must keep and the late events it drops.
+
+    Quantiles are interpolated on exact integer µs at QUARTER
+    positions only ((n−1)·q has a dyadic fractional part for any n at
+    q ∈ {.25,.5,.75}, so the interpolation arithmetic is exact in
+    double and engine-identical; a p95/p99 would not be — use max and
+    the ppm rate instead, which are exact).
+
+    Scale shape: one series exchange; the running-max window and the
+    per-series aggregate share it. Output: one row per series.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    base = df.select(
+        F.col(series_col).alias("_s"),
+        F.col(arrival_col).alias("_arr"),
+        us.alias("_us"),
+    )
+    w = (
+        Window.partitionBy("_s")
+        .orderBy("_arr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_dis = base.select(
+        "_s", (F.max("_us").over(w) - F.col("_us")).alias("_dis")
+    )
+    return with_dis.groupBy(F.col("_s").alias(series_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_dis") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.expr("percentile(_dis, 0.5)").alias("p50_disorder_us"),
+        F.expr("percentile(_dis, 0.75)").alias("p75_disorder_us"),
+        F.max("_dis").cast("bigint").alias("max_disorder_us"),
+    ).select(
+        series_col, "n", "n_late",
+        F.expr("n_late * 1000000 div n").alias("late_ppm"),
+        "p50_disorder_us", "p75_disorder_us", "max_disorder_us",
+    )

@@ -6633,6 +6633,148 @@ def events_time_to_convert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stats_bootstrap_ci",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(ROUND(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    rep AS (
+      SELECT e.event_id, e.vm, r.b,
+             ('0x' || substr(md5(e.event_id::VARCHAR || ':'
+                || r.b::VARCHAR || 'boot'), 1, 8))::BIGINT AS h
+      FROM e CROSS JOIN range(100) r(b)
+    ),
+    wts AS (
+      SELECT vm, b,
+             CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+                  WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+                  WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+                  WHEN h < 4294609777 THEN 6 WHEN h < 4294923276 THEN 7
+                  ELSE 8 END AS w
+      FROM rep
+    ),
+    means AS (
+      SELECT b, CAST(SUM(w * vm) AS BIGINT)::DOUBLE
+                / CAST(SUM(w) AS BIGINT)::DOUBLE AS m
+      FROM wts GROUP BY 1
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+    ),
+    bounds AS (
+      SELECT MIN(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+             MIN(CASE WHEN rn = 98 THEN m END) AS ci_hi
+      FROM ranked
+    ),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(vm) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE
+               AS mean_full
+      FROM e
+    )
+    SELECT n_rows, mean_full, ci_lo, ci_hi,
+           CAST(100 AS BIGINT) AS n_reps
+    FROM f CROSS JOIN bounds
+    """,
+)
+def stats_bootstrap_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean event milli-value — the
+    bootstrap that works on partitioned data (per-row Poisson(1)
+    weights per replicate; no global resampling). Weights come from
+    md5 uniforms compared against PRE-COMPUTED integer CDF thresholds
+    (pure BIGINT comparisons — the whole sampling path is
+    engine-exact), replicate means are raw ratios of exact sums, and
+    the CI bounds are ORDER STATISTICS (ranks 2 and 98 of 100) — no
+    quantile interpolation anywhere. Scale shape in
+    ``operators.aggregates.poisson_bootstrap_ci``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import poisson_bootstrap_ci
+
+    (events,) = _load(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        events, "event_id", F.round(F.col("value") * 1000).cast("bigint"),
+        n_reps=100,
+    )
+
+
+@register(
+    "stats_gini_skew",
+    """
+    WITH pk AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM pk GROUP BY 1),
+    b AS (
+      SELECT c, m,
+             CAST(c * (m * (CAST(SUM(m) OVER (ORDER BY c
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) - m) * 2
+                       + m * (m + 1)) AS BIGINT) AS contrib2
+      FROM h
+    )
+    SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+           CAST(SUM(c * m) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_freq,
+           CAST(SUM(contrib2) - (SUM(m) + 1) * SUM(c * m) AS BIGINT)::DOUBLE
+             / CAST(SUM(m) * SUM(c * m) AS BIGINT)::DOUBLE AS gini
+    FROM b
+    """,
+)
+def stats_gini_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of lineitem join-key concentration — the skew
+    scalar behind this repo's salted/AQE join story — via the
+    COUNT-OF-COUNTS closed form: the histogram is bounded by max
+    multiplicity (7 for TPC-H orders), so no fact-scale global rank
+    window exists anywhere; G is ONE division of exact BIGINTs.
+    Scale shape in ``operators.aggregates.gini_concentration``."""
+    from .operators.aggregates import gini_concentration
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return gini_concentration(lineitem, "l_orderkey")
+
+
+@register(
+    "events_disorder_audit",
+    """
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS us
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) - us AS dis
+      FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dis > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(SUM(CASE WHEN dis > 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS late_ppm,
+           quantile_cont(CAST(dis AS DOUBLE), 0.5) AS p50_disorder_us,
+           quantile_cont(CAST(dis AS DOUBLE), 0.75) AS p75_disorder_us,
+           CAST(MAX(dis) AS BIGINT) AS max_disorder_us
+    FROM d GROUP BY 1
+    """,
+)
+def events_disorder_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit per event type (arrival order =
+    event_id): how far events lag the running event-time high-water
+    mark — the measurement that sizes a streaming watermark. Disorder
+    quantiles interpolate at QUARTER positions on exact µs ints
+    (dyadic for any n — a p95 would not be; the exact max and late_ppm
+    carry the tail instead). Scale shape in
+    ``operators.timeseries.disorder_audit``."""
+    from .operators.timeseries import disorder_audit
+
+    (events,) = _load(spark, sf_dir, "events")
+    return disorder_audit(events, "event_type", "ts", "event_id")
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

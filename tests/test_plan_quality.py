@@ -376,6 +376,16 @@ EXPECTATIONS = {
     # one user exchange (window + conditional-min re-agg share it) +
     # the 1-row summary aggregate
     "events_time_to_convert": (2, "Window"),
+    # replicate agg (map-side partials over n_reps groups) + the
+    # n_reps-row order-statistic window + the 1-row full-mean agg;
+    # the two single-row sides cross-join (allowlisted)
+    "stats_bootstrap_ci": (3, None),
+    # key-count exchange + the tiny count-of-counts exchange + its
+    # bounded cumsum window (≤ max-multiplicity rows) + 1-row agg
+    "stats_gini_skew": (3, "Window"),
+    # ONE series exchange shared by the running-max window and the
+    # per-series aggregate
+    "events_disorder_audit": (1, "Window"),
 }
 
 
@@ -441,6 +451,8 @@ _NESTED_LOOP_ALLOWED = {
     "similarity_truncation_recall": "offline eval harness: BOTH rankings "
                                     "are the documented O(N·Q) brute-force "
                                     "baseline by definition",
+    "stats_bootstrap_ci": "two single-row aggregates (full mean × CI "
+                          "bounds) cross-joined into the summary row",
 }
 
 
