@@ -274,6 +274,9 @@ HEADLINE = [
     "stats_bootstrap_ci",
     "stats_gini_skew",
     "events_disorder_audit",
+    "stats_ks_test",
+    "agg_group_mode",
+    "join_null_safe",
 ]
 
 

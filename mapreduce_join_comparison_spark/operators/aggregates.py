@@ -631,3 +631,97 @@ def gini_concentration(
             (F.sum("_m") * F.sum(F.col("_c") * F.col("_m"))).cast("double"),
         ).alias("gini"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    arm_col: Column,
+    value_col: Column,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group — the
+    distribution-shift detector (did treatment change the SHAPE, not
+    just the mean?). D = max |F₁(x) − F₀(x)| over the merged support,
+    computed EXACTLY: with per-arm cumulative counts c₁, c₀ and totals
+    n₁, n₀, D = max |c₁·n₀ − c₀·n₁| / (n₁·n₀) — the max runs over
+    exact BIGINT cross-products and the final value is ONE division of
+    exact ints, bit-identical cross-engine.
+
+    Scale shape: values collapse to the (group, value) GRID first
+    (map-side partial agg — the ordered window then runs over the
+    bounded value grid, e.g. ≤ ~500k milli-values for a bounded
+    metric, never over raw rows); per-group totals ride the same
+    partition as full-frame window sums. One group-clustered exchange
+    end-to-end, one max aggregate. Values must be exact integers.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.when(arm_col, 1).otherwise(0)
+    grid = df.select(
+        *group_cols, t.alias("_t"), value_col.alias("_v")
+    ).groupBy(*group_cols, "_v").agg(
+        F.sum("_t").cast("bigint").alias("_c1"),
+        F.sum(1 - F.col("_t")).cast("bigint").alias("_c0"),
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = grid.select(
+        *group_cols,
+        F.sum("_c1").over(w_cum).alias("_cum1"),
+        F.sum("_c0").over(w_cum).alias("_cum0"),
+        F.sum("_c1").over(w_all).alias("_n1"),
+        F.sum("_c0").over(w_all).alias("_n0"),
+    )
+    return stepped.groupBy(*group_cols).agg(
+        F.max("_n1").cast("bigint").alias("n1"),
+        F.max("_n0").cast("bigint").alias("n0"),
+        F.max(
+            F.abs(F.col("_cum1") * F.col("_n0") - F.col("_cum0") * F.col("_n1"))
+        )
+        .cast("bigint")
+        .alias("d_num"),
+    ).select(
+        *group_cols, "n1", "n0", "d_num",
+        (F.col("n1") * F.col("n0")).cast("bigint").alias("d_den"),
+        F.try_divide(
+            F.col("d_num").cast("double"),
+            (F.col("n1") * F.col("n0")).cast("double"),
+        ).alias("ks_d"),
+    )
+
+
+def group_mode(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column,
+) -> DataFrame:
+    """Exact per-group mode with a deterministic tie-break (highest
+    count, then smallest value) — Spark's ``mode()`` aggregate leaves
+    ties arbitrary, which can never hash-verify cross-engine; this
+    form pins them. Two aggregates + one rank window, all sharing the
+    group-prefix partitioning (the (group, value) count carries
+    map-side partials; the window exchanges only the collapsed grid).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.select(*group_cols, value_col.alias("_v")).groupBy(
+        *group_cols, "_v"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_c").desc(), F.col("_v").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("_v").alias("mode_value"),
+            F.col("_c").alias("mode_count"),
+        )
+    )

@@ -6775,6 +6775,138 @@ def events_disorder_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return disorder_audit(events, "event_type", "ts", "event_id")
 
 
+@register(
+    "stats_ks_test",
+    """
+    WITH e AS (
+      SELECT event_type, user_id % 2 = 1 AS arm,
+             CAST(ROUND(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    grid AS (
+      SELECT event_type, vm,
+             CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS c0
+      FROM e GROUP BY 1, 2
+    ),
+    stepped AS (
+      SELECT event_type,
+             CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY vm
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+             CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY vm
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum0,
+             CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+             CAST(SUM(c0) OVER (PARTITION BY event_type) AS BIGINT) AS n0
+      FROM grid
+    )
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n0) AS BIGINT) AS n0,
+           CAST(MAX(ABS(cum1 * n0 - cum0 * n1)) AS BIGINT) AS d_num,
+           CAST(MAX(n1) * MAX(n0) AS BIGINT) AS d_den,
+           CAST(MAX(ABS(cum1 * n0 - cum0 * n1)) AS BIGINT)::DOUBLE
+             / CAST(MAX(n1) * MAX(n0) AS BIGINT)::DOUBLE AS ks_d
+    FROM stepped GROUP BY 1
+    """,
+)
+def stats_ks_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov D per event type (arms =
+    user parity, values in exact milli): D's numerator is a max over
+    exact BIGINT cross-products and D is ONE division of exact ints —
+    bit-identical cross-engine. The ordered window runs over the
+    bounded (group, value) GRID, never raw rows. Scale shape in
+    ``operators.aggregates.ks_two_sample``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import ks_two_sample
+
+    (events,) = _load(spark, sf_dir, "events")
+    return ks_two_sample(
+        events,
+        ["event_type"],
+        arm_col=F.col("user_id") % 2 == 1,
+        value_col=F.round(F.col("value") * 1000).cast("bigint"),
+    )
+
+
+@register(
+    "agg_group_mode",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, v, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, v ASC) AS rn
+      FROM counts
+    )
+    SELECT event_type, v AS mode_value, c AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_group_mode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type modal user (most-active user per event type)
+    with a PINNED tie-break (highest count, then smallest value) —
+    Spark's builtin ``mode()`` leaves ties arbitrary, which can never
+    hash-verify cross-engine. Scale shape in
+    ``operators.aggregates.group_mode``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import group_mode
+
+    (events,) = _load(spark, sf_dir, "events")
+    return group_mode(events, ["event_type"], F.col("user_id"))
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH l AS (
+      SELECT l_orderkey, NULLIF(l_suppkey % 50, 3) IS NULL AS null_key,
+             NULLIF(l_suppkey % 50, 3) AS k
+      FROM lineitem
+    ),
+    r AS (
+      SELECT NULLIF(s_suppkey % 50, 3) AS k, s_nationkey FROM supplier
+    )
+    SELECT l.null_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT r.s_nationkey) AS BIGINT) AS n_nations
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    """,
+)
+def join_null_safe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` ≡ SQL IS NOT DISTINCT
+    FROM): NULL keys MATCH null keys instead of silently dropping —
+    the semantics corner that breaks naive dedup/reconciliation joins.
+    Derived null-able keys on both sides; the join stays a hash
+    equi-join (Spark rewrites <=> onto the hashable coalesce form,
+    never a nested loop). Output: pair/nation counts split by
+    null-key class."""
+    from pyspark.sql import functions as F
+
+    lineitem, supplier = _load(spark, sf_dir, "lineitem", "supplier")
+    l = lineitem.select(
+        "l_orderkey",
+        F.nullif(F.col("l_suppkey") % 50, F.lit(3)).alias("k"),
+    ).withColumn("null_key", F.col("k").isNull())
+    r = supplier.select(
+        F.nullif(F.col("s_suppkey") % 50, F.lit(3)).alias("rk"),
+        "s_nationkey",
+    )
+    return (
+        l.join(r, l["k"].eqNullSafe(r["rk"]))
+        .groupBy("null_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.count_distinct("s_nationkey").cast("bigint").alias("n_nations"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

@@ -386,6 +386,14 @@ EXPECTATIONS = {
     # ONE series exchange shared by the running-max window and the
     # per-series aggregate
     "events_disorder_audit": (1, "Window"),
+    # (group, value) grid agg + the group-clustered cumsum/full-frame
+    # windows and max agg sharing the second exchange
+    "stats_ks_test": (2, "Window"),
+    # (group, value) count exchange + the group rank window
+    "agg_group_mode": (2, "Window"),
+    # <=> rewrites onto the hashable coalesce form: a plain equi-join
+    # (2 side exchanges at static planning; dim broadcasts at runtime)
+    "join_null_safe": (2, None),
 }
 
 
