@@ -277,6 +277,8 @@ HEADLINE = [
     "stats_ks_test",
     "agg_group_mode",
     "join_null_safe",
+    "agg_weighted_median",
+    "set_ops_multiset",
 ]
 
 

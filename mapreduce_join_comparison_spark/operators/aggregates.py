@@ -725,3 +725,49 @@ def group_mode(
             F.col("_c").alias("mode_count"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column,
+    weight_col: Column,
+) -> DataFrame:
+    """Exact per-group lower weighted median (the smallest value whose
+    cumulative weight reaches half the total) — the robust "typical
+    value" when rows carry volumes (median price per unit sold, median
+    latency per request count). Everything is exact BIGINT arithmetic:
+    the 2·cum ≥ W threshold avoids fractional halves, so the result is
+    an actual data value, engine-identical with no floats anywhere.
+
+    Scale shape: values collapse to the (group, value) grid with
+    summed weights (map-side partials); the cumulative window and the
+    final threshold aggregate share the group-clustered second
+    exchange. The grid — not the row count — bounds the window size.
+    """
+    from pyspark.sql.window import Window
+
+    grid = df.select(
+        *group_cols, value_col.alias("_v"), weight_col.alias("_w")
+    ).groupBy(*group_cols, "_v").agg(
+        F.sum("_w").cast("bigint").alias("_gw")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = grid.select(
+        *group_cols, "_v", "_gw",
+        F.sum("_gw").over(w_cum).alias("_cum"),
+        F.sum("_gw").over(w_all).alias("_tot"),
+    )
+    return stepped.groupBy(*group_cols).agg(
+        F.max("_tot").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(F.col("_cum") * 2 >= F.col("_tot"), F.col("_v"))
+        ).alias("weighted_median"),
+    )

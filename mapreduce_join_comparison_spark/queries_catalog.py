@@ -6907,6 +6907,88 @@ def join_null_safe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_weighted_median",
+    """
+    WITH grid AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS gw
+      FROM lineitem GROUP BY 1, 2
+    ),
+    stepped AS (
+      SELECT l_returnflag, v, gw,
+             CAST(SUM(gw) OVER (PARTITION BY l_returnflag ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(gw) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS tot
+      FROM grid
+    )
+    SELECT l_returnflag,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT)
+             AS weighted_median
+    FROM stepped GROUP BY 1
+    """,
+)
+def agg_weighted_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price (in cents) per return flag
+    — the lower weighted median via 2·cum ≥ W on the (group, value)
+    grid: pure BIGINT arithmetic end-to-end, the result is an actual
+    data value, no interpolation, no floats. Scale shape in
+    ``operators.aggregates.weighted_median``."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import weighted_median
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return weighted_median(
+        lineitem,
+        ["l_returnflag"],
+        F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+        F.col("l_quantity").cast("bigint"),
+    )
+
+
+@register(
+    "set_ops_multiset",
+    """
+    WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'),
+    b AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+    ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+    ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+    id_ AS (SELECT * FROM a INTERSECT SELECT * FROM b),
+    ed AS (SELECT * FROM a EXCEPT SELECT * FROM b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ia) AS n_intersect_all,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ea) AS n_except_all,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM id_) AS n_intersect,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_except
+    """,
+)
+def set_ops_multiset_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset vs set semantics in one row: INTERSECT ALL keeps
+    min(multiplicity) and EXCEPT ALL subtracts per-copy (Spark
+    ``intersectAll``/``exceptAll``) — versus their distinct
+    counterparts. The multiset forms plan as count-compare aggregates,
+    not joins over exploded duplicates. All four counts exact."""
+    from pyspark.sql import functions as F
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    a = lineitem.filter("l_linestatus = 'O'").select("l_orderkey")
+    b = lineitem.filter("l_returnflag = 'R'").select("l_orderkey")
+
+    def n(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    # four single-row counts cross-joined into the summary row
+    return (
+        n(a.intersectAll(b), "n_intersect_all")
+        .join(n(a.exceptAll(b), "n_except_all"))
+        .join(n(a.intersect(b), "n_intersect"))
+        .join(n(a.subtract(b), "n_except"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

@@ -394,6 +394,12 @@ EXPECTATIONS = {
     # <=> rewrites onto the hashable coalesce form: a plain equi-join
     # (2 side exchanges at static planning; dim broadcasts at runtime)
     "join_null_safe": (2, None),
+    # (group, value) grid agg + the group-clustered cumsum/threshold
+    # windows sharing the second exchange
+    "agg_weighted_median": (2, "Window"),
+    # four set-op branches (each a count-compare aggregate over a key
+    # exchange) cross-joined as single-row scalars (allowlisted)
+    "set_ops_multiset": (8, None),
 }
 
 
@@ -461,6 +467,8 @@ _NESTED_LOOP_ALLOWED = {
                                     "baseline by definition",
     "stats_bootstrap_ci": "two single-row aggregates (full mean × CI "
                           "bounds) cross-joined into the summary row",
+    "set_ops_multiset": "four single-row set-op counts cross-joined "
+                        "into the summary row",
 }
 
 
