@@ -511,35 +511,53 @@ def poisson_bootstrap_ci(
     against PRE-COMPUTED integer thresholds (floor(CDF·2³²)) — pure
     BIGINT comparisons, zero floating-point in the sampling path, so
     every replicate's weight vector replays bit-for-bit in any engine.
-    Replicate means are raw ratios of exact BIGINT sums; the CI bounds
-    are ORDER STATISTICS of the replicate means (rank ⌈α·B⌉ and
-    ⌈(1−α)·B⌉ via row_number, mean-then-replicate ordering) — no
-    quantile interpolation anywhere.
+    One md5 yields FOUR 32-bit draws (its 128-bit hex splits into 4
+    chunks; replicate b uses chunk b mod 4 of hash ⌈b/4⌉) — hashing is
+    the dominant cost at fact scale and this quarters it. Replicate
+    means are raw ratios of exact BIGINT sums; the CI bounds are ORDER
+    STATISTICS of the replicate means (rank ⌈α·B⌉ and ⌈(1−α)·B⌉ via
+    row_number, mean-then-replicate ordering) — no quantile
+    interpolation anywhere.
 
-    Scale shape: the ×``n_reps`` explode is narrow and the replicate
-    aggregate carries map-side partials (``n_reps`` groups — the
-    exchange moves ~n_reps·partitions collapsed rows, not data); the
-    order-statistic window runs on ``n_reps`` rows. Output: one row
-    (n_rows, mean_full, ci_lo, ci_hi, n_reps).
+    Scale shape: the ×``n_reps/4`` hash explode is narrow (the hex
+    materializes as a column so codegen evaluates each md5 once) and
+    the replicate aggregate carries map-side partials (``n_reps``
+    groups — the exchange moves ~n_reps·partitions collapsed rows, not
+    data); the order-statistic window runs on ``n_reps`` rows. Output:
+    one row (n_rows, mean_full, ci_lo, ci_hi, n_reps).
     """
-    from .text import md5_hash32
-
     thresholds = _POISSON1_THRESHOLDS
+    n_hashes = (n_reps + 3) // 4
     base = df.select(
         F.col(id_col).alias("_id"), value_milli.alias("_vm")
     )
     rep = base.select(
-        "_id", "_vm", F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("_b")
+        "_id", "_vm",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("_j"),
+    ).withColumn(
+        "_hex",
+        F.md5(
+            F.concat(F.col("_id").cast("string"), F.lit(":"),
+                     F.col("_j").cast("string"), F.lit(salt))
+        ),
     )
-    h = md5_hash32(
-        F.concat(F.col("_id").cast("string"), F.lit(":"),
-                 F.col("_b").cast("string"), F.lit(salt))
+    chunks = F.array(*[
+        F.conv(F.substring("_hex", 1 + 8 * c, 8), 16, 10).cast("bigint")
+        for c in range(4)
+    ])
+    drawn = (
+        rep.select(
+            "_vm", "_j", F.posexplode(chunks).alias("_c", "_h")
+        )
+        .withColumn("_b", F.col("_j") * 4 + F.col("_c"))
+        .filter(F.col("_b") < n_reps)
     )
+    h = F.col("_h")
     w = F.lit(8)
     for k in range(len(thresholds) - 1, -1, -1):
         w = F.when(h < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
     means = (
-        rep.withColumn("_w", w.cast("bigint"))
+        drawn.withColumn("_w", w.cast("bigint"))
         .groupBy("_b")
         .agg(
             F.sum(F.col("_w") * F.col("_vm")).cast("bigint").alias("_ws"),

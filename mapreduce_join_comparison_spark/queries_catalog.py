@@ -6641,10 +6641,10 @@ def events_time_to_convert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     rep AS (
-      SELECT e.event_id, e.vm, r.b,
+      SELECT e.vm, j.j * 4 + c.c AS b,
              ('0x' || substr(md5(e.event_id::VARCHAR || ':'
-                || r.b::VARCHAR || 'boot'), 1, 8))::BIGINT AS h
-      FROM e CROSS JOIN range(100) r(b)
+                || j.j::VARCHAR || 'boot'), 1 + 8 * c.c, 8))::BIGINT AS h
+      FROM e CROSS JOIN range(25) j(j) CROSS JOIN range(4) c(c)
     ),
     wts AS (
       SELECT vm, b,

@@ -22,7 +22,11 @@ from mapreduce_join_comparison_spark.operators.timeseries import disorder_audit
 
 
 def _py_weight(eid, b, salt="boot"):
-    h = int(hashlib.md5(f"{eid}:{b}{salt}".encode()).hexdigest()[:8], 16)
+    # replicate b draws chunk b%4 of md5(id:j) with j = b//4 — four
+    # 32-bit uniforms per hash, mirroring the operator
+    hexd = hashlib.md5(f"{eid}:{b // 4}{salt}".encode()).hexdigest()
+    c = b % 4
+    h = int(hexd[8 * c:8 * c + 8], 16)
     for k, t in enumerate(_POISSON1_THRESHOLDS):
         if h < t:
             return k
