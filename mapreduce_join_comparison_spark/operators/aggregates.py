@@ -507,31 +507,44 @@ def poisson_bootstrap_ci(
     Poisson(1)-distributed weight per replicate; replicate means are
     weighted means. One narrow pass computes all ``n_reps`` replicates.
 
-    Engine-reproducibility: the weight draw is an md5-uniform compared
-    against PRE-COMPUTED integer thresholds (floor(CDF·2³²)) — pure
-    BIGINT comparisons, zero floating-point in the sampling path, so
-    every replicate's weight vector replays bit-for-bit in any engine.
-    One md5 yields FOUR 32-bit draws (its 128-bit hex splits into 4
-    chunks; replicate b uses chunk b mod 4 of hash ⌈b/4⌉) — hashing is
-    the dominant cost at fact scale and this quarters it. Replicate
+    Engine-reproducibility: the weight draw compares 8-hex-char md5
+    substrings LEXICOGRAPHICALLY against hex-literal thresholds
+    (hex(floor(CDF·2³²))) — for fixed-width lowercase hex, string
+    order ≡ numeric order, and both engines compare ASCII bytes
+    identically, so every replicate's weight vector replays
+    bit-for-bit with zero radix conversion and zero floating-point in
+    the sampling path. One md5 yields FOUR draws (128-bit hex = 4
+    chunks; replicate b = chunk b mod 4 of hash ⌈b/4⌉). Replicate
     means are raw ratios of exact BIGINT sums; the CI bounds are ORDER
     STATISTICS of the replicate means (rank ⌈α·B⌉ and ⌈(1−α)·B⌉ via
     row_number, mean-then-replicate ordering) — no quantile
     interpolation anywhere.
 
-    Scale shape: the ×``n_reps/4`` hash explode is narrow (the hex
-    materializes as a column so codegen evaluates each md5 once) and
-    the replicate aggregate carries map-side partials (``n_reps``
-    groups — the exchange moves ~n_reps·partitions collapsed rows, not
-    data); the order-statistic window runs on ``n_reps`` rows. Output:
-    one row (n_rows, mean_full, ci_lo, ci_hi, n_reps).
+    Scale shape: rows explode only ×``n_reps/4`` (the hex materializes
+    as a column so codegen evaluates each md5 once); the four chunk
+    weights aggregate as COLUMNS of a per-hash-index aggregate (no
+    second ×4 explode — a posexplode form measured ~25× slower at 10M
+    rows from the billion-row blowup plus per-draw ``conv``), then a
+    ``stack`` unpivots the n_reps/4 aggregate rows to n_reps replicate
+    rows. Map-side partials collapse everything before the exchange;
+    the order-statistic window runs on ``n_reps`` rows. Output: one
+    row (n_rows, mean_full, ci_lo, ci_hi, n_reps).
     """
-    thresholds = _POISSON1_THRESHOLDS
-    n_hashes = (n_reps + 3) // 4
+    from ..sources.io import fan_out
+
+    hex_thresholds = [format(t, "08x") for t in _POISSON1_THRESHOLDS]
+    if n_reps % 4:
+        raise ValueError("n_reps must be a multiple of 4")
+    n_hashes = n_reps // 4
     base = df.select(
         F.col(id_col).alias("_id"), value_milli.alias("_vm")
     )
-    rep = base.select(
+    # the ×n_hashes explode multiplies per-row CPU (md5 + weight
+    # folds); a coarse or skewed scan would serialize it — spread
+    # first (no-op on a well-split source; measured 157 → 19 s on a
+    # 17-skewed-partition 10M-row soak)
+    hashed = fan_out(base)
+    rep = hashed.select(
         "_id", "_vm",
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("_j"),
     ).withColumn(
@@ -541,34 +554,37 @@ def poisson_bootstrap_ci(
                      F.col("_j").cast("string"), F.lit(salt))
         ),
     )
-    chunks = F.array(*[
-        F.conv(F.substring("_hex", 1 + 8 * c, 8), 16, 10).cast("bigint")
-        for c in range(4)
-    ])
-    drawn = (
-        rep.select(
-            "_vm", "_j", F.posexplode(chunks).alias("_c", "_h")
-        )
-        .withColumn("_b", F.col("_j") * 4 + F.col("_c"))
-        .filter(F.col("_b") < n_reps)
+
+    def weight(c: int):
+        h = F.substring("_hex", 1 + 8 * c, 8)
+        w = F.lit(8)
+        for k in range(len(hex_thresholds) - 1, -1, -1):
+            w = F.when(h < F.lit(hex_thresholds[k]), F.lit(k)).otherwise(w)
+        return w.cast("bigint")
+
+    per_j = rep.groupBy("_j").agg(
+        *[
+            agg
+            for c in range(4)
+            for agg in (
+                F.sum(weight(c) * F.col("_vm")).cast("bigint").alias(f"_ws{c}"),
+                F.sum(weight(c)).cast("bigint").alias(f"_wn{c}"),
+            )
+        ]
     )
-    h = F.col("_h")
-    w = F.lit(8)
-    for k in range(len(thresholds) - 1, -1, -1):
-        w = F.when(h < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
-    means = (
-        drawn.withColumn("_w", w.cast("bigint"))
-        .groupBy("_b")
-        .agg(
-            F.sum(F.col("_w") * F.col("_vm")).cast("bigint").alias("_ws"),
-            F.sum("_w").cast("bigint").alias("_wn"),
-        )
-        .select(
-            "_b",
-            F.try_divide(
-                F.col("_ws").cast("double"), F.col("_wn").cast("double")
-            ).alias("_mean"),
-        )
+    stacked = per_j.select(
+        "_j",
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"{c}, _ws{c}, _wn{c}" for c in range(4))
+            + ") AS (_c, _ws, _wn)"
+        ),
+    )
+    means = stacked.select(
+        (F.col("_j") * 4 + F.col("_c")).alias("_b"),
+        F.try_divide(
+            F.col("_ws").cast("double"), F.col("_wn").cast("double")
+        ).alias("_mean"),
     )
     from pyspark.sql.window import Window
 

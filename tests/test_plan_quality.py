@@ -376,10 +376,11 @@ EXPECTATIONS = {
     # one user exchange (window + conditional-min re-agg share it) +
     # the 1-row summary aggregate
     "events_time_to_convert": (2, "Window"),
-    # replicate agg (map-side partials over n_reps groups) + the
-    # n_reps-row order-statistic window + the 1-row full-mean agg;
-    # the two single-row sides cross-join (allowlisted)
-    "stats_bootstrap_ci": (3, None),
+    # fan_out round-robin (the ×n_reps/4 hash explode must not run on
+    # a single coarse scan partition) + hash-index agg (map-side
+    # partials) + the n_reps-row order-statistic window + the 1-row
+    # full-mean agg; the two single-row sides cross-join (allowlisted)
+    "stats_bootstrap_ci": (4, None),
     # key-count exchange + the tiny count-of-counts exchange + its
     # bounded cumsum window (≤ max-multiplicity rows) + 1-row agg
     "stats_gini_skew": (3, "Window"),
