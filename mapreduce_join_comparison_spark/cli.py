@@ -231,8 +231,17 @@ def _query_table_from_detail(path: str) -> list[str]:
     lines.append(
         f"Totals: cold {detail.get('total_cold_sec', '—')} s, "
         f"warm {detail.get('total_warm_sec', '—')} s"
-        + (" (sum of medians)." if spread else ".")
+        + (" (sum of headline medians; zipf joins reported separately)."
+           if spread else ".")
     )
+    anchor = spread.get("_anchor") if spread else None
+    if anchor:
+        lines.append(
+            "Calibration anchor (fixed CPU-only job, once per repeat "
+            f"wave): median {anchor['median']:.3f} s, "
+            f"runs {anchor['runs']} — inflated anchors across a whole "
+            "run indicate machine contention, not regression."
+        )
     zipf = detail.get("zipf_headline") or {}
     if zipf.get("join"):
         lines += ["", "## Generated zipf join (join-only, median of "
