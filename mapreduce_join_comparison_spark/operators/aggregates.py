@@ -738,25 +738,29 @@ def group_mode(
     """Exact per-group mode with a deterministic tie-break (highest
     count, then smallest value) — Spark's ``mode()`` aggregate leaves
     ties arbitrary, which can never hash-verify cross-engine; this
-    form pins them. Two aggregates + one rank window, all sharing the
-    group-prefix partitioning (the (group, value) count carries
-    map-side partials; the window exchanges only the collapsed grid).
+    form pins them — WITHOUT a rank window. The round-5 verdict's
+    grid-window review applies here too: a window partitioned only by
+    the (low-cardinality) group serializes each group's whole value
+    grid onto one task, and the grid grows with the corpus. The
+    argmax decomposes instead into two tiny aggregates: per-group max
+    count, then min value among the rows holding it — the max-count
+    table is one row per group, broadcast back onto the grid, so
+    every stage is (group, value)-parallel with map-side partials and
+    no per-group serialization anywhere. Works for any orderable
+    value type (no numeric negation trick needed for the tie-break).
     """
-    from pyspark.sql.window import Window
-
     counts = df.select(*group_cols, value_col.alias("_v")).groupBy(
         *group_cols, "_v"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col("_c").desc(), F.col("_v").asc()
-    )
+    # bounded: one row per group (the window's partition count)
+    cmax = counts.groupBy(*group_cols).agg(F.max("_c").alias("_cmax"))
     return (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            *group_cols,
-            F.col("_v").alias("mode_value"),
-            F.col("_c").alias("mode_count"),
+        counts.join(F.broadcast(cmax), group_cols)
+        .filter(F.col("_c") == F.col("_cmax"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("_v").alias("mode_value"),
+            F.max("_c").cast("bigint").alias("mode_count"),
         )
     )
 
@@ -804,4 +808,276 @@ def weighted_median(
         F.min(
             F.when(F.col("_cum") * 2 >= F.col("_tot"), F.col("_v"))
         ).alias("weighted_median"),
+    )
+
+
+def _binned_value_cumsums(
+    base: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    n_bins: int = 1024,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """Two-level binned cumulative sums along the VALUE axis — the
+    scale fix for the "cumulative window partitioned by a
+    low-cardinality group over a corpus-growing value domain" shape
+    (round-5 verdict: at 100x each group's ordered window serializes
+    onto ONE task because the window partition count = group count).
+
+    Decomposition (the ``rolling_zscore_anomalies_binned`` pattern on
+    the value axis instead of the time axis): per group, values are
+    equi-width-binned from the group's own [lo, hi] span into ≤
+    ``n_bins + 1`` bins, then for every input row
+
+        cum(v) = Σ of bins strictly before bin(v)            [PREV]
+               + intra-bin peer-inclusive prefix Σ up to v   [INTRA]
+
+    INTRA is a RANGE-frame window partitioned by (group, bin) — up to
+    groups × n_bins parallel tasks — and the per-bin totals feeding
+    PREV are read off the SAME window output (``max_by(intra, _v)`` =
+    the cum at the bin's last value), so the per-bin aggregate rides
+    the window's exchange with zero extra shuffle (an earlier form
+    aggregated the bins from a separate branch; column pruning made
+    the two subtrees non-identical and defeated exchange reuse — 4
+    scans / 8 exchanges, measured). PREV is a cumulative window over
+    the BOUNDED per-group bin table (≤ n_bins + 1 rows per group),
+    broadcast back onto the rows. Bin order is consistent with value
+    order (equi-width from the group lo) and BIGINT addition is
+    associative, so PREV + INTRA reproduces the direct single-window
+    cumulative bit-for-bit — an equality of integers, not an
+    approximation (property-tested vs the direct forms in
+    tests/test_round6_ops.py).
+
+    Input: one row per RAW row with group cols, an exact-BIGINT
+    ``_v``, and exact-BIGINT ``sum_cols`` (``_v`` must be non-null —
+    the direct forms order NULLs first; here a NULL bins to NULL).
+    Output: the rows plus ``_cum_<c>`` (peer-inclusive cumulative in
+    value order within group — every peer of a value carries the same
+    cum, exactly the collapsed grid's number) and ``_tot_<c>`` (group
+    total). Total shuffle: ONE O(rows) exchange on (group, bin) plus
+    two bounded ones (group spans, bin table).
+
+    ``bin_width``: when the caller knows the value domain (prices in
+    cents, milli-metrics), a fixed width skips the span pass — two
+    fewer stages (the span aggregate + its broadcast), bins are
+    ``_v DIV width`` (floor DIV: order-preserving for negatives too),
+    and the bin-table size is domain_range / width, the CALLER's
+    responsibility to keep ~thousands. Identical output either way.
+    """
+    from pyspark.sql.window import Window
+
+    if bin_width is not None:
+        binned = base.withColumn("_bin", F.expr(f"_v DIV {bin_width}"))
+    else:
+        # bounded: one row per group (the direct window's partition
+        # count)
+        span = base.groupBy(*group_cols).agg(
+            F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+        )
+        # width ≥ 1 and (hi-lo)/width ≤ n_bins ⇒ bin ids fit 0..n_bins
+        binned = (
+            base.join(F.broadcast(span), group_cols)
+            .withColumn(
+                "_bin",
+                F.expr(f"(_v - _lo) DIV (((_hi - _lo) DIV {n_bins}) + 1)"),
+            )
+            .drop("_lo", "_hi")
+        )
+    # RANGE frame: peers of _v all carry the same (peer-inclusive)
+    # prefix — the collapsed-grid cum — and growing frames are
+    # incremental in Spark (never re-aggregated per row)
+    w_intra = (
+        Window.partitionBy(*group_cols, "_bin")
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = binned.select(
+        *group_cols, "_bin", "_v",
+        *[F.col(c) for c in sum_cols],
+        *[F.sum(c).over(w_intra).alias(f"_i_{c}") for c in sum_cols],
+    )
+    # per-bin totals = the intra cum at each bin's LAST value (peers
+    # tie-safe: they share the same range-frame sum). groupBy(group,
+    # bin) is satisfied by the window's (group, bin) partitioning —
+    # no exchange; the whole branch shares intra's one shuffle. The
+    # _pad_ aggregates are dead outputs whose only job is to keep this
+    # branch's column pruning IDENTICAL to the row branch's — with
+    # divergent pruning the two copies of the exchange canonicalize
+    # differently and ReuseExchange never fires (4 scans / 8
+    # exchanges, measured; 2 scans with the pad).
+    per_bin = intra.groupBy(*group_cols, "_bin").agg(
+        *[F.max_by(f"_i_{c}", "_v").alias(f"_b_{c}") for c in sum_cols],
+        *[F.max(c).alias(f"_pad_{c}") for c in sum_cols],
+    ).drop(*[f"_pad_{c}" for c in sum_cols])
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # bounded: ≤ (n_bins + 1) rows per group
+    bin_cum = per_bin.select(
+        *group_cols, "_bin",
+        *[F.coalesce(F.sum(f"_b_{c}").over(w_prev), F.lit(0))
+          .alias(f"_prev_{c}") for c in sum_cols],
+        *[F.sum(f"_b_{c}").over(w_all).alias(f"_tot_{c}")
+          for c in sum_cols],
+    )
+    return intra.join(F.broadcast(bin_cum), [*group_cols, "_bin"]).select(
+        *group_cols, "_v",
+        *[F.col(c) for c in sum_cols],
+        *[(F.col(f"_prev_{c}") + F.col(f"_i_{c}")).alias(f"_cum_{c}")
+          for c in sum_cols],
+        *[F.col(f"_tot_{c}") for c in sum_cols],
+    )
+
+
+def weighted_median_binned(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column,
+    weight_col: Column,
+    n_bins: int = 1024,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """:func:`weighted_median` in TARGET-BIN two-pass form —
+    BIT-IDENTICAL output with NO row-scale shuffle at all (the direct
+    form shuffles the whole (group, value) grid; at 100x each group's
+    cumulative window serializes onto one task because the partition
+    count = group count, the round-5 verdict's one scale-killer).
+
+    A median needs the cumulative weight only at the CROSSING point,
+    not everywhere, so:
+
+      1. per-(group, bin) weight totals — map-side partial
+         aggregation means the one exchange carries ≤ bins rows per
+         input partition, never rows;
+      2. the crossing bin per group — the unique bin b* with
+         2·prev(b*) < W ≤ 2·(prev(b*) + bw(b*)), found with ordered
+         windows over the BOUNDED bin table (≤ n_bins + 1 rows per
+         group);
+      3. refine: the target bins' rows survive a broadcast semi-filter
+         (no shuffle of the base), ~rows / n_bins of the data; their
+         peer-inclusive RANGE cumulative + the carried prev reproduces
+         the direct cum exactly (BIGINT associativity), and the same
+         2·cum ≥ W threshold picks the identical value.
+
+    Scale shape: two scans, and every exchange is bin-table-sized or
+    (rows / n_bins)-sized — cheaper than the direct form at ANY scale,
+    not just at 100x. The refine window partitions by group alone but
+    over rows / n_bins rows; raise ``n_bins`` (or recurse — not
+    needed at any tested scale) if a single bin's rows are still hot.
+    ``bin_width`` as in :func:`_binned_value_cumsums`: a caller-known
+    fixed width skips the span pass. Same exact-BIGINT rule, same
+    output columns as :func:`weighted_median`."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        *group_cols, value_col.alias("_v"),
+        weight_col.cast("bigint").alias("_gw"),
+    )
+    if bin_width is not None:
+        binned = base.withColumn("_bin", F.expr(f"_v DIV {bin_width}"))
+    else:
+        # bounded: one row per group
+        span = base.groupBy(*group_cols).agg(
+            F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+        )
+        binned = (
+            base.join(F.broadcast(span), group_cols)
+            .withColumn(
+                "_bin",
+                F.expr(f"(_v - _lo) DIV (((_hi - _lo) DIV {n_bins}) + 1)"),
+            )
+            .drop("_lo", "_hi")
+        )
+    per_bin = binned.groupBy(*group_cols, "_bin").agg(
+        F.sum("_gw").alias("_bw")
+    )
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # bounded: ≤ (n_bins + 1) rows per group
+    target = (
+        per_bin.select(
+            *group_cols, "_bin", "_bw",
+            F.coalesce(F.sum("_bw").over(w_prev), F.lit(0)).alias("_prev"),
+            F.sum("_bw").over(w_all).alias("_tot"),
+        )
+        # the unique crossing bin: prev is still short of half, the
+        # bin's own weight reaches it (so _bw > 0 there by definition)
+        .filter(
+            (F.col("_prev") * 2 < F.col("_tot"))
+            & ((F.col("_prev") + F.col("_bw")) * 2 >= F.col("_tot"))
+        )
+        .select(*group_cols, "_bin", "_prev", "_tot")
+    )
+    # bounded: one target bin per group — a broadcast filter, the base
+    # is never shuffled
+    refine = binned.join(F.broadcast(target), [*group_cols, "_bin"])
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = refine.select(
+        *group_cols, "_v", "_tot",
+        (F.col("_prev") + F.sum("_gw").over(w_cum)).alias("_cum"),
+    )
+    return stepped.groupBy(*group_cols).agg(
+        F.max("_tot").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(F.col("_cum") * 2 >= F.col("_tot"), F.col("_v"))
+        ).alias("weighted_median"),
+    )
+
+
+def ks_two_sample_binned(
+    df: DataFrame,
+    group_cols: list[str],
+    arm_col: Column,
+    value_col: Column,
+    n_bins: int = 1024,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """:func:`ks_two_sample` with both per-arm cumulative windows in
+    the two-level binned form (:func:`_binned_value_cumsums`) —
+    BIT-IDENTICAL D (the same exact-BIGINT cross-products, computed
+    from PREV + INTRA cumulative identities; every grid value appears
+    among the raw rows, and peers carry the grid cum), (group, bin)-
+    parallel instead of one window task per group over the merged
+    support."""
+    t = F.when(arm_col, 1).otherwise(0)
+    base = df.select(
+        *group_cols, value_col.alias("_v"),
+        t.cast("bigint").alias("_c1"),
+        (1 - t).cast("bigint").alias("_c0"),
+    )
+    stepped = _binned_value_cumsums(
+        base, group_cols, ["_c1", "_c0"], n_bins, bin_width)
+    return stepped.groupBy(*group_cols).agg(
+        F.max("_tot__c1").cast("bigint").alias("n1"),
+        F.max("_tot__c0").cast("bigint").alias("n0"),
+        F.max(
+            F.abs(
+                F.col("_cum__c1") * F.col("_tot__c0")
+                - F.col("_cum__c0") * F.col("_tot__c1")
+            )
+        )
+        .cast("bigint")
+        .alias("d_num"),
+    ).select(
+        *group_cols, "n1", "n0", "d_num",
+        (F.col("n1") * F.col("n0")).cast("bigint").alias("d_den"),
+        F.try_divide(
+            F.col("d_num").cast("double"),
+            (F.col("n1") * F.col("n0")).cast("double"),
+        ).alias("ks_d"),
     )

@@ -6813,19 +6813,25 @@ def stats_ks_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov D per event type (arms =
     user parity, values in exact milli): D's numerator is a max over
     exact BIGINT cross-products and D is ONE division of exact ints —
-    bit-identical cross-engine. The ordered window runs over the
-    bounded (group, value) GRID, never raw rows. Scale shape in
-    ``operators.aggregates.ks_two_sample``."""
+    bit-identical cross-engine. Runs the BINNED two-level form (the
+    value grid grows with the corpus while the group count doesn't;
+    the direct form serializes each group's grid onto one window
+    task); the oracle below IS the direct form, so driver parity
+    doubles as the equivalence proof. Scale shape in
+    ``operators.aggregates.ks_two_sample_binned``."""
     from pyspark.sql import functions as F
 
-    from .operators.aggregates import ks_two_sample
+    from .operators.aggregates import ks_two_sample_binned
 
     (events,) = _load(spark, sf_dir, "events")
-    return ks_two_sample(
+    # fixed width (skips the span pass): milli-values live in
+    # ~[0, 5.7e5], so 512-milli bins give ~1.1k bins per group
+    return ks_two_sample_binned(
         events,
         ["event_type"],
         arm_col=F.col("user_id") % 2 == 1,
         value_col=F.round(F.col("value") * 1000).cast("bigint"),
+        bin_width=512,
     )
 
 
@@ -6935,18 +6941,27 @@ def agg_weighted_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted median price (in cents) per return flag
     — the lower weighted median via 2·cum ≥ W on the (group, value)
     grid: pure BIGINT arithmetic end-to-end, the result is an actual
-    data value, no interpolation, no floats. Scale shape in
-    ``operators.aggregates.weighted_median``."""
+    data value, no interpolation, no floats. Runs the BINNED two-level
+    form (round-5 verdict's one scale-killer: the direct cumulative
+    window has partition count = 3 return flags while the price grid
+    grows with the corpus); the oracle below IS the direct single-
+    window form, so driver parity doubles as the binned ≡ direct
+    equivalence proof. Scale shape in
+    ``operators.aggregates.weighted_median_binned``."""
     from pyspark.sql import functions as F
 
-    from .operators.aggregates import weighted_median
+    from .operators.aggregates import weighted_median_binned
 
     (lineitem,) = _load(spark, sf_dir, "lineitem")
-    return weighted_median(
+    # fixed width (skips the span pass — 2 fewer stages): prices are
+    # cents in ~[9e4, 1.05e7], so 8192-cent bins give ~1.3k bins per
+    # group regardless of row count
+    return weighted_median_binned(
         lineitem,
         ["l_returnflag"],
         F.round(F.col("l_extendedprice") * 100).cast("bigint"),
         F.col("l_quantity").cast("bigint"),
+        bin_width=8192,
     )
 
 

@@ -387,17 +387,23 @@ EXPECTATIONS = {
     # ONE series exchange shared by the running-max window and the
     # per-series aggregate
     "events_disorder_audit": (1, "Window"),
-    # (group, value) grid agg + the group-clustered cumsum/full-frame
-    # windows and max agg sharing the second exchange
-    "stats_ks_test": (2, "Window"),
-    # (group, value) count exchange + the group rank window
-    "agg_group_mode": (2, "Window"),
+    # binned two-level form: one (group,bin) row exchange (the intra
+    # RANGE window) + the tiny bin-table window exchange + the final
+    # agg; the intra subtree repeats statically under the bin-cum
+    # broadcast branch; bin table re-attaches by broadcast
+    "stats_ks_test": (4, "Window"),
+    # window-free argmax: (group, value) count exchange (reused twice
+    # statically) + one-row-per-group max-count agg re-attached by
+    # broadcast + the final min-value agg
+    "agg_group_mode": (4, "BroadcastHashJoin"),
     # <=> rewrites onto the hashable coalesce form: a plain equi-join
     # (2 side exchanges at static planning; dim broadcasts at runtime)
     "join_null_safe": (2, None),
-    # (group, value) grid agg + the group-clustered cumsum/threshold
-    # windows sharing the second exchange
-    "agg_weighted_median": (2, "Window"),
+    # target-bin two-pass (the round-5 scale-killer fix): per-bin
+    # partial agg (bin-table-sized exchange) + bounded bin-table
+    # window + the refine agg over rows/n_bins — NO row-scale shuffle
+    # anywhere; target bins re-attach by broadcast
+    "agg_weighted_median": (3, "Window"),
     # four set-op branches (each a count-compare aggregate over a key
     # exchange) cross-joined as single-row scalars (allowlisted)
     "set_ops_multiset": (8, None),

@@ -1,0 +1,171 @@
+"""Round-6 operators: the value-axis binned cumulative decomposition
+(`_binned_grid_cumsums`) behind `weighted_median_binned` and
+`ks_two_sample_binned` must reproduce the direct single-window forms
+BIT-FOR-BIT — PREV (bounded bin table) + INTRA ((group, bin)-parallel
+prefix) is exact BIGINT associativity, so equality here is Row
+equality, not approx. Cases stress where a value binning can silently
+diverge: values exactly on bin-width multiples, all-equal values
+(width collapses to 1), negative values (DIV semantics), single-row
+groups, tie weights at the 2·cum = W boundary, and n_bins larger than
+the grid. `group_mode`'s window-free argmax rewrite is pinned on
+crafted ties."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.operators.aggregates import (
+    group_mode,
+    ks_two_sample,
+    ks_two_sample_binned,
+    weighted_median,
+    weighted_median_binned,
+)
+
+
+def _wm_df(spark, rows):
+    # rows: (group, value, weight)
+    return spark.createDataFrame(rows, "g string, v bigint, w bigint")
+
+
+def _assert_wm_binned_equals_direct(spark, rows, n_bins_set=(1, 2, 3, 7, 64)):
+    df = _wm_df(spark, rows)
+    direct = weighted_median(
+        df, ["g"], F.col("v"), F.col("w")
+    ).orderBy("g").collect()
+    for nb in n_bins_set:
+        binned = weighted_median_binned(
+            df, ["g"], F.col("v"), F.col("w"), n_bins=nb
+        ).orderBy("g").collect()
+        assert binned == direct, f"n_bins={nb}: {binned} != {direct}"
+    return direct
+
+
+def test_wm_bin_boundary_values(spark):
+    # values are exact multiples of every small width: boundary rows
+    # must land in the bin whose intra-prefix includes them
+    rows = [("a", i * 6, 1) for i in range(1, 30)]
+    out = _assert_wm_binned_equals_direct(spark, rows)
+    assert out[0]["weighted_median"] == 15 * 6  # 2*15 >= 29 -> v at rank 15
+
+
+def test_wm_all_equal_values(spark):
+    # hi == lo -> width 1, a single bin; PREV is empty everywhere
+    rows = [("a", 42, w) for w in (1, 2, 3)]
+    out = _assert_wm_binned_equals_direct(spark, rows)
+    assert out[0]["weighted_median"] == 42 and out[0]["total_weight"] == 6
+
+
+def test_wm_negative_values(spark):
+    # (_v - lo) keeps DIV non-negative; order must survive the shift
+    rows = [("a", v, 1) for v in (-100, -3, -2, 5, 7)]
+    out = _assert_wm_binned_equals_direct(spark, rows)
+    assert out[0]["weighted_median"] == -2  # cum 3 of 5: 2*3 >= 5
+
+
+def test_wm_halfweight_tie(spark):
+    # 2*cum == W exactly at the lower value: lower median semantics
+    rows = [("a", 1, 5), ("a", 2, 5)]
+    out = _assert_wm_binned_equals_direct(spark, rows)
+    assert out[0]["weighted_median"] == 1
+
+
+def test_wm_single_row_groups_and_mixed(spark):
+    rows = [("solo", 9, 4)] + [("b", v, v) for v in range(1, 50)]
+    _assert_wm_binned_equals_direct(spark, rows)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1, max_size=40,
+    ),
+    n_bins=st.sampled_from([1, 2, 5, 16]),
+)
+def test_wm_property_random(spark, data, n_bins):
+    df = _wm_df(spark, data)
+    direct = weighted_median(
+        df, ["g"], F.col("v"), F.col("w")
+    ).orderBy("g").collect()
+    binned = weighted_median_binned(
+        df, ["g"], F.col("v"), F.col("w"), n_bins=n_bins
+    ).orderBy("g").collect()
+    assert binned == direct
+
+
+def _ks_df(spark, rows):
+    # rows: (group, arm, value)
+    return spark.createDataFrame(rows, "g string, arm boolean, v bigint")
+
+
+def test_ks_binned_equals_direct(spark):
+    rows = (
+        [("a", True, v) for v in (1, 1, 2, 5, 9, 9, 12)]
+        + [("a", False, v) for v in (0, 2, 2, 3, 9, 30)]
+        + [("b", True, v) for v in range(10)]
+        + [("b", False, v) for v in range(5, 15)]
+        # one-arm group: n0 = 0 -> d_den 0 -> try_divide NULL, both forms
+        + [("only1", True, v) for v in (1, 2)]
+    )
+    df = _ks_df(spark, rows)
+    direct = ks_two_sample(
+        df, ["g"], F.col("arm"), F.col("v")
+    ).orderBy("g").collect()
+    for nb in (1, 2, 3, 64):
+        binned = ks_two_sample_binned(
+            df, ["g"], F.col("arm"), F.col("v"), n_bins=nb
+        ).orderBy("g").collect()
+        assert binned == direct, f"n_bins={nb}"
+    only1 = [r for r in direct if r["g"] == "only1"][0]
+    assert only1["ks_d"] is None and only1["d_den"] == 0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.booleans(),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1, max_size=40,
+    ),
+    n_bins=st.sampled_from([1, 3, 8]),
+)
+def test_ks_property_random(spark, data, n_bins):
+    df = _ks_df(spark, data)
+    direct = ks_two_sample(
+        df, ["g"], F.col("arm"), F.col("v")
+    ).orderBy("g").collect()
+    binned = ks_two_sample_binned(
+        df, ["g"], F.col("arm"), F.col("v"), n_bins=n_bins
+    ).orderBy("g").collect()
+    assert binned == direct
+
+
+def test_group_mode_tiebreak_without_window(spark):
+    # two values tie at max count -> smallest value wins; the rewrite
+    # (max-count broadcast join-back) must preserve the pinned order
+    rows = [("a", 5), ("a", 5), ("a", 3), ("a", 3), ("a", 9),
+            ("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {r["g"]: (r["mode_value"], r["mode_count"])
+           for r in group_mode(df, ["g"], F.col("v")).collect()}
+    assert out == {"a": (3, 2), "b": (7, 1)}
+
+
+def test_group_mode_plan_has_no_window(spark):
+    rows = [("a", i % 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    plan = group_mode(df, ["g"], F.col("v"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
