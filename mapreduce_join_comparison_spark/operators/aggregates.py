@@ -396,7 +396,10 @@ def benford_digit_audit(df: DataFrame, value_cents: Column) -> DataFrame:
 
     Scale shape: one narrow digit projection + one 9-row aggregate;
     the single-row total re-attaches by broadcast. Output: one row per
-    digit 1–9.
+    digit 1–9 — digits with ZERO occurrences still emit a row (counts
+    left-join a literal 1–9 spine), so their χ² contribution
+    (expected²/expected = expected) is never silently dropped from
+    the audit.
     """
     d = (
         df.select(value_cents.alias("_cents"))
@@ -407,8 +410,17 @@ def benford_digit_audit(df: DataFrame, value_cents: Column) -> DataFrame:
             .alias("digit")
         )
     )
-    counts = d.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(
+        d.groupBy("digit").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n_raw")
+        ),
+        "digit",
+        "left",
+    ).select(
+        "digit", F.coalesce("_n_raw", F.lit(0)).cast("bigint").alias("n_obs")
     )
     total = counts.agg(F.sum("n_obs").cast("bigint").alias("_n_total"))
     expected = F.col("_n_total") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))

@@ -757,8 +757,12 @@ def join_cardinality_estimate(
     )
     sampled = per_key.filter(
         hash_bucket("k", sample_buckets, salt) < sample_take
-    ).agg(F.sum("pairs").cast("long").alias("sampled_pairs"))
-    exact = per_key.agg(F.sum("pairs").cast("long").alias("exact_pairs"))
+    ).agg(F.coalesce(F.sum("pairs"), F.lit(0))
+          .cast("long").alias("sampled_pairs"))
+    # coalesce: a zero-overlap join has an EMPTY per-key histogram and
+    # sum-over-empty is NULL; the diagnostic row should say 0 pairs
+    exact = per_key.agg(F.coalesce(F.sum("pairs"), F.lit(0))
+                        .cast("long").alias("exact_pairs"))
     # bounded: two single-row aggregate scalars
     out = sampled.join(F.broadcast(exact))
     scale = F.lit(float(sample_buckets)) / F.lit(float(sample_take))
@@ -767,9 +771,12 @@ def join_cardinality_estimate(
         "sampled_pairs",
         est.alias("est_pairs"),
         "exact_pairs",
-        (
-            F.abs(est - F.col("exact_pairs").cast("double"))
-            / F.col("exact_pairs").cast("double")
+        # try_divide: disjoint key sets give exact_pairs = 0, and under
+        # the repo's ANSI sessions plain '/' would raise DIVIDE_BY_ZERO
+        # instead of returning the diagnostic row (NULL rel_err)
+        F.try_divide(
+            F.abs(est - F.col("exact_pairs").cast("double")),
+            F.col("exact_pairs").cast("double"),
         ).alias("rel_err"),
     )
 

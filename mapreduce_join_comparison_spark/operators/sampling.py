@@ -295,8 +295,11 @@ def kmv_distinct_per_group(
     2007 unbiased estimator): hash every value to [0, 2^32), keep each
     group's k smallest DISTINCT hashes, and estimate
     D̂ = (k−1)·2^32 / h_(k) from the k-th minimum. Groups with fewer
-    than k distinct values report their exact count (the sketch IS the
-    value set there).
+    than k distinct values report their count of distinct 32-bit
+    HASHES (``n_exact``) — exact up to hash collisions, which a 32-bit
+    space makes rare but not impossible (P ≈ k²/2³³ ≈ 5e-7 at k = 64),
+    so a collision silently undercounts by one; the sketch is the
+    hash set, not the value set.
 
     Unlike HLL (``hll_sketch_agg`` — an opaque binary whose oracle can
     only bound relative error), a KMV built on the repo's md5 hash is

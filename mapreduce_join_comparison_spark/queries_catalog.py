@@ -6389,8 +6389,11 @@ def join_asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(substr(cents::VARCHAR, 1, 1) AS INT) AS digit
       FROM e WHERE cents > 0
     ),
+    spine AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
     counts AS (
-      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+      SELECT spine.digit,
+             CAST(COALESCE(COUNT(d.digit), 0) AS BIGINT) AS n_obs
+      FROM spine LEFT JOIN d ON d.digit = spine.digit GROUP BY 1
     ),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts)
     SELECT digit, n_obs,

@@ -1,5 +1,5 @@
 """Round-6 operators: the value-axis binned cumulative decomposition
-(`_binned_grid_cumsums`) behind `weighted_median_binned` and
+(`_binned_value_cumsums`) behind `weighted_median_binned` and
 `ks_two_sample_binned` must reproduce the direct single-window forms
 BIT-FOR-BIT — PREV (bounded bin table) + INTRA ((group, bin)-parallel
 prefix) is exact BIGINT associativity, so equality here is Row
@@ -161,6 +161,39 @@ def test_group_mode_tiebreak_without_window(spark):
     out = {r["g"]: (r["mode_value"], r["mode_count"])
            for r in group_mode(df, ["g"], F.col("v")).collect()}
     assert out == {"a": (3, 2), "b": (7, 1)}
+
+
+def test_benford_emits_all_nine_digits(spark):
+    # values whose leading digits cover only {1, 2}: digits 3-9 must
+    # still emit rows with n_obs = 0 and chi2_contrib = expected
+    # (round-5 advice: absent digits silently dropped their chi2 term)
+    from mapreduce_join_comparison_spark.operators.aggregates import (
+        benford_digit_audit,
+    )
+
+    df = spark.createDataFrame([(100,), (150,), (200,)], "cents bigint")
+    out = benford_digit_audit(df, F.col("cents")).orderBy("digit").collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    by_d = {r["digit"]: r for r in out}
+    assert by_d[1]["n_obs"] == 2 and by_d[2]["n_obs"] == 1
+    for d in range(3, 10):
+        assert by_d[d]["n_obs"] == 0
+        # chi2 is rounded 6dp, expected 4dp — compare to tolerance
+        assert abs(by_d[d]["chi2_contrib"] - by_d[d]["expected"]) < 1e-4
+
+
+def test_cardinality_estimate_zero_overlap(spark):
+    # disjoint key sets: exact_pairs = 0 must yield NULL rel_err, not
+    # an ANSI DIVIDE_BY_ZERO (round-5 advice)
+    from mapreduce_join_comparison_spark.operators.joins import (
+        join_cardinality_estimate,
+    )
+
+    left = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    right = spark.createDataFrame([(i + 1000,) for i in range(50)],
+                                  "k bigint")
+    row = join_cardinality_estimate(left, right, "k", "k").collect()[0]
+    assert row["exact_pairs"] == 0 and row["rel_err"] is None
 
 
 def test_group_mode_plan_has_no_window(spark):
