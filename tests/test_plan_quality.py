@@ -407,6 +407,18 @@ EXPECTATIONS = {
     # four set-op branches (each a count-compare aggregate over a key
     # exchange) cross-joined as single-row scalars (allowlisted)
     "set_ops_multiset": (8, None),
+    # the returned DF scans the in-memory sink — the stateful work
+    # (ApplyInPandasWithState, pinned in test_streaming) runs inside
+    # the stream at materialization; the batch-side plan must stay a
+    # narrow scan
+    "events_stream_running_stats": (0, None),
+    # Arrow-batched header decode: one MapInPandas over the binary
+    # column, no shuffle anywhere
+    "multimodal_audio_probe": (0, "MapInPandas"),
+    # frontier iteration: the final unioned result re-keys once; each
+    # iteration's join runs at materialization (driver loop is
+    # iteration-bounded, not row-bounded)
+    "sql_recursive_reachability": (1, None),
 }
 
 

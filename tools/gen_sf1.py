@@ -1,10 +1,21 @@
-"""Deterministic sf1-scale soak data for the auto-sized blocking
-family (round-5 directive #5): ``documents.parquet`` (50 000 rows) and
-``embeddings.parquet`` (20 000 unit vectors) — 10× the driver's sf0.1
-tables, matching their observed distributions (31-word vocabulary,
-lang mix, src0..19 sources, ~44-580 char texts, unit-norm 64-d
-embeddings in 10 label clusters) plus injected exact/near duplicate
-structure so the dedup family has real work at scale.
+"""Deterministic sf1-scale soak data: ``documents.parquet`` (50 000
+rows) and ``embeddings.parquet`` (20 000 unit vectors) — 10× the
+driver's sf0.1 tables, matching their observed distributions (31-word
+vocabulary, lang mix, src0..19 sources, ~44-580 char texts, unit-norm
+64-d embeddings in 10 label clusters) plus injected exact/near
+duplicate structure so the dedup family has real work at scale.
+
+``--full`` (round-6 directive #5) additionally scales the relational
+driver tables to sf1 by TILING the read-only sf0.1 parquet 10× with
+FK-consistent key shifts: every entity key (custkey, orderkey,
+partkey, suppkey, event_id, user_id) is offset by copy × (max_key+1)
+in its home table AND in every referencing column, so joins produce
+10× the rows with identical per-key structure; nation/region (bounded
+dims) copy verbatim and nationkey references stay valid. Non-key
+columns duplicate exactly — the soak's parity gate compares Spark vs
+DuckDB on the SAME files, so duplication affects workload realism,
+not correctness, while keeping every literal predicate in the catalog
+(status flags, event types, date ranges) populated.
 
 The driver's /root/testdata is read-only and tops out at sf0.1; this
 generator (seed=42, pure numpy/pyarrow — no Spark needed) lets
@@ -12,7 +23,7 @@ generator (seed=42, pure numpy/pyarrow — no Spark needed) lets
 one tier further. Default output: /tmp/spark_graft_sf1 (regenerated on
 demand, never committed).
 
-Usage: python tools/gen_sf1.py [outdir] [--docs N] [--vecs N]
+Usage: python tools/gen_sf1.py [outdir] [--docs N] [--vecs N] [--full]
 """
 
 from __future__ import annotations
@@ -83,13 +94,65 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
     })
 
 
-def generate(outdir: str, n_docs: int = 50_000, n_vecs: int = 20_000) -> str:
+SRC_DIR = "/root/testdata/sf0.1"
+
+# table -> {column: key_space} for every key-bearing column; the same
+# key space gets the same shift everywhere it appears (FK consistency)
+KEYED = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part",
+                 "l_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+}
+USER_COL = {"events": "user_id"}
+
+
+def tile_relational(outdir: str, copies: int = 10) -> None:
+    """Write region/nation verbatim and the fact/dim tables tiled
+    ``copies``× with per-key-space shifts (copy × (max+1))."""
+    for t in ("region", "nation"):
+        pq.write_table(pq.read_table(os.path.join(SRC_DIR, f"{t}.parquet")),
+                       os.path.join(outdir, f"{t}.parquet"))
+    # key-space shift = max over EVERY column sharing the space + 1
+    space_max: dict[str, int] = {}
+    tables = {}
+    for t, colmap in KEYED.items():
+        tables[t] = pq.read_table(os.path.join(SRC_DIR, f"{t}.parquet"))
+        for col, space in colmap.items():
+            m = int(pa.compute.max(tables[t][col]).as_py())
+            space_max[space] = max(space_max.get(space, 0), m)
+    shift = {sp: m + 1 for sp, m in space_max.items()}
+    for t, colmap in KEYED.items():
+        base = tables[t]
+        parts = []
+        for c in range(copies):
+            cols = {}
+            for name in base.column_names:
+                arr = base[name]
+                if name in colmap and c:
+                    arr = pa.compute.add(
+                        arr.combine_chunks(),
+                        pa.scalar(c * shift[colmap[name]], pa.int64()),
+                    )
+                cols[name] = arr
+            parts.append(pa.table(cols))
+        pq.write_table(pa.concat_tables(parts),
+                       os.path.join(outdir, f"{t}.parquet"))
+
+
+def generate(outdir: str, n_docs: int = 50_000, n_vecs: int = 20_000,
+             full: bool = False) -> str:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
     pq.write_table(gen_documents(n_docs, rng),
                    os.path.join(outdir, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs, rng),
                    os.path.join(outdir, "embeddings.parquet"))
+    if full:
+        tile_relational(outdir)
     return outdir
 
 
@@ -98,9 +161,12 @@ def main() -> None:
     ap.add_argument("outdir", nargs="?", default="/tmp/spark_graft_sf1")
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--vecs", type=int, default=20_000)
+    ap.add_argument("--full", action="store_true",
+                    help="also tile the relational driver tables 10x")
     args = ap.parse_args()
-    out = generate(args.outdir, args.docs, args.vecs)
-    print(f"wrote {out}: documents={args.docs} embeddings={args.vecs}")
+    out = generate(args.outdir, args.docs, args.vecs, args.full)
+    print(f"wrote {out}: documents={args.docs} embeddings={args.vecs}"
+          + (" + relational tables at 10x sf0.1" if args.full else ""))
 
 
 if __name__ == "__main__":
