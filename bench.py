@@ -319,6 +319,7 @@ HEADLINE = [
     "join_null_safe",
     "agg_weighted_median",
     "set_ops_multiset",
+    "dedup_prefix_filter_indexed",
 ]
 
 

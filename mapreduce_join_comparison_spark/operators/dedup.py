@@ -876,6 +876,18 @@ def prefix_filter_jaccard_pairs(
     stages map onto directly.
     """
     t_milli = int(round(threshold * 1000))
+    sh_ids, prefix = _prefix_index_frames(df, text_col, id_col, k, t_milli)
+    cand = _prefix_candidates(prefix, t_milli)
+    return _prefix_verify(cand, sh_ids, threshold)
+
+
+def _prefix_index_frames(
+    df: DataFrame, text_col: str, id_col: str, k: int, t_milli: int
+):
+    """Stage 1 of AllPairs (shared by the single-query operator and
+    the two-job indexed deployment): the per-doc sorted shingle-id
+    arrays (id, n_sh, sids) and the PREFIX posting list (sid, id,
+    n_sh, pos) under the rarest-first canonical order."""
     df = fan_out(df)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
@@ -911,6 +923,14 @@ def prefix_filter_jaccard_pairs(
         "id", "n_sh", F.col("col").alias("sid"),
         (F.col("pos") + 1).alias("pos"),
     )
+    return sh_ids, prefix
+
+
+def _prefix_candidates(prefix: DataFrame, t_milli: int) -> DataFrame:
+    """Stage 2: per-shingle posting-list pair expansion + length and
+    PPJoin positional filters, all in exact milli ints. When
+    ``prefix`` is a table bucketed by ``sid``, the groupBy rides the
+    bucketing with zero exchange."""
     docs_arr = F.array_sort(F.collect_list(F.struct("id", "n_sh", "pos")))
     pair_expr = F.explode(
         F.flatten(
@@ -964,6 +984,16 @@ def prefix_filter_jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
+    return cand
+
+
+def _prefix_verify(
+    cand: DataFrame, sh_ids: DataFrame, threshold: float
+) -> DataFrame:
+    """Stage 3: exact verification — array_intersect of the two full
+    sorted id arrays, candidates only. When ``sh_ids`` is a table
+    bucketed by ``id``, the index side of each join needs no
+    exchange."""
     verified = (
         cand.join(
             sh_ids.select(F.col("id").alias("id_a"),
@@ -985,3 +1015,62 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def build_prefix_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+    table_prefix: str = "prefix_idx",
+    n_buckets: int = 16,
+) -> tuple[str, str]:
+    """Job 1 of the two-job AllPairs deployment
+    (``prefix_filter_jaccard_pairs``'s docstring promises it): build
+    the inverted index ONCE and persist it as bucketed tables —
+
+      * ``<prefix>_docs``: (id, n_sh, sids) bucketed+sorted by ``id``
+        (the verify side), and
+      * ``<prefix>_postings``: the prefix posting list (sid, id, n_sh,
+        pos) bucketed+sorted by ``sid`` (the candidate side)
+
+    — so every later probe (:func:`prefix_filter_jaccard_pairs_indexed`)
+    aggregates candidates and verifies WITHOUT re-shingling, re-ranking
+    or re-shuffling the corpus: the groupBy(sid) and the id-joins ride
+    the bucketing. This is the incremental-corpus shape a dedup service
+    needs at 100 TB: the index IS the service state, the single-query
+    operator's 3×-executed index subtree becomes one materialization,
+    and new shards append by re-running job 1 on the delta.
+
+    The prefix length is derived from ``threshold`` at BUILD time; a
+    probe is valid for any threshold ≥ the build threshold (smaller t
+    ⇒ longer prefixes ⇒ a superset index). Returns the two table
+    names."""
+    from ..sources.io import write_bucketed
+
+    t_milli = int(round(threshold * 1000))
+    sh_ids, prefix = _prefix_index_frames(df, text_col, id_col, k, t_milli)
+    docs_t, post_t = f"{table_prefix}_docs", f"{table_prefix}_postings"
+    write_bucketed(sh_ids, docs_t, ["id"], n_buckets, sort_cols=["id"])
+    write_bucketed(prefix, post_t, ["sid"], n_buckets, sort_cols=["sid"])
+    return docs_t, post_t
+
+
+def prefix_filter_jaccard_pairs_indexed(
+    spark,
+    threshold: float = 0.3,
+    table_prefix: str = "prefix_idx",
+) -> DataFrame:
+    """Job 2 of the two-job AllPairs deployment: probe the bucketed
+    index tables from :func:`build_prefix_index`. Output is IDENTICAL
+    to :func:`prefix_filter_jaccard_pairs` at the same (k, threshold)
+    — same candidates, same exact verification — but the corpus-scale
+    work is already on disk: the candidate groupBy(sid) and the two
+    verify joins' index sides ride the bucketing with no Exchange
+    (plan-pinned in tests/test_round6_ops.py)."""
+    t_milli = int(round(threshold * 1000))
+    docs = spark.table(f"{table_prefix}_docs")
+    postings = spark.table(f"{table_prefix}_postings")
+    cand = _prefix_candidates(postings, t_milli)
+    return _prefix_verify(cand, docs, threshold)

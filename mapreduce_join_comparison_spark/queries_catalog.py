@@ -1456,6 +1456,46 @@ def dedup_prefix_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(documents, k=3, threshold=0.3)
 
 
+@register(
+    "dedup_prefix_filter_indexed",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS common
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
+    FROM p WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.3
+    """,
+)
+def dedup_prefix_filter_indexed_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TWO-JOB deployment of ``dedup_prefix_filter``: job 1
+    materializes the AllPairs inverted index as bucketed tables (docs
+    by id, prefix postings by sid — the state a 100 TB dedup service
+    keeps between corpus increments), job 2 probes it — the candidate
+    groupBy(sid) and the verify joins' index sides ride the bucketing
+    with no Exchange. Same naive-plan oracle as the single-query
+    operator: equal output proves build+probe is lossless too."""
+    from .operators.dedup import (
+        build_prefix_index,
+        prefix_filter_jaccard_pairs_indexed,
+    )
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    build_prefix_index(
+        documents, k=3, threshold=0.3, table_prefix="prefix_idx_q"
+    )
+    return prefix_filter_jaccard_pairs_indexed(
+        spark, threshold=0.3, table_prefix="prefix_idx_q"
+    )
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str:
     from .operators.dedup import MERSENNE_P, minhash_params
 

@@ -419,6 +419,11 @@ EXPECTATIONS = {
     # iteration's join runs at materialization (driver loop is
     # iteration-bounded, not row-bounded)
     "sql_recursive_reachability": (1, None),
+    # two-job AllPairs probe: candidate groupBy(sid) and both verify
+    # joins' index sides ride the bucketed tables — the ONE exchange
+    # is the candidate-pair aggregate (the build job runs at query-
+    # construction time and is pinned in test_round6_ops)
+    "dedup_prefix_filter_indexed": (1, None),
 }
 
 

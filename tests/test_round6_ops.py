@@ -196,6 +196,37 @@ def test_cardinality_estimate_zero_overlap(spark):
     assert row["exact_pairs"] == 0 and row["rel_err"] is None
 
 
+def test_prefix_index_two_job_matches_single_query(spark):
+    # build + probe must reproduce the single-query operator exactly,
+    # and the probe must ride the bucketing: the only exchange is the
+    # candidate-pair aggregate, and neither bucketed scan re-sorts on
+    # its bucket key for the groupBy/joins
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        build_prefix_index,
+        prefix_filter_jaccard_pairs,
+        prefix_filter_jaccard_pairs_indexed,
+    )
+    from mapreduce_join_comparison_spark.plans.explain import (
+        count_shuffles,
+        simple_plan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    single = prefix_filter_jaccard_pairs(
+        docs, k=3, threshold=0.3
+    ).orderBy("id_a", "id_b").collect()
+    build_prefix_index(docs, k=3, threshold=0.3, table_prefix="t_pfx_test")
+    probe = prefix_filter_jaccard_pairs_indexed(
+        spark, threshold=0.3, table_prefix="t_pfx_test"
+    )
+    indexed = probe.orderBy("id_a", "id_b").collect()
+    assert indexed == single and len(single) > 0
+    assert count_shuffles(probe) <= 1, simple_plan(probe)
+    # bucketed reads: the probe scans tables, not loose parquet
+    plan = simple_plan(probe)
+    assert "Bucketed: true" in plan, plan
+
+
 def test_group_mode_plan_has_no_window(spark):
     rows = [("a", i % 3) for i in range(10)]
     df = spark.createDataFrame(rows, "g string, v bigint")
