@@ -806,6 +806,13 @@ def disorder_audit(
     with_dis = base.select(
         "_s", (F.max("_us").over(w) - F.col("_us")).alias("_dis")
     )
+    return _finish_disorder(with_dis, series_col)
+
+
+def _finish_disorder(with_dis: DataFrame, series_col: str) -> DataFrame:
+    """Shared aggregate tail of the direct and binned disorder audits
+    — identical expression tree, so binned ≡ direct reduces to the
+    running-max identity."""
     return with_dis.groupBy(F.col("_s").alias(series_col)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.when(F.col("_dis") > 0, 1).otherwise(0))
@@ -819,3 +826,73 @@ def disorder_audit(
         F.expr("n_late * 1000000 div n").alias("late_ppm"),
         "p50_disorder_us", "p75_disorder_us", "max_disorder_us",
     )
+
+
+def disorder_audit_binned(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    arrival_col: str,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """:func:`disorder_audit` with the running-max window in two-level
+    binned form — BIT-IDENTICAL output (max is associative:
+    running_max(r) = max(max of arrival-bins strictly before r's bin,
+    intra-bin running max at r); the shared aggregate tail makes the
+    equality one of integers). The direct form's window partition
+    count = series count (event types — LOW cardinality) while rows
+    per series grow with the corpus: the same round-5 scale-killer
+    shape as the weighted median. Here the arrival axis is binned per
+    series into ≤ n_bins + 1 equi-width cells; the intra window is
+    (series, bin)-parallel, the bins-before running max runs over the
+    BOUNDED bin table, and the per-bin maxes ride the intra exchange
+    (plain max per bin — no order dependence). Requires unique
+    ``arrival_col`` values within a series (the registered query uses
+    event_id), as does the direct form's ROWS frame for deterministic
+    output."""
+    us = F.unix_micros(F.col(ts_col))
+    base = df.select(
+        F.col(series_col).alias("_s"),
+        F.col(arrival_col).alias("_arr"),
+        us.alias("_us"),
+    )
+    # bounded: one row per series (the direct window's partition count)
+    span = base.groupBy("_s").agg(
+        F.min("_arr").alias("_lo"), F.max("_arr").alias("_hi")
+    )
+    binned = (
+        base.join(F.broadcast(span), "_s")
+        .withColumn(
+            "_bin",
+            F.expr(f"(_arr - _lo) DIV (((_hi - _lo) DIV {n_bins}) + 1)"),
+        )
+        .drop("_lo", "_hi")
+    )
+    w_intra = (
+        Window.partitionBy("_s", "_bin")
+        .orderBy("_arr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = binned.select(
+        "_s", "_bin", "_us",
+        F.max("_us").over(w_intra).alias("_imax"),
+    )
+    # rides the intra exchange (groupBy keys = window partition keys)
+    per_bin = intra.groupBy("_s", "_bin").agg(F.max("_us").alias("_bmax"))
+    w_prev = (
+        Window.partitionBy("_s")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # bounded: ≤ (n_bins + 1) rows per series
+    bin_cum = per_bin.select(
+        "_s", "_bin", F.max("_bmax").over(w_prev).alias("_pmax")
+    )
+    with_dis = intra.join(F.broadcast(bin_cum), ["_s", "_bin"]).select(
+        "_s",
+        (
+            F.greatest(F.col("_imax"), F.coalesce("_pmax", F.col("_imax")))
+            - F.col("_us")
+        ).alias("_dis"),
+    )
+    return _finish_disorder(with_dis, series_col)

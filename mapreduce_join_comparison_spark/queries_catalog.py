@@ -6810,12 +6810,15 @@ def events_disorder_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark — the measurement that sizes a streaming watermark. Disorder
     quantiles interpolate at QUARTER positions on exact µs ints
     (dyadic for any n — a p95 would not be; the exact max and late_ppm
-    carry the tail instead). Scale shape in
-    ``operators.timeseries.disorder_audit``."""
-    from .operators.timeseries import disorder_audit
+    carry the tail instead). Runs the BINNED two-level running-max
+    form ((series, bin)-parallel; the direct window's partition count
+    = 5 event types while rows grow with the corpus); the oracle IS
+    the direct form, so parity doubles as the equivalence proof.
+    Scale shape in ``operators.timeseries.disorder_audit_binned``."""
+    from .operators.timeseries import disorder_audit_binned
 
     (events,) = _load(spark, sf_dir, "events")
-    return disorder_audit(events, "event_type", "ts", "event_id")
+    return disorder_audit_binned(events, "event_type", "ts", "event_id")
 
 
 @register(

@@ -384,9 +384,11 @@ EXPECTATIONS = {
     # key-count exchange + the tiny count-of-counts exchange + its
     # bounded cumsum window (≤ max-multiplicity rows) + 1-row agg
     "stats_gini_skew": (3, "Window"),
-    # ONE series exchange shared by the running-max window and the
-    # per-series aggregate
-    "events_disorder_audit": (1, "Window"),
+    # binned two-level running max: span agg + (series,bin) intra
+    # exchange (per-bin maxes ride it) + tiny bin-table window + final
+    # agg; the intra subtree repeats statically under the bin-cum
+    # broadcast branch
+    "events_disorder_audit": (6, "Window"),
     # binned two-level form: one (group,bin) row exchange (the intra
     # RANGE window) + the tiny bin-table window exchange + the final
     # agg; the intra subtree repeats statically under the bin-cum

@@ -233,3 +233,37 @@ def test_group_mode_plan_has_no_window(spark):
     plan = group_mode(df, ["g"], F.col("v"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_disorder_audit_binned_equals_direct(spark):
+    # running max decomposes as max(prev-bins max, intra running max);
+    # stress: first bin (no prev), strictly increasing ts (no late),
+    # strictly decreasing ts (all late), single-row series
+    from mapreduce_join_comparison_spark.operators.timeseries import (
+        disorder_audit,
+        disorder_audit_binned,
+    )
+
+    rows = (
+        [(i, "up", i * 10) for i in range(1, 40)]
+        + [(i, "down", 4000 - i * 10) for i in range(1, 40)]
+        + [(i, "saw", (i * 37) % 200) for i in range(1, 40)]
+        + [(1, "solo", 99)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, us bigint"
+    ).select(
+        "event_id", "event_type", F.timestamp_micros("us").alias("ts")
+    )
+    direct = disorder_audit(
+        df, "event_type", "ts", "event_id"
+    ).orderBy("event_type").collect()
+    for nb in (1, 2, 5, 64):
+        binned = disorder_audit_binned(
+            df, "event_type", "ts", "event_id", n_bins=nb
+        ).orderBy("event_type").collect()
+        assert binned == direct, f"n_bins={nb}"
+    by_s = {r["event_type"]: r for r in direct}
+    assert by_s["up"]["n_late"] == 0
+    assert by_s["down"]["n_late"] == 38  # every row after the first
+    assert by_s["solo"]["max_disorder_us"] == 0
