@@ -887,6 +887,8 @@ def _binned_value_cumsums(
             F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
         )
         # width ≥ 1 and (hi-lo)/width ≤ n_bins ⇒ bin ids fit 0..n_bins
+        # bounded: span is one row per group — the direct window's own
+        # partition count, which this decomposition assumes is small
         binned = (
             base.join(F.broadcast(span), group_cols)
             .withColumn(
@@ -937,6 +939,7 @@ def _binned_value_cumsums(
         *[F.sum(f"_b_{c}").over(w_all).alias(f"_tot_{c}")
           for c in sum_cols],
     )
+    # bounded: bin_cum is ≤ (n_bins + 1) rows per group
     return intra.join(F.broadcast(bin_cum), [*group_cols, "_bin"]).select(
         *group_cols, "_v",
         *[F.col(c) for c in sum_cols],
