@@ -77,7 +77,9 @@ def test_asof_nearest_tie_group_survivor_symmetric(spark):
 
 def test_benford_digit_extraction(spark):
     # digits from exact integer strings: 1, 19, 2, 900 -> 1,1,2,9;
-    # zero and negative values are excluded
+    # zero and negative values are excluded. Since round 6 (advice
+    # fix) unobserved digits emit n_obs = 0 rows — the audit must
+    # cover the full 1-9 spine so absent digits still contribute chi2
     df = spark.createDataFrame(
         [(v,) for v in [1, 19, 2, 900, 0, -5]], "cents bigint"
     )
@@ -85,7 +87,7 @@ def test_benford_digit_extraction(spark):
         r["digit"]: r["n_obs"]
         for r in benford_digit_audit(df, F.col("cents")).collect()
     }
-    assert got == {1: 2, 2: 1, 9: 1}
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
 
 
 def test_benford_expected_follows_law(spark):
