@@ -814,34 +814,69 @@ def remove_boilerplate(
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("start")).alias("_starts"))
     )
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    n = F.size(toks)
-    starts_arr = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
-    # materialize the covered-position set FIRST, then membership-test:
-    # a nested lambda (filter(seq, j -> exists(starts, s -> s<=j<=s+k)))
-    # mis-binds the outer lambda variable inside the inner one
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                starts_arr,
-                lambda s: F.sequence(s, F.least(s + F.lit(k - 1), n)),
-            )
-        )
-    )
-    kept = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda j: ~F.array_contains(covered, j),
-    )
-    return (
+    # The rewrite references _toks and _covered ONLY as bound column
+    # attributes inside the lambdas: Spark's interpreted higher-order
+    # functions re-evaluate every captured NON-attribute subexpression
+    # once PER ARRAY ELEMENT, so the earlier inline form (covered =
+    # <transform-flatten-distinct tree> captured by the filter lambda)
+    # rebuilt the whole covered set — and re-split the document — for
+    # every position j: O(n²·k) string work per doc, measured 260 s
+    # for the sf1 rewrite stage alone vs ~16 s for all of the index
+    # stages. As attributes they are evaluated once per ROW (the
+    # membership scan itself stays, but over ints). Lowering the
+    # STRING before the whitespace split (exactly the oracle's
+    # lower-then-split) keeps _toks lambda-free, which also avoids the
+    # Spark 4 lambda-array attribute-binding trap documented in the
+    # verify skill. Each expensive alias is referenced by ≥2 output
+    # expressions (n_removed = size(_covered), the exact complement of
+    # size(_kept)) so CollapseProject never inlines it back into a
+    # lambda body.
+    joined = (
         df.join(starts, df[id_col] == starts["id"], "left")
-        .select(
-            F.col(id_col),
-            F.concat_ws(
-                " ", F.transform(kept, lambda j: F.element_at(toks, j))
-            ).alias("clean_text"),
-            n.cast("long").alias("n_tokens"),
-            (n - F.size(kept)).cast("long").alias("n_removed"),
+        .withColumn(
+            "_toks",
+            F.split(F.trim(F.lower(F.col(text_col))), TOKEN_PATTERN),
         )
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "_sarr",
+            F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+        )
+        # materialize the covered-position set FIRST, then
+        # membership-test: a nested lambda (filter(seq, j ->
+        # exists(starts, s -> s<=j<=s+k))) mis-binds the outer lambda
+        # variable inside the inner one
+        .withColumn(
+            "_covered",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("_sarr"),
+                        lambda s: F.sequence(
+                            s, F.least(s + F.lit(k - 1), F.col("_n"))
+                        ),
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "_kept",
+            F.filter(
+                F.sequence(F.lit(1), F.col("_n")),
+                lambda j: ~F.array_contains(F.col("_covered"), j),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.col("_kept"), lambda j: F.element_at(F.col("_toks"), j)
+            ),
+        ).alias("clean_text"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.size("_covered").cast("long").alias("n_removed"),
     )
 
 
