@@ -30,3 +30,34 @@ def test_report_matches_detail(tmp_path):
         "--detail BENCH_DETAIL.json --out REPORT.md` (or just re-run "
         "bench.py, which renders both)"
     )
+
+
+def test_readme_headline_count_matches_bench():
+    """Round-5 verdict: README cited a bench headline count that
+    disagreed with the committed artifact. The README's 'N-query
+    headline suite' sentence must track both bench.HEADLINE and the
+    committed BENCH_DETAIL.json."""
+    import json
+    import re
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    readme = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(r"the (\d+)-query headline suite", readme)
+    assert m, "README no longer cites the headline suite size"
+    cited = int(m.group(1))
+    assert cited == len(bench.HEADLINE), (
+        f"README cites {cited} headline queries; bench.HEADLINE has "
+        f"{len(bench.HEADLINE)} — update the README bench section"
+    )
+    if os.path.exists(DETAIL):
+        with open(DETAIL) as f:
+            detail = json.load(f)
+        artifact = [k for k in detail.get("queries_warm_detail", {})
+                    if not k.startswith("_")]
+        assert len(artifact) == cited, (
+            f"committed BENCH_DETAIL.json has {len(artifact)} headline "
+            f"keys; README cites {cited}"
+        )
