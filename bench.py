@@ -320,6 +320,8 @@ HEADLINE = [
     "agg_weighted_median",
     "set_ops_multiset",
     "dedup_prefix_filter_indexed",
+    "similarity_hybrid_rrf",
+    "pipeline_reward_normalize",
 ]
 
 

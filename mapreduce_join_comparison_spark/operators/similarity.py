@@ -766,3 +766,114 @@ def truncated_dim_recall(
             ),
         )
     )
+
+
+def hybrid_rrf_fusion(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k_each: int = 50,
+    k_final: int = 20,
+    rrf_k: int = 60,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke
+    & Büttcher, SIGIR 2009): a lexical run (query-by-example 3-shingle
+    Jaccard) and a dense run (exact cosine) each produce a top-k_each
+    list per query, fused by RRF(d) = Σ_runs 1/(rrf_k + rank_run(d))
+    with absent-from-run contributing 0 — the standard production
+    shape for BM25 + vector hybrid search (fuse bounded top-k LISTS,
+    never whole score distributions, so the fusion stage is
+    O(queries × k) regardless of corpus size).
+
+    Retrievable corpus = documents ⋈ embeddings on doc_id = vec_id
+    (only embeddable docs serve both runs); queries = the first
+    ``n_queries`` such docs, self-matches excluded from both runs.
+
+    Determinism/exactness: Jaccard is a division of exact ints; each
+    RRF term 1/(rrf_k + rank) is one exact-int division and the fused
+    score is ONE IEEE add of two such terms — bit-identical
+    cross-engine, no rounding anywhere; every rank window pins ties
+    (score desc, corpus_id asc).
+
+    Scale shape: the lexical candidates come from one shingle
+    broadcast-join (query shingles are a bounded batch) + one
+    (query, doc) count exchange of matched pairs only (docs sharing
+    zero shingles with a query never appear anywhere); the dense run
+    is brute_force_topk's one corpus scan. Both runs collapse to ≤
+    k_each rows per query BEFORE the fusion join, which is therefore
+    bounded-size; at 100 TB you swap the dense run for the IVF/LSH
+    index path and the fusion stage is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import shingles
+
+    corpus = documents.select("doc_id", "text").join(
+        embeddings.select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        "doc_id",
+    )
+    sh = corpus.select(
+        "doc_id", shingles("text", shingle_k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    q_sh = sh.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("n_sh").alias("qn"),
+        F.explode("sh").alias("shingle"),
+    )
+    c_sh = sh.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("n_sh").alias("cn"),
+        F.explode("sh").alias("shingle"),
+    )
+    # bounded: query shingles are an n_queries-sized batch
+    lex_common = (
+        c_sh.join(F.broadcast(q_sh), "shingle")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .groupBy("query_id", "corpus_id", "qn", "cn")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("cn") + F.col("qn") - F.col("common")
+    ).cast("double")
+    w_lex = Window.partitionBy("query_id").orderBy(
+        jac.desc(), F.col("corpus_id").asc()
+    )
+    lex = (
+        lex_common.withColumn("rank_lex", F.row_number().over(w_lex))
+        .filter(F.col("rank_lex") <= k_each)
+        .select("query_id", "corpus_id", "rank_lex")
+    )
+    dense = brute_force_topk(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        corpus.filter(F.col("doc_id") < n_queries).select(
+            F.col("doc_id").alias("query_id"), "embedding"
+        ),
+        k=k_each,
+    ).select("query_id", "corpus_id", F.col("rank").alias("rank_dense"))
+    fused = lex.join(dense, ["query_id", "corpus_id"], "full_outer")
+    rrf = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_dense")), F.lit(0.0)
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("final_rank", F.row_number().over(w_final))
+        .filter(F.col("final_rank") <= k_final)
+        .select(
+            "query_id", "corpus_id",
+            F.col("rank_lex").cast("int").alias("rank_lex"),
+            F.col("rank_dense").cast("int").alias("rank_dense"),
+            "rrf_score",
+            F.col("final_rank").cast("int").alias("final_rank"),
+        )
+    )

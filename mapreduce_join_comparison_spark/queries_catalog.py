@@ -7050,6 +7050,154 @@ def set_ops_multiset_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_hybrid_rrf",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    c AS (
+      SELECT s.doc_id, s.sh, e.embedding
+      FROM s JOIN embeddings e ON e.vec_id = s.doc_id
+    ),
+    q AS (
+      SELECT doc_id AS query_id, sh AS qsh, embedding AS qv
+      FROM c WHERE doc_id < 3
+    ),
+    lex_scored AS (
+      SELECT q.query_id, c.doc_id AS corpus_id,
+             CAST(len(list_intersect(c.sh, q.qsh)) AS BIGINT) AS common,
+             len(c.sh) AS cn, len(q.qsh) AS qn
+      FROM c, q WHERE c.doc_id <> q.query_id
+    ),
+    lex AS (
+      SELECT query_id, corpus_id, rank_lex FROM (
+        SELECT query_id, corpus_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY CAST(common AS DOUBLE)
+                          / CAST(cn + qn - common AS DOUBLE) DESC,
+                          corpus_id ASC) AS rank_lex
+        FROM lex_scored WHERE common > 0
+      ) WHERE rank_lex <= 50
+    ),
+    dense AS (
+      SELECT query_id, corpus_id, rank_dense FROM (
+        SELECT q.query_id, c.doc_id AS corpus_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(
+                            c.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                          c.doc_id ASC) AS rank_dense
+        FROM c, q WHERE c.doc_id <> q.query_id
+      ) WHERE rank_dense <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.corpus_id, d.corpus_id) AS corpus_id,
+             l.rank_lex, d.rank_dense,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank_lex), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rank_dense), 0)
+               AS rrf_score
+      FROM lex l FULL OUTER JOIN dense d
+        ON l.query_id = d.query_id AND l.corpus_id = d.corpus_id
+    )
+    SELECT query_id, corpus_id, CAST(rank_lex AS INT) AS rank_lex,
+           CAST(rank_dense AS INT) AS rank_dense, rrf_score,
+           CAST(final_rank AS INT) AS final_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rrf_score DESC, corpus_id ASC) AS final_rank
+      FROM fused
+    ) WHERE final_rank <= 20
+    """,
+)
+def similarity_hybrid_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09) — the production BM25+vector shape: a lexical run
+    (query-by-example 3-shingle Jaccard) and a dense run (exact
+    cosine) each yield a top-50 list per query; RRF(d) = sum of
+    1/(60+rank), absent-from-run = 0, fused top-20 returned. Every
+    score the ranking touches is an exact-int division (Jaccard, RRF
+    terms), the fused score is ONE IEEE add of two such terms, and
+    all rank windows pin ties — fully hash-verifiable, no rounding.
+    Scale shape in ``operators.similarity.hybrid_rrf_fusion``."""
+    from .operators.similarity import hybrid_rrf_fusion
+
+    documents, embeddings = _load(spark, sf_dir, "documents", "embeddings")
+    return hybrid_rrf_fusion(documents, embeddings)
+
+
+@register(
+    "pipeline_reward_normalize",
+    """
+    WITH r AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 1000) AS BIGINT) AS reward_milli
+      FROM events
+    ),
+    g AS (
+      SELECT event_id, user_id, reward_milli,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_group,
+             CAST(SUM(reward_milli) OVER w AS HUGEINT) AS s1,
+             CAST(SUM(reward_milli * reward_milli) OVER w AS HUGEINT)
+               AS s2
+      FROM r WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, reward_milli, n_group,
+           CASE WHEN n_group * s2 - s1 * s1 > 0
+                THEN CAST(reward_milli * n_group - s1 AS DOUBLE)
+                     / sqrt(CAST(n_group * s2 - s1 * s1 AS DOUBLE))
+                ELSE NULL END AS advantage
+    FROM g
+    """,
+)
+def pipeline_reward_normalize_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Group-relative reward normalization — the GRPO/RLOO advantage
+    (Shao et al. 2024, DeepSeekMath): per prompt group (user here),
+    z-score every reward against ITS group, z = (r*n - S1) /
+    sqrt(n*S2 - S1^2) — algebraically (r - mean)/sigma_pop but built
+    as one expression tree over exact integers (milli-rewards; the
+    cross terms in DECIMAL(38,0), DuckDB's HUGEINT — the
+    stats_linear_fit pattern), so both engines compute the identical
+    doubles; single-member or zero-variance groups yield NULL
+    (pinned, not NaN/inf — DuckDB's x/0.0 is inf while Spark's
+    try_divide is NULL, so the variance guard is an explicit CASE in
+    both). One window exchange on the group key (high-cardinality —
+    parallelism grows with the corpus); full-frame window sums share
+    it; no join, no collect."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("reward_milli"),
+    )
+    w = Window.partitionBy("user_id")
+    dec = "decimal(38,0)"
+    g = base.select(
+        "event_id", "user_id", "reward_milli",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_group"),
+        F.sum("reward_milli").over(w).cast(dec).alias("_s1"),
+        F.sum(F.col("reward_milli") * F.col("reward_milli")).over(w)
+        .cast(dec).alias("_s2"),
+    )
+    var_num = (
+        F.col("n_group").cast(dec) * F.col("_s2")
+        - F.col("_s1") * F.col("_s1")
+    )
+    return g.select(
+        "event_id", "user_id", "reward_milli", "n_group",
+        F.when(
+            var_num > 0,
+            (
+                F.col("reward_milli").cast(dec) * F.col("n_group").cast(dec)
+                - F.col("_s1")
+            ).cast("double")
+            / F.sqrt(var_num.cast("double")),
+        ).alias("advantage"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

@@ -426,6 +426,13 @@ EXPECTATIONS = {
     # is the candidate-pair aggregate (the build job runs at query-
     # construction time and is pinned in test_round6_ops)
     "dedup_prefix_filter_indexed": (1, None),
+    # two bounded top-k runs (lexical shingle broadcast-join + dense
+    # query-batch scan) fused on ≤ k rows per query; the shingle
+    # subtree repeats statically under both corpus/query branches
+    "similarity_hybrid_rrf": (7, "Window"),
+    # ONE group-key window exchange (high-cardinality user key);
+    # full-frame sums share it, z is a scalar expression — no join
+    "pipeline_reward_normalize": (1, "Window"),
 }
 
 
@@ -462,6 +469,10 @@ def test_no_all_pairs_nested_loop(spark, name):
 _NESTED_LOOP_ALLOWED = {
     "join_cross": "cross join BY DEFINITION (reference-absent row)",
     "similarity_bruteforce_topk": "exact baseline, documented O(N·Q)",
+    "similarity_hybrid_rrf": "dense run reuses the brute-force exact "
+                             "baseline (query-batch broadcast); the "
+                             "100 TB swap is the IVF/LSH index path "
+                             "with the fusion stage unchanged",
     "join_range_bands": "tiny band-table broadcast; large-large twin "
                         "(join_band_large) is bucket-equi",
     "events_resample_locf": "one-row bounds frame broadcast onto the grid",

@@ -267,3 +267,94 @@ def test_disorder_audit_binned_equals_direct(spark):
     assert by_s["up"]["n_late"] == 0
     assert by_s["down"]["n_late"] == 38  # every row after the first
     assert by_s["solo"]["max_disorder_us"] == 0
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    # tiny corpus where the two runs disagree: doc in ONE run only
+    # contributes a single RRF term; both-run docs outrank it; ties
+    # break on corpus_id
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        hybrid_rrf_fusion,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma epsilon"),    # lexically close to 0
+            (2, "zeta eta theta iota"),          # lexically unrelated
+            (3, "alpha beta gamma delta kappa"),  # lexically closest to 0
+        ],
+        "doc_id bigint, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),   # dense-orthogonal to 0
+            (2, [0.9, 0.1]),   # dense-close to 0
+            (3, [0.8, 0.2]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = hybrid_rrf_fusion(
+        docs, embs, n_queries=1, k_each=3, k_final=4
+    ).collect()
+    by_doc = {r["corpus_id"]: r for r in out}
+    # doc 3 leads both runs for query 0 (lexical superset + top cosine
+    # after 2? cosine(0,3)=0.97, cosine(0,2)=0.994 -> dense: 2 then 3)
+    assert by_doc[3]["rank_lex"] == 1
+    assert by_doc[2]["rank_dense"] == 1
+    # doc 2 shares no shingle with query 0: lexical rank NULL, still
+    # fused through its dense term
+    assert by_doc[2]["rank_lex"] is None
+    assert abs(by_doc[2]["rrf_score"] - 1.0 / 61) < 1e-12
+    # two-term fused scores: exactly coalesce(lex)+coalesce(dense)
+    for r in out:
+        expect = (1.0 / (60 + r["rank_lex"]) if r["rank_lex"] else 0.0) + (
+            1.0 / (60 + r["rank_dense"]) if r["rank_dense"] else 0.0
+        )
+        assert abs(r["rrf_score"] - expect) < 1e-15
+    # final ranking is rrf desc, corpus_id asc, contiguous from 1
+    ranks = sorted(r["final_rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_reward_normalize_groups(spark):
+    # one 3-member group (known z-scores), one zero-variance group,
+    # one singleton: variance guard must yield NULL, never inf/NaN
+    from mapreduce_join_comparison_spark import queries_catalog as qc
+
+    import math
+    import os
+    import tempfile
+
+    rows = [
+        (1, 10, 1.0), (2, 10, 2.0), (3, 10, 3.0),   # mean 2, sd_pop sqrt(2/3)
+        (4, 20, 5.0), (5, 20, 5.0),                  # zero variance
+        (6, 30, 7.0),                                # singleton
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        # single parquet FILE like the driver testdata (load_table
+        # footer-sniffs with pyarrow, which rejects directories)
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }),
+            os.path.join(d, "events.parquet"),
+        )
+        out = qc.QUERIES["pipeline_reward_normalize"](spark, d).collect()
+    by_e = {r["event_id"]: r for r in out}
+    # z for 1000,2000,3000 milli: (v*3 - 6000)/sqrt(3*14e6 - 36e6)
+    denom = math.sqrt(3 * (1000**2 + 2000**2 + 3000**2) - 6000**2)
+    assert abs(by_e[1]["advantage"] - (1000 * 3 - 6000) / denom) < 1e-12
+    assert abs(by_e[3]["advantage"] - (3000 * 3 - 6000) / denom) < 1e-12
+    assert by_e[2]["advantage"] == 0.0
+    assert by_e[4]["advantage"] is None and by_e[5]["advantage"] is None
+    assert by_e[6]["advantage"] is None
