@@ -322,6 +322,7 @@ HEADLINE = [
     "dedup_prefix_filter_indexed",
     "similarity_hybrid_rrf",
     "pipeline_reward_normalize",
+    "dedup_prefix_filter_delta",
 ]
 
 

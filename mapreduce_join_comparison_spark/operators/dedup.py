@@ -876,7 +876,7 @@ def prefix_filter_jaccard_pairs(
     stages map onto directly.
     """
     t_milli = int(round(threshold * 1000))
-    sh_ids, prefix = _prefix_index_frames(df, text_col, id_col, k, t_milli)
+    sh_ids, prefix, _ = _prefix_index_frames(df, text_col, id_col, k, t_milli)
     cand = _prefix_candidates(prefix, t_milli)
     return _prefix_verify(cand, sh_ids, threshold)
 
@@ -886,8 +886,9 @@ def _prefix_index_frames(
 ):
     """Stage 1 of AllPairs (shared by the single-query operator and
     the two-job indexed deployment): the per-doc sorted shingle-id
-    arrays (id, n_sh, sids) and the PREFIX posting list (sid, id,
-    n_sh, pos) under the rarest-first canonical order."""
+    arrays (id, n_sh, sids), the PREFIX posting list (sid, id, n_sh,
+    pos), and the shingle -> id dictionary, all under the rarest-first
+    canonical order."""
     df = fan_out(df)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
@@ -923,7 +924,7 @@ def _prefix_index_frames(
         "id", "n_sh", F.col("col").alias("sid"),
         (F.col("pos") + 1).alias("pos"),
     )
-    return sh_ids, prefix
+    return sh_ids, prefix, sdict
 
 
 def _prefix_candidates(prefix: DataFrame, t_milli: int) -> DataFrame:
@@ -1050,10 +1051,18 @@ def build_prefix_index(
     from ..sources.io import write_bucketed
 
     t_milli = int(round(threshold * 1000))
-    sh_ids, prefix = _prefix_index_frames(df, text_col, id_col, k, t_milli)
+    sh_ids, prefix, sdict = _prefix_index_frames(
+        df, text_col, id_col, k, t_milli)
     docs_t, post_t = f"{table_prefix}_docs", f"{table_prefix}_postings"
+    dict_t = f"{table_prefix}_dict"
     write_bucketed(sh_ids, docs_t, ["id"], n_buckets, sort_cols=["id"])
     write_bucketed(prefix, post_t, ["sid"], n_buckets, sort_cols=["sid"])
+    # the shingle -> canonical-id dictionary, bucketed by shingle: the
+    # DELTA probe (prefix_filter_probe_delta) encodes new documents
+    # under the STORED canonical order by joining their shingles here
+    # without touching the corpus
+    write_bucketed(sdict, dict_t, ["shingle"], n_buckets,
+                   sort_cols=["shingle"])
     return docs_t, post_t
 
 
@@ -1074,3 +1083,136 @@ def prefix_filter_jaccard_pairs_indexed(
     postings = spark.table(f"{table_prefix}_postings")
     cand = _prefix_candidates(postings, t_milli)
     return _prefix_verify(cand, docs, threshold)
+
+
+def prefix_filter_probe_delta(
+    spark,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+    table_prefix: str = "prefix_idx",
+) -> DataFrame:
+    """Incremental AllPairs: EXACT Jaccard ≥ t pairs between NEW
+    (delta) documents and the indexed corpus, probing the persisted
+    index from :func:`build_prefix_index` — the corpus is never
+    re-shingled, re-ranked, or re-scanned beyond its bucketed tables.
+    This is the steady-state shape of a dedup service: index once,
+    probe every incoming shard against it, rebuild on a slow cadence.
+
+    Exactness under the STORED canonical order: each delta document is
+    encoded by joining its shingles to the persisted dictionary; a
+    shingle the corpus has never seen has document frequency 0 there,
+    i.e. it is RAREST, so the delta doc's canonical order is (all
+    unseen shingles first, then known shingles by stored sid). The
+    prefix-filter lemma needs only a total order CONSISTENT across
+    both docs of a pair — the stored order extended with
+    unseen-as-rarest is exactly that (corpus docs contain no unseen
+    shingles, so their stored positions are unchanged under the
+    extension). Unseen shingles can never match a posting, so of the
+    delta prefix (length n − ⌈t·n⌉ + 1, the first u slots occupied by
+    unseen shingles) only the ``prefix − u`` SMALLEST known sids probe
+    the posting lists, at their true positions ``u + rank``; a delta
+    doc whose prefix is entirely unseen provably has no qualifying
+    corpus partner (its prefix ∩ corpus vocabulary = ∅), and the
+    probe correctly emits nothing. Length and PPJoin positional
+    filters apply unchanged (exact milli ints); verification
+    intersects the delta doc's KNOWN sid array with the stored corpus
+    array — unseen shingles cannot be shared, but they DO count in
+    |A| for the exact |A∪B| denominator.
+
+    Scale shape: the delta (≪ corpus) shuffles twice — once into the
+    dictionary's shingle bucketing, once into the postings' sid
+    bucketing — and the index side of every join is bucket-aligned
+    with zero exchange; the verify join reads only the candidate
+    corpus docs from the id-bucketed table. Returns
+    (delta_id, corpus_id, jaccard).
+
+    Delta-vs-delta duplicates are out of scope by design (run the
+    single-query operator on the shard, or fold the shard in and
+    rebuild); a pair's corpus side reflects the index AS BUILT.
+    """
+    t_milli = int(round(threshold * 1000))
+    sdict = spark.table(f"{table_prefix}_dict")
+    postings = spark.table(f"{table_prefix}_postings")
+    docs = spark.table(f"{table_prefix}_docs")
+
+    d_sh = fan_out(delta).select(
+        F.col(id_col).alias("did"), shingles(text_col, k).alias("sh")
+    ).withColumn("n_d", F.size("sh"))
+    d_exp = d_sh.select(
+        "did", "n_d", F.explode("sh").alias("shingle")
+    ).join(sdict, "shingle", "left")
+    enc = d_exp.groupBy("did").agg(
+        F.max("n_d").alias("n_d"),
+        F.array_sort(
+            F.collect_list("sid")  # collect_list drops the unseen NULLs
+        ).alias("known_sids"),
+    ).withColumn("_u", F.col("n_d") - F.size("known_sids"))
+    # prefix length n − ⌈t·n⌉ + 1 (exact milli ceil); unseen shingles
+    # occupy its first _u slots and never match a posting
+    plen = (
+        F.col("n_d")
+        - F.floor((F.col("n_d") * t_milli + 999) / 1000)
+        + 1
+    )
+    probe = enc.select(
+        "did", "n_d", "_u",
+        F.posexplode(
+            F.slice(
+                "known_sids", 1,
+                F.greatest(plen - F.col("_u"), F.lit(0)).cast("int"),
+            )
+        ),
+    ).select(
+        "did", "n_d",
+        F.col("col").alias("sid"),
+        (F.col("_u") + F.col("pos") + 1).alias("pos_d"),
+    )
+    cand = (
+        probe.join(
+            postings.select(
+                "sid", F.col("id").alias("cid"),
+                F.col("n_sh").alias("n_c"), F.col("pos").alias("pos_c"),
+            ),
+            "sid",
+        )
+        .filter(
+            (F.col("n_c") * 1000 >= F.col("n_d") * t_milli)
+            & (F.col("n_d") * 1000 >= F.col("n_c") * t_milli)
+        )
+        .groupBy("did", "cid", "n_d", "n_c")
+        .agg(F.min("pos_d").alias("mi"), F.min("pos_c").alias("mj"))
+        # PPJoin positional bound, as in _prefix_candidates
+        .filter(
+            F.least(
+                F.col("n_d") - F.col("mi") + 1, F.col("n_c") - F.col("mj") + 1
+            )
+            * (1000 + t_milli)
+            >= t_milli * (F.col("n_d") + F.col("n_c"))
+        )
+        .select("did", "cid")
+    )
+    verified = (
+        cand.join(enc.select("did", "n_d", "known_sids"), "did")
+        .join(
+            docs.select(F.col("id").alias("cid"),
+                        F.col("sids").alias("sids_c"),
+                        F.col("n_sh").alias("n_c")),
+            "cid",
+        )
+        .withColumn(
+            "common", F.size(F.array_intersect("known_sids", "sids_c"))
+        )
+    )
+    jac = F.col("common") / (F.col("n_d") + F.col("n_c") - F.col("common"))
+    return (
+        verified.withColumn("jaccard", jac.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("did").alias("delta_id"),
+            F.col("cid").alias("corpus_id"),
+            "jaccard",
+        )
+    )

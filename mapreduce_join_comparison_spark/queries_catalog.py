@@ -7051,6 +7051,60 @@ def set_ops_multiset_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_prefix_filter_delta",
+    f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    e_d AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s
+      WHERE doc_id % 10 = 0
+    ),
+    e_c AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s
+      WHERE doc_id % 10 <> 0
+    ),
+    p AS (
+      SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+             a.n AS nd, b.n AS nc, COUNT(*) AS common
+      FROM e_d a JOIN e_c b ON a.shingle = b.shingle
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT delta_id, corpus_id,
+           CAST(common AS DOUBLE) / (nd + nc - common) AS jaccard
+    FROM p WHERE CAST(common AS DOUBLE) / (nd + nc - common) >= 0.3
+    """,
+)
+def dedup_prefix_filter_delta_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL AllPairs — the dedup-service steady state: 90% of
+    the documents are indexed once (``build_prefix_index``), the
+    other 10% arrive as a delta shard and probe the PERSISTED
+    bucketed index for exact Jaccard ≥ 0.3 partners without the
+    corpus ever being re-shingled or re-ranked. Delta docs are
+    encoded under the STORED canonical order (unseen shingles =
+    rarest — consistent for both docs of any delta-corpus pair, so
+    the prefix lemma still holds and unseen-only prefixes provably
+    have no partner). The oracle is the NAIVE delta×corpus
+    shared-shingle join: equal output proves the incremental probe
+    lossless. Scale shape in
+    ``operators.dedup.prefix_filter_probe_delta``."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import build_prefix_index, prefix_filter_probe_delta
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 10 != 0)
+    delta = documents.filter(F.col("doc_id") % 10 == 0)
+    build_prefix_index(
+        corpus, k=3, threshold=0.3, table_prefix="prefix_idx_delta_q"
+    )
+    return prefix_filter_probe_delta(
+        spark, delta, k=3, threshold=0.3,
+        table_prefix="prefix_idx_delta_q",
+    )
+
+
+@register(
     "similarity_hybrid_rrf",
     f"""
     WITH s AS ({_SHINGLES_SQL}),

@@ -433,6 +433,11 @@ EXPECTATIONS = {
     # ONE group-key window exchange (high-cardinality user key);
     # full-frame sums share it, z is a scalar expression — no join
     "pipeline_reward_normalize": (1, "Window"),
+    # incremental probe: delta encodes against the bucketed dict
+    # (delta-side shuffle only), probes the sid-bucketed postings
+    # (candidate-pair agg), verifies against the id-bucketed docs —
+    # the corpus index side never exchanges
+    "dedup_prefix_filter_delta": (4, None),
 }
 
 

@@ -358,3 +358,56 @@ def test_reward_normalize_groups(spark):
     assert by_e[2]["advantage"] == 0.0
     assert by_e[4]["advantage"] is None and by_e[5]["advantage"] is None
     assert by_e[6]["advantage"] is None
+
+
+def test_prefix_delta_probe_exact_vs_naive(spark):
+    # incremental probe must equal the naive delta x corpus truth,
+    # including delta docs whose vocabulary the index never saw
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        build_prefix_index,
+        prefix_filter_probe_delta,
+        shingles,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y"), (3, "p q r s t u"),
+         (4, "m n o p q r")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "a b c d e g"),        # near-dup of 1
+         (101, "zz yy xx ww vv uu"),  # fully unseen vocabulary
+         (102, "p q r s t u"),        # exact dup of 3
+         (103, "q r")],               # shorter than k: single shingle
+        "doc_id bigint, text string",
+    )
+    build_prefix_index(corpus, k=3, threshold=0.3,
+                       table_prefix="t_delta_probe")
+    got = prefix_filter_probe_delta(
+        spark, delta, k=3, threshold=0.3, table_prefix="t_delta_probe"
+    ).orderBy("delta_id", "corpus_id").collect()
+    ds = delta.select(
+        F.col("doc_id").alias("delta_id"), shingles("text", 3).alias("sa")
+    )
+    cs = corpus.select(
+        F.col("doc_id").alias("corpus_id"), shingles("text", 3).alias("sb")
+    )
+    naive = (
+        ds.crossJoin(cs)
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            (F.col("common")
+             / (F.size("sa") + F.size("sb") - F.col("common")))
+            .cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select("delta_id", "corpus_id", "jaccard")
+        .orderBy("delta_id", "corpus_id")
+        .collect()
+    )
+    assert got == naive and len(got) >= 2
+    by_pair = {(r["delta_id"], r["corpus_id"]): r["jaccard"] for r in got}
+    assert by_pair[(102, 3)] == 1.0
+    assert abs(by_pair[(100, 1)] - 0.6) < 1e-12
+    assert all(d != 101 for d, _ in by_pair)  # unseen-only: no partner

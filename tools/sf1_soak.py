@@ -61,6 +61,10 @@ ORACLE_EXCEPTIONS = {
     "dedup_prefix_filter_indexed": (
         "same naive-plan oracle as dedup_prefix_filter"
     ),
+    "dedup_prefix_filter_delta": (
+        "oracle is the naive delta x corpus shared-shingle join — "
+        "the same quadratic shape as dedup_prefix_filter's"
+    ),
     "dedup_ngram_jaccard": (
         "oracle replays the same every-shared-shingle join the "
         "operator runs; at 50k docs / 31-word vocab both sides grind "
