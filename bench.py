@@ -13,7 +13,9 @@ the line past the driver's ~2 KB tail window)::
      "anchor_sec": ..., "zipf_total_sec": ...}
 
 ``value`` is the sum of HEADLINE warm medians only; the zipf join
-block reports separately as ``zipf_total_sec``. ``anchor_sec`` is the
+block reports separately as ``zipf_total_sec`` (the three join
+medians only — generation + staging is its own detail line item,
+never folded in). ``anchor_sec`` is the
 median of a fixed CPU-only calibration job timed once per repeat wave
 — compare it across environments to separate machine contention from
 regression. Per-query numbers, cold-pass timings and the skew/scaleup
@@ -448,9 +450,12 @@ def main() -> None:
     total_warm = round(
         sum(v["median"] for k, v in warm_detail.items()
             if not k.startswith("_")), 3)
+    # join medians only: zipf_generate_stage (generation + parquet
+    # staging) stays its own line item, per REPORT.md's "not in any
+    # join number" contract (round-6 advice)
     zipf_total = (
         round(sum(v for k, v in queries_warm.items()
-                  if k.startswith("zipf_")), 3)
+                  if k.startswith("zipf_join_")), 3)
         if not args.no_generated else None
     )
 

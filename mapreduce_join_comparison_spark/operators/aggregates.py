@@ -742,6 +742,31 @@ def ks_two_sample(
     )
 
 
+def _nullsafe_broadcast_join(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Broadcast inner join on ``keys`` with NULL-safe equality
+    (``<=>``) — a plain equi-join silently drops rows whose join key
+    is NULL (round-6 advice: the binned decompositions re-attach
+    per-group state via join-backs, so a NULL group key vanished from
+    their output while the direct forms emitted it). ``<=>`` is still
+    a hash-joinable condition, so the plan stays a BroadcastHashJoin;
+    the right side's key columns are renamed pre-join and dropped
+    after, leaving the same output columns as a USING-style join.
+    """
+    renamed = right.select(
+        *[F.col(k).alias(f"_nsj_{k}") for k in keys],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_nsj_{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(F.broadcast(renamed), cond).drop(
+        *[f"_nsj_{k}" for k in keys]
+    )
+
+
 def group_mode(
     df: DataFrame,
     group_cols: list[str],
@@ -760,6 +785,13 @@ def group_mode(
     every stage is (group, value)-parallel with map-side partials and
     no per-group serialization anywhere. Works for any orderable
     value type (no numeric negation trick needed for the tie-break).
+
+    NULL semantics match the old rank-window form exactly (round-6
+    advice): a NULL group key is a group (groupBy keeps it; the
+    join-back is NULL-safe ``<=>``, still a BroadcastHashJoin), and a
+    NULL value tied at the max count wins the tie-break (NULLS FIRST,
+    like the window's default ascending order) — ``F.min`` alone would
+    skip it.
     """
     counts = df.select(*group_cols, value_col.alias("_v")).groupBy(
         *group_cols, "_v"
@@ -767,11 +799,15 @@ def group_mode(
     # bounded: one row per group (the window's partition count)
     cmax = counts.groupBy(*group_cols).agg(F.max("_c").alias("_cmax"))
     return (
-        counts.join(F.broadcast(cmax), group_cols)
+        _nullsafe_broadcast_join(counts, cmax, group_cols)
         .filter(F.col("_c") == F.col("_cmax"))
         .groupBy(*group_cols)
         .agg(
-            F.min("_v").alias("mode_value"),
+            # NULLS-FIRST tie-break: a NULL value among the max-count
+            # ties is the mode (min skips NULLs, so gate on presence)
+            F.when(
+                F.max(F.col("_v").isNull()), F.lit(None)
+            ).otherwise(F.min("_v")).alias("mode_value"),
             F.max("_c").cast("bigint").alias("mode_count"),
         )
     )
@@ -862,7 +898,10 @@ def _binned_value_cumsums(
 
     Input: one row per RAW row with group cols, an exact-BIGINT
     ``_v``, and exact-BIGINT ``sum_cols`` (``_v`` must be non-null —
-    the direct forms order NULLs first; here a NULL bins to NULL).
+    the direct forms order NULLs first; here a NULL bins to NULL.
+    NULL GROUP KEYS are supported: every join-back uses NULL-safe
+    ``<=>`` so the NULL group survives, matching the direct forms —
+    round-6 advice).
     Output: the rows plus ``_cum_<c>`` (peer-inclusive cumulative in
     value order within group — every peer of a value carries the same
     cum, exactly the collapsed grid's number) and ``_tot_<c>`` (group
@@ -890,7 +929,7 @@ def _binned_value_cumsums(
         # bounded: span is one row per group — the direct window's own
         # partition count, which this decomposition assumes is small
         binned = (
-            base.join(F.broadcast(span), group_cols)
+            _nullsafe_broadcast_join(base, span, group_cols)
             .withColumn(
                 "_bin",
                 F.expr(f"(_v - _lo) DIV (((_hi - _lo) DIV {n_bins}) + 1)"),
@@ -940,7 +979,9 @@ def _binned_value_cumsums(
           for c in sum_cols],
     )
     # bounded: bin_cum is ≤ (n_bins + 1) rows per group
-    return intra.join(F.broadcast(bin_cum), [*group_cols, "_bin"]).select(
+    return _nullsafe_broadcast_join(
+        intra, bin_cum, [*group_cols, "_bin"]
+    ).select(
         *group_cols, "_v",
         *[F.col(c) for c in sum_cols],
         *[(F.col(f"_prev_{c}") + F.col(f"_i_{c}")).alias(f"_cum_{c}")
@@ -986,7 +1027,15 @@ def weighted_median_binned(
     needed at any tested scale) if a single bin's rows are still hot.
     ``bin_width`` as in :func:`_binned_value_cumsums`: a caller-known
     fixed width skips the span pass. Same exact-BIGINT rule, same
-    output columns as :func:`weighted_median`."""
+    output columns as :func:`weighted_median`.
+
+    NULL / degenerate parity with the direct form (round-6 advice):
+    NULL group keys survive (NULL-safe join-backs), and an
+    all-zero-weight group emits ``(0, min value)`` exactly like the
+    direct threshold does, instead of vanishing at the crossing
+    filter. Preconditions that remain: ``_v`` non-null, weights
+    non-negative (a mixed-sign weight column makes "cumulative weight
+    reaches half" ill-defined in both forms)."""
     from pyspark.sql.window import Window
 
     base = df.select(
@@ -1001,7 +1050,7 @@ def weighted_median_binned(
             F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
         )
         binned = (
-            base.join(F.broadcast(span), group_cols)
+            _nullsafe_broadcast_join(base, span, group_cols)
             .withColumn(
                 "_bin",
                 F.expr(f"(_v - _lo) DIV (((_hi - _lo) DIV {n_bins}) + 1)"),
@@ -1025,18 +1074,30 @@ def weighted_median_binned(
             *group_cols, "_bin", "_bw",
             F.coalesce(F.sum("_bw").over(w_prev), F.lit(0)).alias("_prev"),
             F.sum("_bw").over(w_all).alias("_tot"),
+            # same (group)-partitioned bounded window family — rides
+            # the per_bin exchange; only consulted when _tot == 0
+            F.row_number().over(
+                Window.partitionBy(*group_cols).orderBy("_bin")
+            ).alias("_bin_rn"),
         )
         # the unique crossing bin: prev is still short of half, the
-        # bin's own weight reaches it (so _bw > 0 there by definition)
+        # bin's own weight reaches it (so _bw > 0 there by definition).
+        # Degenerate all-zero-weight group (_tot == 0): the direct
+        # form's 2·cum ≥ W threshold holds at EVERY value, so its min
+        # is the group's first value — take the first bin (round-6
+        # advice: the plain crossing filter dropped the group).
         .filter(
-            (F.col("_prev") * 2 < F.col("_tot"))
-            & ((F.col("_prev") + F.col("_bw")) * 2 >= F.col("_tot"))
+            (
+                (F.col("_prev") * 2 < F.col("_tot"))
+                & ((F.col("_prev") + F.col("_bw")) * 2 >= F.col("_tot"))
+            )
+            | ((F.col("_tot") == 0) & (F.col("_bin_rn") == 1))
         )
         .select(*group_cols, "_bin", "_prev", "_tot")
     )
     # bounded: one target bin per group — a broadcast filter, the base
     # is never shuffled
-    refine = binned.join(F.broadcast(target), [*group_cols, "_bin"])
+    refine = _nullsafe_broadcast_join(binned, target, [*group_cols, "_bin"])
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("_v")

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .aggregates import _nullsafe_broadcast_join
+
 
 def _dense_per_bin(
     events: DataFrame,
@@ -849,7 +851,9 @@ def disorder_audit_binned(
     (plain max per bin — no order dependence). Requires unique
     ``arrival_col`` values within a series (the registered query uses
     event_id), as does the direct form's ROWS frame for deterministic
-    output."""
+    output. A NULL series key survives both join-backs (NULL-safe
+    ``<=>`` — round-6 advice) exactly as the direct form's window
+    keeps it as a partition."""
     us = F.unix_micros(F.col(ts_col))
     base = df.select(
         F.col(series_col).alias("_s"),
@@ -861,7 +865,7 @@ def disorder_audit_binned(
         F.min("_arr").alias("_lo"), F.max("_arr").alias("_hi")
     )
     binned = (
-        base.join(F.broadcast(span), "_s")
+        _nullsafe_broadcast_join(base, span, ["_s"])
         .withColumn(
             "_bin",
             F.expr(f"(_arr - _lo) DIV (((_hi - _lo) DIV {n_bins}) + 1)"),
@@ -888,7 +892,7 @@ def disorder_audit_binned(
     bin_cum = per_bin.select(
         "_s", "_bin", F.max("_bmax").over(w_prev).alias("_pmax")
     )
-    with_dis = intra.join(F.broadcast(bin_cum), ["_s", "_bin"]).select(
+    with_dis = _nullsafe_broadcast_join(intra, bin_cum, ["_s", "_bin"]).select(
         "_s",
         (
             F.greatest(F.col("_imax"), F.coalesce("_pmax", F.col("_imax")))

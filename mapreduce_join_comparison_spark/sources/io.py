@@ -186,6 +186,27 @@ def write_table(
         writer.format(fmt).save(path)
 
 
+def drop_table_and_stale_dir(spark, table_name: str,
+                             path: str | None = None) -> None:
+    """Idempotent saveAsTable precondition: drop the catalog entry AND
+    any stale warehouse directory a previous session left behind — a
+    fresh metastore doesn't know the old table, and saveAsTable
+    refuses to reuse its location (LOCATION_ALREADY_EXISTS)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        stale = os.path.join(warehouse, table_name.lower()) \
+            if warehouse else ""
+    else:
+        stale = path
+    if stale and os.path.isdir(stale):
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -202,23 +223,10 @@ def write_bucketed(
     merge path, which is the reference's one genuinely distinct
     capability (SURVEY.md §7.3)."""
     spark = df.sparkSession
-    # Idempotent across sessions: a stale data dir from a previous run
-    # is unknown to the fresh metastore, and saveAsTable refuses to
-    # reuse the location — drop both. ``path`` makes the table external
-    # (bucketBy still requires saveAsTable, but the data lands at an
-    # explicit location instead of the session warehouse).
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    if path is None:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-        if warehouse.startswith("file:"):
-            warehouse = warehouse[len("file:"):]
-        stale = os.path.join(warehouse, table_name.lower()) if warehouse else ""
-    else:
-        stale = path
-    if stale and os.path.isdir(stale):
-        import shutil
-
-        shutil.rmtree(stale, ignore_errors=True)
+    # ``path`` makes the table external (bucketBy still requires
+    # saveAsTable, but the data lands at an explicit location instead
+    # of the session warehouse).
+    drop_table_and_stale_dir(spark, table_name, path)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     if path is not None:

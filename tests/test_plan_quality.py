@@ -56,7 +56,11 @@ EXPECTATIONS = {
     "agg_pivot": (2, None),          # pivot = distinct values pass + agg
     "dedup_exact": (1, None),
     "dedup_ngram_jaccard": (3, None),
-    "dedup_simhash": (4, None),
+    # round-7 hot-bucket guard: 2x (sig agg + bucket-count window +
+    # triangle-cell join exchange) — the self-join recomputes the
+    # signature subtree per side; the duplicate-pair distinct is GONE
+    # (block-priority emission)
+    "dedup_simhash": (6, None),
     # similarity family: +1 everywhere for fan_out's RoundRobin spread
     # of the single-file local corpus scan (absent on a multi-split
     # source at scale) + the query_id top-k window exchange
