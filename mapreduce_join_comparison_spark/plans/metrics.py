@@ -75,6 +75,19 @@ def collect_plan_metrics(df: DataFrame) -> RunStats:
     n_out = df._jdf.queryExecution().toRdd().count()
     wall = time.monotonic() - t0
     stats = RunStats(wall_seconds=round(wall, 4), output_rows=int(n_out))
+    rows, shuffled = harvest_operator_rows(df)
+    stats.operator_rows = rows
+    stats.shuffle_rows_written = shuffled
+    return stats
+
+
+def harvest_operator_rows(df: DataFrame) -> tuple[dict, int]:
+    """Read (operator → numOutputRows list, total shuffle records)
+    from ``df``'s CURRENT QueryExecution without executing anything —
+    for callers that already ran the plan (``df.collect()``,
+    ``collect_plan_metrics``) and want the counters afterwards."""
+    operator_rows: dict[str, list[int]] = {}
+    shuffled = 0
     plan = df._jdf.queryExecution().executedPlan()
     for node in _walk(plan):
         name = node.nodeName()
@@ -82,12 +95,37 @@ def collect_plan_metrics(df: DataFrame) -> RunStats:
         for key in _seq(metrics.keySet().toList()):
             metric = metrics.get(key).get()
             if key == "numOutputRows":
-                stats.operator_rows.setdefault(name, []).append(
+                operator_rows.setdefault(name, []).append(
                     int(metric.value())
                 )
             elif key == "shuffleRecordsWritten":
-                stats.shuffle_rows_written += int(metric.value())
-    return stats
+                shuffled += int(metric.value())
+    return operator_rows, shuffled
+
+
+def peak_intermediate_rows(stats: RunStats) -> int | None:
+    """Candidate-stage volume for the blocking family (round-7
+    directive #5): the max ``numOutputRows`` over the executed plan's
+    non-scan nodes. The candidate generator differs per plan shape (a
+    join in the SimHash/LSH bucket forms, a Generate-explode after a
+    per-sid aggregate in the indexed AllPairs probe), but it is always
+    the WIDEST intermediate — everything downstream only narrows — so
+    the peak against the naive pair count is the prune ratio the scale
+    claim rests on: a blocked operator whose every intermediate stays
+    ≪ n(n-1)/2 demonstrably never materializes the quadratic pair
+    space. Scans (and their ColumnarToRow mirrors) are excluded so
+    input size isn't conflated with intermediate blow-up. Accepts a
+    :class:`RunStats` or a bare operator→rows dict
+    (:func:`harvest_operator_rows`)."""
+    rows = stats.operator_rows if hasattr(stats, "operator_rows") \
+        else stats
+    best = None
+    for name, vals in rows.items():
+        if name.startswith("Scan") or name == "ColumnarToRow":
+            continue
+        m = max(vals)
+        best = m if best is None else max(best, m)
+    return best
 
 
 def task_time_summary(spark) -> dict[str, float]:

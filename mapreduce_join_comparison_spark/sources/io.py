@@ -186,6 +186,38 @@ def write_table(
         writer.format(fmt).save(path)
 
 
+def has_avro_datasource(spark) -> bool:
+    """Probe for the Avro datasource (SURVEY §2.1's remaining
+    free-in-Spark format). Avro is "built-in but external" since Spark
+    2.4: the reader/writer lives in ``spark-avro_2.13.jar``, which is
+    NOT part of a plain pyspark install — deployments add
+    ``--packages org.apache.spark:spark-avro_2.13:<spark version>``.
+
+    Container-constraint note (round-7 check): this build environment
+    ships pyspark's avro CORE jars (avro-1.12.1) but not the
+    datasource module, and has no Maven/package-index network access,
+    so the dependency genuinely cannot exist here — the capability is
+    probe-gated exactly like ``streaming/events._has_protobuf``, its
+    tests are environment-skips, and on any normally-provisioned
+    cluster the gate passes and :func:`avro_roundtrip` runs."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat")
+        return True
+    except Exception:
+        return False
+
+
+def avro_roundtrip(spark, df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as Avro and read it back with the explicit schema
+    (schema inference is an extra scan — never at 100 TB). Same
+    roundtrip contract as the JSON/ORC catalog twins
+    (``source_json_roundtrip``); call sites gate on
+    :func:`has_avro_datasource`."""
+    write_table(df, path, fmt="avro")
+    return spark.read.format("avro").schema(df.schema).load(path)
+
+
 def drop_table_and_stale_dir(spark, table_name: str,
                              path: str | None = None) -> None:
     """Idempotent saveAsTable precondition: drop the catalog entry AND

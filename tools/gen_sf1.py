@@ -74,6 +74,80 @@ def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
     })
 
 
+def gen_documents_realistic(
+    n_docs: int,
+    rng: np.random.Generator,
+    vocab_size: int = 50_000,
+    zipf_s: float = 1.07,
+) -> pa.Table:
+    """Round-7 directive #1: a REALISTIC-vocabulary corpus for the
+    dedup soak. The legacy 31-word vocabulary makes every 3-word
+    shingle hot (31³ possible shingles, all frequent), so the
+    prefix/pigeonhole pruning the dedup family's 100 TB story rests on
+    was never exercised — candidates degenerated toward worst case and
+    "prunes well" stayed asserted, not demonstrated.
+
+    Here token frequencies follow a bounded Zipf law (rank^-s over
+    ``vocab_size`` ≥ 50k distinct syllable-composed words, s ≈ 1.07 —
+    the classic fit for natural text), so shingle document-frequency
+    has the realistic long tail: a few hot boilerplate shingles, a
+    vast majority that appear in O(1) docs. Duplicate structure
+    matches the legacy generator (every 250th doc an exact copy, every
+    100th a ~4 %-mutated near-copy) plus 20 shared 8-word boilerplate
+    headers on every 4th doc — the realistic source of hot shingles
+    (real corpora have headers/footers, not uniform soup)."""
+    syls = np.array([c + v for c in "bcdfghjklmnpqrstvwz"
+                     for v in "aeiou"])
+    n_s = len(syls)
+    if vocab_size > n_s ** 3:
+        raise ValueError(f"vocab_size caps at {n_s ** 3}")
+    idx = np.arange(vocab_size)
+    vocab = np.char.add(
+        np.char.add(syls[idx // (n_s * n_s) % n_s], syls[(idx // n_s) % n_s]),
+        syls[idx % n_s],
+    )
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    p = ranks ** -zipf_s
+    p /= p.sum()
+    n_words = np.clip(
+        rng.lognormal(4.4, 0.6, size=n_docs), 20, 400
+    ).astype(np.int64)
+    toks = rng.choice(vocab_size, size=int(n_words.sum()), p=p)
+    templates = [
+        " ".join(vocab[rng.choice(vocab_size, size=8, p=p)])
+        for _ in range(20)
+    ]
+    texts: list[str] = []
+    off = 0
+    for i in range(n_docs):
+        words = vocab[toks[off:off + n_words[i]]]
+        off += int(n_words[i])
+        if i and i % 250 == 0:
+            texts.append(texts[i - 1])            # exact duplicate
+            continue
+        if i and i % 100 == 0:
+            # near-duplicate: ~4% of tokens mutated (Zipf-resampled)
+            prev = texts[i - 1].split()
+            n_mut = max(1, len(prev) // 25)
+            for j in rng.integers(0, len(prev), size=n_mut):
+                prev[int(j)] = str(vocab[int(rng.choice(vocab_size, p=p))])
+            texts.append(" ".join(prev))
+            continue
+        t = " ".join(words)
+        if i % 4 == 0:
+            t = templates[(i // 4) % len(templates)] + " " + t
+        texts.append(t)
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in range(n_docs)],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
 def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
     dim, n_labels = 64, 10
     cents = rng.standard_normal((n_labels, dim))
@@ -144,10 +218,11 @@ def tile_relational(outdir: str, copies: int = 10) -> None:
 
 
 def generate(outdir: str, n_docs: int = 50_000, n_vecs: int = 20_000,
-             full: bool = False) -> str:
+             full: bool = False, realistic_vocab: bool = False) -> str:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
-    pq.write_table(gen_documents(n_docs, rng),
+    docgen = gen_documents_realistic if realistic_vocab else gen_documents
+    pq.write_table(docgen(n_docs, rng),
                    os.path.join(outdir, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs, rng),
                    os.path.join(outdir, "embeddings.parquet"))
@@ -163,10 +238,16 @@ def main() -> None:
     ap.add_argument("--vecs", type=int, default=20_000)
     ap.add_argument("--full", action="store_true",
                     help="also tile the relational driver tables 10x")
+    ap.add_argument("--realistic-vocab", action="store_true",
+                    help="Zipf token frequencies over a 50k-word "
+                         "vocabulary (dedup-soak corpus) instead of "
+                         "the 31-word sf0.1 lookalike")
     args = ap.parse_args()
-    out = generate(args.outdir, args.docs, args.vecs, args.full)
+    out = generate(args.outdir, args.docs, args.vecs, args.full,
+                   args.realistic_vocab)
     print(f"wrote {out}: documents={args.docs} embeddings={args.vecs}"
-          + (" + relational tables at 10x sf0.1" if args.full else ""))
+          + (" + relational tables at 10x sf0.1" if args.full else "")
+          + (" [realistic vocab]" if args.realistic_vocab else ""))
 
 
 if __name__ == "__main__":
