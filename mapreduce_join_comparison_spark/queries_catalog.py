@@ -3469,6 +3469,33 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+@register("source_avro_roundtrip", _NATION_SQL)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink — the last of SURVEY §2.1's free-in-Spark
+    formats (row-oriented, the classic Kafka/ingest interchange).
+    Avro has been built-in-but-external since Spark 2.4: the short
+    ``format("avro")`` name only resolves where the spark-avro module
+    jar registers it, and this pyspark build ships the implementation
+    classes without that service entry — so ``sources/io.AVRO_FORMAT``
+    names the FileFormat class directly, which works on BOTH layouts
+    (``has_avro_datasource`` probes the class). Same explicit-schema
+    roundtrip contract as the JSON/ORC twins."""
+    import tempfile
+
+    from .sources.io import avro_roundtrip, has_avro_datasource
+
+    if not has_avro_datasource(spark):
+        raise RuntimeError(
+            "Avro implementation classes absent from this Spark "
+            "distribution — deploy spark-avro_2.13 "
+            "(sources/io.has_avro_datasource)"
+        )
+    (nation,) = _load(spark, sf_dir, "nation")
+    proj = nation.select("n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_avro_roundtrip")
+    return avro_roundtrip(spark, proj, path)
+
+
 @register(
     "source_schema_evolution",
     """

@@ -186,23 +186,25 @@ def write_table(
         writer.format(fmt).save(path)
 
 
-def has_avro_datasource(spark) -> bool:
-    """Probe for the Avro datasource (SURVEY §2.1's remaining
-    free-in-Spark format). Avro is "built-in but external" since Spark
-    2.4: the reader/writer lives in ``spark-avro_2.13.jar``, which is
-    NOT part of a plain pyspark install — deployments add
-    ``--packages org.apache.spark:spark-avro_2.13:<spark version>``.
+# Avro is "built-in but external" since Spark 2.4: the SHORT name
+# ("avro") only resolves where the spark-avro module jar contributes
+# its DataSourceRegister service entry. This pyspark build ships the
+# implementation classes inside spark-sql_2.13 but NOT the service
+# entry, so the engine names the FileFormat class directly — the
+# class-name path works on every distribution (with or without the
+# module jar) and needs no Maven access.
+AVRO_FORMAT = "org.apache.spark.sql.avro.AvroFileFormat"
 
-    Container-constraint note (round-7 check): this build environment
-    ships pyspark's avro CORE jars (avro-1.12.1) but not the
-    datasource module, and has no Maven/package-index network access,
-    so the dependency genuinely cannot exist here — the capability is
-    probe-gated exactly like ``streaming/events._has_protobuf``, its
-    tests are environment-skips, and on any normally-provisioned
-    cluster the gate passes and :func:`avro_roundtrip` runs."""
+
+def has_avro_datasource(spark) -> bool:
+    """Probe for the Avro implementation classes (SURVEY §2.1's
+    remaining free-in-Spark format) — class-presence check in the
+    spirit of ``streaming/events._has_protobuf``. True here (pyspark
+    4.1 bundles the classes in spark-sql even though ``format("avro")``
+    by short name fails for lack of the service registration); callers
+    use :data:`AVRO_FORMAT` so both layouts work."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.avro.AvroFileFormat")
+        spark._jvm.java.lang.Class.forName(AVRO_FORMAT)
         return True
     except Exception:
         return False
@@ -214,8 +216,8 @@ def avro_roundtrip(spark, df: DataFrame, path: str) -> DataFrame:
     roundtrip contract as the JSON/ORC catalog twins
     (``source_json_roundtrip``); call sites gate on
     :func:`has_avro_datasource`."""
-    write_table(df, path, fmt="avro")
-    return spark.read.format("avro").schema(df.schema).load(path)
+    df.write.mode("overwrite").format(AVRO_FORMAT).save(path)
+    return spark.read.format(AVRO_FORMAT).schema(df.schema).load(path)
 
 
 def drop_table_and_stale_dir(spark, table_name: str,

@@ -114,11 +114,12 @@ def test_ks_binned_null_group_key(spark):
 
 
 def test_avro_roundtrip_or_environment_gate(spark):
-    # SURVEY §2.1's last free-in-Spark format: avro is built-in but
-    # external (spark-avro_2.13 jar); this container has neither the
-    # jar nor network, so the capability is probe-gated like the
-    # protobuf twin — the probe must answer cleanly either way, and
-    # where it answers True the roundtrip must be lossless
+    # SURVEY §2.1's last free-in-Spark format. The short "avro" name
+    # needs the spark-avro module's DataSourceRegister entry, which
+    # this pyspark build omits — but the implementation classes ship
+    # inside spark-sql, so sources/io names the FileFormat class
+    # directly; the probe must answer cleanly either way, and where it
+    # answers True the roundtrip must be lossless
     import pytest
 
     from mapreduce_join_comparison_spark.sources.io import (
@@ -129,7 +130,7 @@ def test_avro_roundtrip_or_environment_gate(spark):
     nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet") \
         .select("n_nationkey", "n_name", "n_regionkey")
     if not has_avro_datasource(spark):
-        pytest.skip("spark-avro datasource jar absent in this container "
+        pytest.skip("avro implementation classes absent "
                     "(documented gate: sources/io.has_avro_datasource)")
     back = avro_roundtrip(spark, nation, "/tmp/spark_graft_avro_rt")
     assert sorted(back.collect()) == sorted(nation.collect())
