@@ -381,6 +381,12 @@ def main() -> None:
                          "the full skew set, the rest the scaleup skews "
                          "(20M extends the trend one notch past the "
                          "reference's merge-join failure point)")
+    ap.add_argument("--full-grid", action="store_true",
+                    help="run the FULL 7-skew set at EVERY --sweep-rows "
+                         "count (round-7 directive #7: the committed "
+                         "REPORT.md 3x7 grid), not just the first — "
+                         "~20 extra generated-join cells; not part of "
+                         "the per-round driver bench")
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument(
         "--repeats", type=int,
@@ -468,11 +474,15 @@ def main() -> None:
         # pole — the reference's own sweep uses 1.01 there too), then
         # 10x rows at the skews where the reference degraded (0.5) and
         # failed (1.2)
+        full_skews = [0.1, 0.3, 0.5, 0.7, 0.9, 1.01, 1.2]
         skew_curve, skew_curve_generate, skew_curve_spread = bench_skew_curve(
             spark,
-            skews=[0.1, 0.3, 0.5, 0.7, 0.9, 1.01, 1.2],
+            skews=full_skews,
             rows_list=args.sweep_rows,
-            scaleup_skews=[0.5, 1.2],
+            # --full-grid: every row count gets all 7 skews (the
+            # committed REPORT.md 3x7 grid, run manually); per-round
+            # driver benches keep the 2-skew scale-up spot checks
+            scaleup_skews=full_skews if args.full_grid else [0.5, 1.2],
         )
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]

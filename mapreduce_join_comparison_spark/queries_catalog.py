@@ -5640,11 +5640,14 @@ def pipeline_bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting step after tokenizer training. The vocabulary (word →
     segment list) is vocabulary-sized; documents explode to words once
     and equi-join it (AQE chooses broadcast vs shuffle — never
-    forced), then re-aggregate per doc."""
+    forced), then re-aggregate per doc. ``batch_k=8``: the exact
+    batched merge loop (``operators/bpe._select_batch``) —
+    bit-identical to sequential with fewer driver round trips; the
+    sequential unrolled oracle IS the equivalence check."""
     from .operators.bpe import bpe_encode_stats
 
     (documents,) = _load(spark, sf_dir, "documents")
-    return bpe_encode_stats(documents, n_merges=8)
+    return bpe_encode_stats(documents, n_merges=8, batch_k=8)
 
 
 @register("pipeline_bpe_vocab", _bpe_oracle(8))
@@ -5654,11 +5657,15 @@ def pipeline_bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate); every merge iteration runs over the vocabulary-sized
     distinct-word table with one map-side-combined pair-count shuffle
     and a 1-row argmax collect (same driver-loop shape as pagerank),
-    and the merge rewrite itself is narrow JVM string work."""
+    and the merge rewrite itself is narrow JVM string work.
+    ``batch_k=8`` engages the EXACT batched loop (round-7 directive
+    #6): up to 8 merges per driver round trip under the
+    strict-dominance batch rule, output bit-identical to sequential —
+    proven by THIS key's unrolled sequential CTE oracle."""
     from .operators.bpe import bpe_merges
 
     (documents,) = _load(spark, sf_dir, "documents")
-    return bpe_merges(documents, n_merges=8)
+    return bpe_merges(documents, n_merges=8, batch_k=8)
 
 
 @register(

@@ -251,6 +251,97 @@ def test_simhash_query_no_distinct_exchange(spark):
     assert out.count() > 0
 
 
+def _bpe_rows(df):
+    return sorted(
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in df.collect()
+    )
+
+
+def test_bpe_batched_equals_sequential(spark):
+    # round-7 directive #6: the batched merge loop must be
+    # BIT-IDENTICAL to sequential — same merges, same ranks, same
+    # recorded counts — on corpora crafted to stress the batch rule:
+    # tied counts, chained pairs (b follows a), merged symbols that
+    # re-enter later merges, and a Zipf-ish frequency decay
+    from mapreduce_join_comparison_spark.operators.bpe import bpe_merges
+
+    corpora = [
+        ["the theme there then the other theory",
+         "hash hashing hashed rehash hash",
+         "low lower lowest slower slow low"],
+        ["aaaa abab ba ba", "abab abab aaaa ba"],        # ties + chains
+        ["xy xy xy xyz xyz zyx", "yz yz zy zy xy"],      # shared symbols
+        ["aa"] * 5 + ["ab"] * 4 + ["bc"] * 3 + ["cd"] * 2,
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        for n in (3, 8):
+            seq = _bpe_rows(bpe_merges(df, n_merges=n, batch_k=1))
+            for k in (2, 4, 8):
+                bat = _bpe_rows(bpe_merges(df, n_merges=n, batch_k=k))
+                assert bat == seq, f"n={n} k={k} texts={texts[:1]}"
+
+
+def test_bpe_batched_cuts_driver_round_trips(spark):
+    # on the driver corpus the realized batch must actually shrink the
+    # number of pair-count rounds (each round = one _pair_counts call)
+    import mapreduce_join_comparison_spark.operators.bpe as bpe_mod
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    calls = {"n": 0}
+    orig = bpe_mod._pair_counts
+
+    def counting(seqs):
+        calls["n"] += 1
+        return orig(seqs)
+
+    bpe_mod._pair_counts = counting
+    try:
+        calls["n"] = 0
+        seq = _bpe_rows(bpe_mod.bpe_merges(docs, n_merges=8, batch_k=1))
+        seq_rounds = calls["n"]
+        calls["n"] = 0
+        bat = _bpe_rows(bpe_mod.bpe_merges(docs, n_merges=8, batch_k=8))
+        bat_rounds = calls["n"]
+    finally:
+        bpe_mod._pair_counts = orig
+    assert bat == seq
+    assert seq_rounds == 8 and bat_rounds < seq_rounds, \
+        f"{bat_rounds} vs {seq_rounds}"
+
+
+def test_bpe_select_batch_rule_is_conservative():
+    # unit-pin the exact batch rule: a pair sharing a symbol with an
+    # accepted merge ends the batch; a count not strictly dominating
+    # 2x the best sharing/cutoff bound ends the batch
+    from mapreduce_join_comparison_spark.operators.bpe import _select_batch
+
+    rows = [
+        {"l": "a", "r": "b", "cnt": 100},
+        {"l": "c", "r": "d", "cnt": 90},   # disjoint, 90 > 2*40 -> in
+        {"l": "a", "r": "x", "cnt": 40},   # shares 'a' -> batch ends
+        {"l": "e", "r": "f", "cnt": 39},
+    ]
+    got = _select_batch(rows, batch_k=8, complete=True)
+    assert [(l, r) for l, r, _ in got] == [("a", "b"), ("c", "d")]
+    # the dominance rule: second pair NOT accepted when its count is
+    # within 2x of a later pair that shares a symbol with the first
+    rows2 = [
+        {"l": "a", "r": "b", "cnt": 100},
+        {"l": "c", "r": "d", "cnt": 60},   # 60 <= 2*40 -> batch ends
+        {"l": "x", "r": "a", "cnt": 40},
+    ]
+    got2 = _select_batch(rows2, batch_k=8, complete=True)
+    assert [(l, r) for l, r, _ in got2] == [("a", "b")]
+    # k=1 is plain sequential: first pair only, unconditionally
+    got3 = _select_batch(rows, batch_k=1, complete=True)
+    assert [(l, r) for l, r, _ in got3] == [("a", "b")]
+
+
 def test_disorder_audit_binned_null_series(spark):
     from mapreduce_join_comparison_spark.operators.timeseries import (
         disorder_audit,
