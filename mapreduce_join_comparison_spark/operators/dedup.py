@@ -930,15 +930,14 @@ def prefix_filter_jaccard_pairs(
     stage — the frequent shingles that dominate the naive plan's
     candidate count never leave their docs.
 
-    Implementation in four scans, no windows over corpus rows:
-      1. docfreq over exploded shingles, then a DENSE RANK id per
-         shingle in (df, shingle) order — canonical order becomes
-         integer order, and every later stage works on exact int64
-         ids (injective, so |A∩B| is EXACT — measured ~3.5× faster
-         than string-array intersection; a 64-bit content hash would
-         be the 100 TB swap where the vocab-sized rank sort grows).
-      2. per-doc sorted id array (one id exchange); the prefix is a
-         SLICE of it — no per-row window rank.
+    Implementation in four scans, no windows AT ALL (round-7: the
+    earlier dense-rank dictionary serialized the vocabulary through a
+    single-partition window — see ``_prefix_index_frames``):
+      1. docfreq over exploded shingles; the canonical id is the
+         EXACT struct (docfreq, shingle) — distributed, injective by
+         construction, no global rank and no content-hash caveat.
+      2. per-doc canonically-sorted struct array (one exchange); the
+         prefix is a SLICE of it — no per-row window rank.
       3. candidate pairs by per-shingle posting-list pair expansion
          (groupBy prefix id + in-array combination explode) + the
          length filter t·n_a ≤ n_b ∧ t·n_b ≤ n_a and the PPJoin
@@ -976,30 +975,46 @@ def _prefix_index_frames(
     df: DataFrame, text_col: str, id_col: str, k: int, t_milli: int
 ):
     """Stage 1 of AllPairs (shared by the single-query operator and
-    the two-job indexed deployment): the per-doc sorted shingle-id
-    arrays (id, n_sh, sids), the PREFIX posting list (sid, id, n_sh,
-    pos), and the shingle -> id dictionary, all under the rarest-first
-    canonical order."""
+    the two-job indexed deployment): the per-doc canonically-sorted
+    shingle arrays (id, n_sh, sids), the PREFIX posting list
+    (sid, id, n_sh, pos), and the shingle -> docfreq dictionary, all
+    under the rarest-first canonical order.
+
+    Canonical id = ``struct(d=docfreq, s=shingle)`` — EXACT and fully
+    distributed (round-7 scale fix). The previous dense
+    ``row_number`` ranked the whole vocabulary through a
+    SINGLE-PARTITION window, and the realistic-vocabulary soak showed
+    vocabulary grows with the corpus: 3.77 M distinct shingles at
+    50 k docs took ~18 s on one task, paid ~3x per single query — at
+    100 TB that one task IS the job. The struct needs no global
+    coordination at all: ``d`` leads, so ``array_sort`` yields the
+    same (docfreq asc, shingle asc) canonical order the rank encoded,
+    and the shingle string is its own identity — injective by
+    construction, no content-hash collision caveat. The posting-list
+    key (column still named ``sid``) is the bare shingle string
+    (which determines ``d``), so the candidate groupBy and every
+    probe join are flat string-keyed; only the per-doc arrays carry
+    the struct, because the prefix SLICE needs canonical order and
+    the verify intersect needs identity."""
     df = fan_out(df)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    # bounded: single-partition rank over the VOCABULARY dim (distinct
-    # shingles), not corpus rows; swap to a 64-bit hash id at 100 TB
-    dict_w = Window.orderBy("df_sh", "shingle")
-    sdict = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_sh"))
-        .withColumn("sid", F.row_number().over(dict_w).cast("bigint"))
-        .select("shingle", "sid")
+    sdict = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_sh")
     )
     sh_ids = (
         exploded.join(sdict, "shingle")
         .groupBy("id")
         .agg(
             F.max("n_sh").alias("n_sh"),
-            F.array_sort(F.collect_list("sid")).alias("sids"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("df_sh").alias("d"),
+                             F.col("shingle").alias("s"))
+                )
+            ).alias("sids"),
         )
     )
     # prefix length n − ⌈t·n⌉ + 1, ceil in exact milli ints
@@ -1012,7 +1027,7 @@ def _prefix_index_frames(
         "id", "n_sh",
         F.posexplode(F.slice("sids", 1, plen.cast("int"))),
     ).select(
-        "id", "n_sh", F.col("col").alias("sid"),
+        "id", "n_sh", F.col("col.s").alias("sid"),
         (F.col("pos") + 1).alias("pos"),
     )
     return sh_ids, prefix, sdict
@@ -1165,6 +1180,12 @@ def build_prefix_index(
     df.sparkSession.createDataFrame(
         [(int(k), int(t_milli))], "k int, threshold_milli int"
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    # a REBUILD under the same names within one session must evict any
+    # cached relation/file listing of the previous build — observed
+    # once as a probe silently verifying new candidates against the
+    # previous corpus's docs table (599 -> 0 rows)
+    for t in (docs_t, post_t, dict_t):
+        df.sparkSession.catalog.refreshTable(t)
     return docs_t, post_t
 
 
@@ -1291,7 +1312,15 @@ def prefix_filter_probe_delta(
     enc = d_exp.groupBy("did").agg(
         F.max("n_d").alias("n_d"),
         F.array_sort(
-            F.collect_list("sid")  # collect_list drops the unseen NULLs
+            # unseen shingles have no dictionary row: the WHEN yields
+            # NULL there and collect_list drops it
+            F.collect_list(
+                F.when(
+                    F.col("df_sh").isNotNull(),
+                    F.struct(F.col("df_sh").alias("d"),
+                             F.col("shingle").alias("s")),
+                )
+            )
         ).alias("known_sids"),
     ).withColumn("_u", F.col("n_d") - F.size("known_sids"))
     # prefix length n − ⌈t·n⌉ + 1 (exact milli ceil); unseen shingles
@@ -1311,7 +1340,7 @@ def prefix_filter_probe_delta(
         ),
     ).select(
         "did", "n_d",
-        F.col("col").alias("sid"),
+        F.col("col.s").alias("sid"),
         (F.col("_u") + F.col("pos") + 1).alias("pos_d"),
     )
     cand = (

@@ -290,11 +290,13 @@ EXPECTATIONS = {
     # the (id, n_sh, sids) index subtree is consumed 3× (prefix +
     # both verify sides) and column-pruning divergence defeats AQE
     # exchange reuse, so the static plan carries 3 copies of its
-    # explode/dict/agg exchanges; distinct work: dict (shingle +
-    # vocab-rank single partition), doc agg (id), pair groupBy,
-    # fan_out round-robins. At scale the index is materialized once
-    # (see operator docstring).
-    "dedup_prefix_filter": (17, None),
+    # explode/dict/agg exchanges; distinct work: dict (shingle), doc
+    # agg (id), pair groupBy, fan_out round-robins. At scale the
+    # index is materialized once (see operator docstring). Round 7:
+    # the vocabulary-rank SINGLE-PARTITION window is GONE (struct
+    # canonical ids) — 17 → 14 exchanges and, more importantly, no
+    # serialized vocab sort; the fragment pin asserts it stays gone.
+    "dedup_prefix_filter": (14, None),
     # one shard_id exchange feeds the per-shard rank window — no
     # global-order single-partition window
     "corpus_shuffle_shards": (1, "Window"),

@@ -251,6 +251,21 @@ def test_simhash_query_no_distinct_exchange(spark):
     assert out.count() > 0
 
 
+def test_prefix_family_has_no_window(spark):
+    # round-7 scale fix: the dense-rank shingle dictionary serialized
+    # the whole (corpus-growing) vocabulary through a single-partition
+    # window — the struct (docfreq, shingle) canonical id needs no
+    # window at all; pin that none of the three AllPairs plans ever
+    # reintroduces one (WindowExec over the vocab = one task at 100TB)
+    from mapreduce_join_comparison_spark import queries_catalog as qc
+    from mapreduce_join_comparison_spark.plans.explain import simple_plan
+
+    for key in ("dedup_prefix_filter", "dedup_prefix_filter_indexed",
+                "dedup_prefix_filter_delta"):
+        plan = simple_plan(qc.QUERIES[key](spark, "/root/testdata/sf0.001"))
+        assert "Window" not in plan, key
+
+
 def _bpe_rows(df):
     return sorted(
         (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
