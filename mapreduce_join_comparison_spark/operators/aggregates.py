@@ -762,6 +762,9 @@ def _nullsafe_broadcast_join(
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"_nsj_{k}"))
         cond = c if cond is None else (cond & c)
+    # bounded: every caller passes a per-group state table (span /
+    # bin-table / max-count rows — one to n_bins+1 rows per group, the
+    # direct window's own partition count), never corpus-scale rows
     return left.join(F.broadcast(renamed), cond).drop(
         *[f"_nsj_{k}" for k in keys]
     )
