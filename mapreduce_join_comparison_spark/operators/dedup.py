@@ -980,31 +980,37 @@ def _prefix_index_frames(
     (sid, id, n_sh, pos), and the shingle -> docfreq dictionary, all
     under the rarest-first canonical order.
 
-    Canonical id = ``struct(d=docfreq, s=shingle)`` — EXACT and fully
-    distributed (round-7 scale fix). The previous dense
+    Canonical id = ``(d=docfreq, h=xxhash64(shingle, seed))`` — EXACT
+    and fully distributed (round-7 scale fix). The previous dense
     ``row_number`` ranked the whole vocabulary through a
     SINGLE-PARTITION window, and the realistic-vocabulary soak showed
     vocabulary grows with the corpus: 3.77 M distinct shingles at
     50 k docs took ~18 s on one task, paid ~3x per single query — at
-    100 TB that one task IS the job. The struct needs no global
-    coordination at all: ``d`` leads, so ``array_sort`` yields the
-    same (docfreq asc, shingle asc) canonical order the rank encoded,
-    and the shingle string is its own identity — injective by
-    construction, no content-hash collision caveat. The posting-list
-    key (column still named ``sid``) is the bare shingle string
-    (which determines ``d``), so the candidate groupBy and every
-    probe join are flat string-keyed; only the per-doc arrays carry
-    the struct, because the prefix SLICE needs canonical order and
-    the verify intersect needs identity."""
+    100 TB that one task IS the job. The (d, h) pair needs no global
+    coordination: ``d`` leads, so ``array_sort`` yields a rarest-first
+    canonical order; ties break by ``h``, which is a pure function of
+    the shingle — the SAME everywhere, which is all the prefix lemma
+    needs. Injectivity of ``h`` over this corpus's vocabulary is
+    VERIFIED at build time, not assumed (:func:`_vocab_hash_seed`:
+    one bounded vocab-dim aggregate; reseed and retry on a collision
+    — p ≈ V²/2⁶⁴ per try), so |A∩B| over the per-doc int64 ``h``
+    arrays is exact. int64 arrays and posting keys keep the verify
+    intersect and candidate groupBy on the fast fixed-width path (a
+    string/struct variant measured ~10x slower on the legacy
+    corpus's 325 k candidates)."""
     df = fan_out(df)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    sdict = exploded.groupBy("shingle").agg(
+    sdict0 = exploded.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("df_sh")
     )
-    sh_ids = (
+    seed = _vocab_hash_seed(sdict0)
+    sdict = sdict0.withColumn(
+        "h", F.xxhash64(F.col("shingle"), F.lit(seed))
+    )
+    per_doc = (
         exploded.join(sdict, "shingle")
         .groupBy("id")
         .agg(
@@ -1012,25 +1018,57 @@ def _prefix_index_frames(
             F.array_sort(
                 F.collect_list(
                     F.struct(F.col("df_sh").alias("d"),
-                             F.col("shingle").alias("s"))
+                             F.col("h").alias("h"))
                 )
-            ).alias("sids"),
+            ).alias("canon"),
+            # verify-side int64 array as its OWN aggregate, not a
+            # transform() over canon: a lambda-produced array column
+            # crossing the verify self-join breaks Spark 4 attribute
+            # binding under the repo session's SMJ path (known
+            # engine gotcha); intersect is order-free so any sort does
+            F.array_sort(F.collect_list("h")).alias("sids"),
         )
     )
+    sh_ids = per_doc.select("id", "n_sh", "sids")
     # prefix length n − ⌈t·n⌉ + 1, ceil in exact milli ints
     plen = (
         F.col("n_sh")
         - F.floor((F.col("n_sh") * t_milli + 999) / 1000)
         + 1
     )
-    prefix = sh_ids.select(
+    prefix = per_doc.select(
         "id", "n_sh",
-        F.posexplode(F.slice("sids", 1, plen.cast("int"))),
+        F.posexplode(F.slice("canon", 1, plen.cast("int"))),
     ).select(
-        "id", "n_sh", F.col("col.s").alias("sid"),
+        "id", "n_sh", F.col("col.h").alias("sid"),
         (F.col("pos") + 1).alias("pos"),
     )
     return sh_ids, prefix, sdict
+
+
+def _vocab_hash_seed(sdict0: DataFrame, max_tries: int = 5) -> int:
+    """Pick (and PROVE) a hash seed whose ``xxhash64(shingle, seed)``
+    is injective over this corpus's vocabulary: one bounded vocab-dim
+    aggregate per try compares the distinct-shingle count to the
+    distinct-hash count; a collision (p ≈ V²/2⁶⁴ per try — never yet
+    observed) reseeds and retries. This keeps the canonical shingle
+    ids exact WITHOUT the global rank sort: a collision would
+    silently merge two shingles (corrupting prefixes and |A∩B|), so
+    the engine refuses to proceed on one rather than assume the
+    birthday bound. Runs eagerly at query construction — at 100 TB
+    it is one vocab-sized aggregate per index BUILD, amortized over
+    every probe."""
+    for seed in range(42, 42 + max_tries):
+        n, nd = sdict0.agg(
+            F.count(F.lit(1)),
+            F.countDistinct(F.xxhash64(F.col("shingle"), F.lit(seed))),
+        ).first()
+        if n == nd:
+            return seed
+    raise RuntimeError(
+        f"no collision-free xxhash64 seed in {max_tries} tries — "
+        "astronomically unlikely; inspect the shingle column"
+    )
 
 
 def _prefix_candidates(prefix: DataFrame, t_milli: int) -> DataFrame:
@@ -1318,11 +1356,21 @@ def prefix_filter_probe_delta(
                 F.when(
                     F.col("df_sh").isNotNull(),
                     F.struct(F.col("df_sh").alias("d"),
-                             F.col("shingle").alias("s")),
+                             F.col("h").alias("h")),
                 )
             )
+        ).alias("known_canon"),
+        # flat int64 ids for the verify intersect (the corpus docs
+        # arrays' fast path) as their OWN aggregate — not a transform
+        # over known_canon, which would put a lambda-produced array
+        # across the verify join (Spark 4 attribute-binding gotcha);
+        # known_canon keeps the stored (d, h) order the slice needs
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("df_sh").isNotNull(), F.col("h"))
+            )
         ).alias("known_sids"),
-    ).withColumn("_u", F.col("n_d") - F.size("known_sids"))
+    ).withColumn("_u", F.col("n_d") - F.size("known_canon"))
     # prefix length n − ⌈t·n⌉ + 1 (exact milli ceil); unseen shingles
     # occupy its first _u slots and never match a posting
     plen = (
@@ -1334,13 +1382,13 @@ def prefix_filter_probe_delta(
         "did", "n_d", "_u",
         F.posexplode(
             F.slice(
-                "known_sids", 1,
+                "known_canon", 1,
                 F.greatest(plen - F.col("_u"), F.lit(0)).cast("int"),
             )
         ),
     ).select(
         "did", "n_d",
-        F.col("col.s").alias("sid"),
+        F.col("col.h").alias("sid"),
         (F.col("_u") + F.col("pos") + 1).alias("pos_d"),
     )
     cand = (
