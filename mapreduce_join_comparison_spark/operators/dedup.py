@@ -972,7 +972,8 @@ def prefix_filter_jaccard_pairs(
 
 
 def _prefix_index_frames(
-    df: DataFrame, text_col: str, id_col: str, k: int, t_milli: int
+    df: DataFrame, text_col: str, id_col: str, k: int, t_milli: int,
+    snapshot: bool = False,
 ):
     """Stage 1 of AllPairs (shared by the single-query operator and
     the two-job indexed deployment): the per-doc canonically-sorted
@@ -1006,6 +1007,12 @@ def _prefix_index_frames(
     sdict0 = exploded.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("df_sh")
     )
+    if snapshot:
+        # build-scope snapshot (build_prefix_index unpersists): the
+        # seed check materializes the vocab dictionary anyway, and the
+        # three table writes + per_doc all re-derive from it — without
+        # the persist each write re-runs the corpus scan + vocab agg
+        sdict0 = sdict0.persist()
     seed = _vocab_hash_seed(sdict0)
     sdict = sdict0.withColumn(
         "h", F.xxhash64(F.col("shingle"), F.lit(seed))
@@ -1029,6 +1036,9 @@ def _prefix_index_frames(
             F.array_sort(F.collect_list("h")).alias("sids"),
         )
     )
+    if snapshot:
+        # docs and postings are two writes over this one aggregate
+        per_doc = per_doc.persist()
     sh_ids = per_doc.select("id", "n_sh", "sids")
     # prefix length n − ⌈t·n⌉ + 1, ceil in exact milli ints
     plen = (
@@ -1043,6 +1053,8 @@ def _prefix_index_frames(
         "id", "n_sh", F.col("col.h").alias("sid"),
         (F.col("pos") + 1).alias("pos"),
     )
+    if snapshot:
+        return sh_ids, prefix, sdict, (per_doc, sdict0)
     return sh_ids, prefix, sdict
 
 
@@ -1198,8 +1210,11 @@ def build_prefix_index(
     from ..sources.io import write_bucketed
 
     t_milli = int(round(threshold * 1000))
-    sh_ids, prefix, sdict = _prefix_index_frames(
-        df, text_col, id_col, k, t_milli)
+    # snapshot=True: build-scope persists of the vocab dictionary and
+    # the per-doc aggregate — the three writes below would otherwise
+    # each re-run the corpus scan; unpersisted before returning
+    sh_ids, prefix, sdict, snaps = _prefix_index_frames(
+        df, text_col, id_col, k, t_milli, snapshot=True)
     docs_t, post_t = f"{table_prefix}_docs", f"{table_prefix}_postings"
     dict_t = f"{table_prefix}_dict"
     write_bucketed(sh_ids, docs_t, ["id"], n_buckets, sort_cols=["id"])
@@ -1210,6 +1225,8 @@ def build_prefix_index(
     # without touching the corpus
     write_bucketed(sdict, dict_t, ["shingle"], n_buckets,
                    sort_cols=["shingle"])
+    for snap in snaps:
+        snap.unpersist()
     # the build parameters ARE part of the index: probes below the
     # build threshold (or at a different shingle k) are unsound
     from ..sources.io import drop_table_and_stale_dir
