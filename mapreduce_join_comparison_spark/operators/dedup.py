@@ -974,6 +974,7 @@ def prefix_filter_jaccard_pairs(
 def _prefix_index_frames(
     df: DataFrame, text_col: str, id_col: str, k: int, t_milli: int,
     snapshot: bool = False,
+    seed: int | None = None,
 ):
     """Stage 1 of AllPairs (shared by the single-query operator and
     the two-job indexed deployment): the per-doc canonically-sorted
@@ -1009,11 +1010,16 @@ def _prefix_index_frames(
     )
     if snapshot:
         # build-scope snapshot (build_prefix_index unpersists): the
-        # seed check materializes the vocab dictionary anyway, and the
-        # three table writes + per_doc all re-derive from it — without
-        # the persist each write re-runs the corpus scan + vocab agg
+        # three table writes + per_doc all re-derive from the vocab
+        # dictionary — without the persist each write re-runs the
+        # corpus scan + vocab agg
         sdict0 = sdict0.persist()
-    seed = _vocab_hash_seed(sdict0)
+    if seed is None:
+        # lazy single-query path: prove the seed up front (one eager
+        # vocab-dim aggregate). The BUILD path passes its seed and
+        # proves injectivity on the WRITTEN dict table instead — same
+        # aggregate over a small bucketed read, no extra corpus scan.
+        seed = _vocab_hash_seed(sdict0)
     sdict = sdict0.withColumn(
         "h", F.xxhash64(F.col("shingle"), F.lit(seed))
     )
@@ -1203,44 +1209,63 @@ def build_prefix_index(
     The prefix length is derived from ``threshold`` at BUILD time; a
     probe is valid for any threshold ≥ the build threshold (smaller t
     ⇒ longer prefixes ⇒ a superset index) — the build (k, threshold)
-    is PERSISTED in a one-row ``<prefix>_meta`` table and every probe
+    is PERSISTED as table properties on the dict table and every probe
     enforces it (round-6 advice: probing below the build threshold
     silently returned an unsound, incomplete pair set because the
-    stored prefixes are too short). Returns the two table names."""
+    stored prefixes are too short). The hash-seed injectivity proof
+    runs against the WRITTEN dict table (a small bucketed read — no
+    extra corpus scan); the astronomically-unlikely collision drops
+    the tables and rebuilds under the next seed. Returns the two
+    table names."""
     from ..sources.io import write_bucketed
 
+    spark = df.sparkSession
     t_milli = int(round(threshold * 1000))
-    # snapshot=True: build-scope persists of the vocab dictionary and
-    # the per-doc aggregate — the three writes below would otherwise
-    # each re-run the corpus scan; unpersisted before returning
-    sh_ids, prefix, sdict, snaps = _prefix_index_frames(
-        df, text_col, id_col, k, t_milli, snapshot=True)
     docs_t, post_t = f"{table_prefix}_docs", f"{table_prefix}_postings"
     dict_t = f"{table_prefix}_dict"
+    for seed in range(42, 47):
+        # snapshot=True: build-scope persists of the vocab dictionary
+        # and the per-doc aggregate — the three writes would otherwise
+        # each re-run the corpus scan; unpersisted before returning
+        sh_ids, prefix, sdict, snaps = _prefix_index_frames(
+            df, text_col, id_col, k, t_milli, snapshot=True, seed=seed)
+        # the shingle -> canonical-id dictionary, bucketed by shingle:
+        # the DELTA probe (prefix_filter_probe_delta) encodes new
+        # documents under the STORED canonical order by joining their
+        # shingles here without touching the corpus
+        write_bucketed(sdict, dict_t, ["shingle"], n_buckets,
+                       sort_cols=["shingle"])
+        n, nd = spark.table(dict_t).agg(
+            F.count(F.lit(1)), F.countDistinct("h")
+        ).first()
+        if n == nd:
+            break
+        for snap in snaps:
+            snap.unpersist()
+    else:
+        raise RuntimeError(
+            "no collision-free xxhash64 seed in 5 tries — "
+            "astronomically unlikely; inspect the shingle column"
+        )
     write_bucketed(sh_ids, docs_t, ["id"], n_buckets, sort_cols=["id"])
     write_bucketed(prefix, post_t, ["sid"], n_buckets, sort_cols=["sid"])
-    # the shingle -> canonical-id dictionary, bucketed by shingle: the
-    # DELTA probe (prefix_filter_probe_delta) encodes new documents
-    # under the STORED canonical order by joining their shingles here
-    # without touching the corpus
-    write_bucketed(sdict, dict_t, ["shingle"], n_buckets,
-                   sort_cols=["shingle"])
     for snap in snaps:
         snap.unpersist()
     # the build parameters ARE part of the index: probes below the
-    # build threshold (or at a different shingle k) are unsound
-    from ..sources.io import drop_table_and_stale_dir
-
-    drop_table_and_stale_dir(df.sparkSession, f"{table_prefix}_meta")
-    df.sparkSession.createDataFrame(
-        [(int(k), int(t_milli))], "k int, threshold_milli int"
-    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    # build threshold (or at a different shingle k) are unsound. Table
+    # properties on the dict table (the round-6 advisor's own
+    # alternative) cost a catalog call, not a table write.
+    spark.sql(
+        f"ALTER TABLE {dict_t} SET TBLPROPERTIES ("
+        f"'spark_graft.k'='{int(k)}', "
+        f"'spark_graft.threshold_milli'='{int(t_milli)}')"
+    )
     # a REBUILD under the same names within one session must evict any
     # cached relation/file listing of the previous build — observed
     # once as a probe silently verifying new candidates against the
     # previous corpus's docs table (599 -> 0 rows)
     for t in (docs_t, post_t, dict_t):
-        df.sparkSession.catalog.refreshTable(t)
+        spark.catalog.refreshTable(t)
     return docs_t, post_t
 
 
@@ -1254,26 +1279,35 @@ def _check_probe_params(
     candidate set would be silently incomplete (unsound), not merely
     slow. A shingle-k mismatch is equally unsound for the delta probe
     (delta docs would be encoded over a different shingle universe).
-    Indexes built before the meta table existed fail here with a
+    The build parameters live as ``spark_graft.*`` table properties on
+    the dict table; an index built without them fails here with a
     rebuild hint rather than returning wrong pairs."""
-    meta_t = f"{table_prefix}_meta"
-    if not spark.catalog.tableExists(meta_t):
+    dict_t = f"{table_prefix}_dict"
+    props: dict[str, str] = {}
+    if spark.catalog.tableExists(dict_t):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {dict_t}").collect()
+        }
+    if "spark_graft.threshold_milli" not in props:
         raise ValueError(
-            f"index '{table_prefix}' has no {meta_t} table — rebuild it "
-            "with build_prefix_index() so probes can verify soundness"
+            f"index '{table_prefix}' carries no spark_graft.* build "
+            "properties — rebuild it with build_prefix_index() so "
+            "probes can verify soundness"
         )
-    meta = spark.table(meta_t).head()
-    if t_milli < meta["threshold_milli"]:
+    built_t = int(props["spark_graft.threshold_milli"])
+    built_k = int(props["spark_graft.k"])
+    if t_milli < built_t:
         raise ValueError(
             f"probe threshold {t_milli / 1000} is below the build "
-            f"threshold {meta['threshold_milli'] / 1000} of index "
+            f"threshold {built_t / 1000} of index "
             f"'{table_prefix}': the stored prefixes are too short and "
             "the pair set would be incomplete — rebuild the index at "
             "the lower threshold"
         )
-    if k is not None and k != meta["k"]:
+    if k is not None and k != built_k:
         raise ValueError(
-            f"probe shingle k={k} differs from the index's k={meta['k']} "
+            f"probe shingle k={k} differs from the index's k={built_k} "
             f"('{table_prefix}'): delta documents would be encoded over "
             "a different shingle universe — rebuild or probe with the "
             "build k"

@@ -165,8 +165,12 @@ def test_prefix_index_probe_threshold_guard(spark):
     with pytest.raises(ValueError, match="shingle k"):
         prefix_filter_probe_delta(
             spark, delta, k=5, threshold=0.6, table_prefix="t_pfx_guard")
-    # an index without a meta table (pre-guard build) refuses to probe
-    spark.sql("DROP TABLE IF EXISTS t_pfx_guard_meta")
+    # an index without the build properties (pre-guard build) refuses
+    # to probe
+    spark.sql(
+        "ALTER TABLE t_pfx_guard_dict UNSET TBLPROPERTIES "
+        "('spark_graft.k', 'spark_graft.threshold_milli')"
+    )
     with pytest.raises(ValueError, match="rebuild"):
         prefix_filter_jaccard_pairs_indexed(
             spark, threshold=0.6, table_prefix="t_pfx_guard")
