@@ -140,7 +140,7 @@ def test_avro_roundtrip_or_environment_gate(spark):
 def test_prefix_index_probe_threshold_guard(spark):
     # round-6 advice: probing below the build threshold is UNSOUND
     # (stored prefixes too short -> silently incomplete pairs); the
-    # build (k, threshold) is persisted in <prefix>_meta and enforced
+    # build (k, threshold) is persisted as TBLPROPERTIES and enforced
     import pytest
 
     from mapreduce_join_comparison_spark.operators.dedup import (
