@@ -1160,3 +1160,107 @@ def ks_two_sample_binned(
             (F.col("n1") * F.col("n0")).cast("double"),
         ).alias("ks_d"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    is_ref: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group between a REFERENCE slice
+    (``is_ref`` true — e.g. last week's snapshot, the training
+    window) and the CURRENT slice — the standard drift monitor for a
+    continuously-fed training-data pipeline (PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 action).
+
+    Bin edges are ``n_bins`` equal-width bins over the REFERENCE
+    slice's [min, max] (the convention: the monitored window is scored
+    against the baseline's binning); current values clamp into the
+    edge bins. Counts are smoothed with Laplace ½ so empty bins are
+    well-defined: p_b = (c_b + ½) / (n + n_bins/2), and
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b). A bin empty on BOTH sides
+    contributes exactly 0, so only observed bins need aggregating.
+
+    Determinism: bin membership uses only IEEE-exact ops (min/max are
+    exact, sub/div/floor are correctly rounded and computed in the
+    same shapes in the SQL oracle), counts are exact BIGINTs, and the
+    single ln() per bin is 6dp-rounded at the end — the same last-ulp
+    policy as the TF-IDF/BM25 oracles. Groups with no reference rows
+    drop (nothing to baseline against).
+
+    Scale shape: one tiny per-group span aggregate broadcast back onto
+    the events (no corpus shuffle for binning), one partial-agg
+    shuffle of (group × bin) cells, one |group|-row reduce. Linear,
+    two scans, no window over raw rows."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        *group_cols, v.cast("double").alias("_v"),
+        is_ref.alias("_is_ref"),
+    )
+    span = (
+        base.filter("_is_ref")
+        .groupBy(*group_cols)
+        .agg(F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax"))
+    )
+    # bounded broadcast: one row per group
+    binned = base.join(F.broadcast(span), group_cols).select(
+        *group_cols, "_is_ref",
+        F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("_v") - F.col("_vmin"))
+                        / ((F.col("_vmax") - F.col("_vmin")) / n_bins)
+                    ).cast("int"),
+                ),
+            )
+        )
+        .alias("_bin"),
+    )
+    cnt = binned.groupBy(*group_cols, "_bin").agg(
+        F.sum(F.when(F.col("_is_ref"), 1).otherwise(0))
+        .cast("bigint").alias("_cr"),
+        F.sum(F.when(F.col("_is_ref"), 0).otherwise(1))
+        .cast("bigint").alias("_cc"),
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*group_cols)
+    tot = cnt.select(
+        *group_cols, "_bin", "_cr", "_cc",
+        F.sum("_cr").over(wg).cast("bigint").alias("_nr"),
+        F.sum("_cc").over(wg).cast("bigint").alias("_nc"),
+    )
+    # exact-int numerators/denominators, ONE double division each:
+    # p = (2c+1)/(2n+n_bins), and ln of the exact cross-product ratio
+    two = F.lit(2)
+    p = (two * F.col("_cr") + 1).cast("double") / (
+        two * F.col("_nr") + n_bins
+    ).cast("double")
+    q = (two * F.col("_cc") + 1).cast("double") / (
+        two * F.col("_nc") + n_bins
+    ).cast("double")
+    ratio = (
+        (two * F.col("_cr") + 1) * (two * F.col("_nc") + n_bins)
+    ).cast("double") / (
+        (two * F.col("_cc") + 1) * (two * F.col("_nr") + n_bins)
+    ).cast("double")
+    # each bin's term rounds to exact nano-int BEFORE the sum: BIGINT
+    # addition is associative, so the cross-engine result can't depend
+    # on bin summation order (the one ln() per bin is inside the same
+    # 6dp-headroom rounding policy as the TF-IDF/BM25 oracles)
+    term_nano = F.round((p - q) * F.log(ratio) * 1e9).cast("bigint")
+    return (
+        tot.withColumn("_tn", term_nano)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("_nr").alias("n_ref"),
+            F.max("_nc").alias("n_cur"),
+            F.round(F.sum("_tn").cast("double") / 1e9, 6).alias("psi"),
+        )
+    )

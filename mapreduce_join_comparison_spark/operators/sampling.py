@@ -153,6 +153,69 @@ def mix_rebalance(
     )
 
 
+def temperature_rebalance(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based downsampling toward token shares ∝ n_s^α —
+    the standard multilingual-LM mixing rule (α = 1 keeps the natural
+    distribution, α → 0 approaches uniform): high-resource strata are
+    thinned, the scarcest stratum is kept whole. Unlike
+    ``mix_rebalance`` no explicit target shares are needed — the
+    targets derive from the corpus itself.
+
+    Per stratum with n_s tokens the keep fraction is
+    f_s = (n_s^α / n_s) / max_t(n_t^α / n_t), so kept tokens are
+    ∝ n_s^α and f = 1 EXACTLY for the smallest stratum (x / x is an
+    exact 1.0 in IEEE arithmetic — no float-rounding data loss on the
+    stratum the rule promises to keep whole). α = 0.5 (the common
+    choice) runs on ``sqrt``, which IEEE 754 requires to be correctly
+    rounded — the whole fraction pipeline is then engine-reproducible
+    bit-for-bit; other α use ``pow`` (documented last-ulp caveat
+    across libm implementations).
+
+    Plan shape matches ``mix_rebalance``: one |strata|-row token
+    aggregate broadcast back onto the corpus, membership via the
+    md5-bucket primitive — corpus scanned once, filtered narrowly,
+    no corpus shuffle at all."""
+    from .text import token_count
+
+    base = df.select(
+        F.col(key_col), F.col(strata_col).alias("_stratum"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    cur = F.col("cur").cast("double")
+    w = F.sqrt(cur) if alpha == 0.5 else F.pow(cur, F.lit(float(alpha)))
+    fracs = (
+        base.groupBy("_stratum")
+        .agg(F.sum("n_tokens").alias("cur"))
+        .withColumn("r", w / cur)
+        .withColumn(
+            "keep_frac",
+            F.col("r") / F.max("r").over(Window.partitionBy()),
+        )
+        .select("_stratum", "keep_frac")
+    )
+    return (
+        # bounded broadcast: one row per stratum (coarse source labels)
+        base.join(F.broadcast(fracs), "_stratum")
+        .filter(
+            hash_bucket(key_col, buckets, salt)
+            < F.col("keep_frac") * buckets
+        )
+        .select(
+            F.col(key_col),
+            F.col("_stratum").alias(strata_col),
+            "n_tokens",
+        )
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key_col: str,

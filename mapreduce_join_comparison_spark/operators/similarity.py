@@ -877,3 +877,138 @@ def hybrid_rrf_fusion(
             F.col("final_rank").cast("int").alias("final_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd k-means over the FULL embedding table (scale
+# extension; complements train_ivf_centroids, whose k-means runs on a
+# bounded driver-side sample). Exact integer arithmetic end-to-end so
+# every run — and the DuckDB oracle — is bit-identical.
+# --------------------------------------------------------------------------
+
+
+def _int_arr_sql(values: list[int]) -> str:
+    return "array(" + ", ".join(f"{int(v)}L" for v in values) + ")"
+
+
+def _kmeans_assign_expr(
+    vec: str, cents: list[tuple[int, list[int]]]
+) -> Column:
+    """struct<dist: BIGINT, cluster: INT> of the nearest centroid by
+    exact squared L2 over quantized int64 vectors. One argmin fold over
+    a single array-of-(cid, centroid)-structs literal (constant-folded
+    to one ``Literal`` — same O(1)-in-k analysis cost and
+    exchange-reuse rationale as ``_nearest_cells_expr``). Cluster ids
+    ride IN the literal (not the transform index) so they stay stable
+    even after a cluster empties out mid-run; ``cents`` must be sorted
+    by cid ascending — strict ``<`` then keeps the FIRST minimum, i.e.
+    ties break to the lowest cluster id, matching the oracle's
+    ``ORDER BY dist, cid`` tie-break. All arithmetic is BIGINT:
+    |q| ≤ scale·max|x| keeps the 64-term squared sum far below 2^63,
+    and integer ops are associative — no float summation-order hazard
+    anywhere."""
+    arr = "array(" + ", ".join(
+        f"named_struct('cid', {int(cid)}, 'cv', {_int_arr_sql(cv)})"
+        for cid, cv in cents
+    ) + ")"
+    return F.expr(
+        f"aggregate(transform({arr}, e -> named_struct("
+        f"'dist', aggregate(zip_with(e.cv, `{vec}`, "
+        "(y, x) -> (y - x) * (y - x)), "
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t), 'cluster', e.cid)), "
+        "CAST(NULL AS STRUCT<dist: BIGINT, cluster: INT>), "
+        "(best, s) -> CASE WHEN best IS NULL OR s.dist < best.dist "
+        "THEN s ELSE best END)"
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> Column:
+    """float array → exact micro-int BIGINT array via
+    ``FLOOR(x·scale + 0.5)`` — floor (not half-up ROUND) so the
+    rounding rule is unambiguous and identical across engines for
+    negative values; float→double widening and the multiply/add are
+    IEEE-deterministic."""
+    return F.expr(
+        f"transform(`{vec_col}`, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {int(scale)} + 0.5d) AS BIGINT))"
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    dim: int = 64,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    salt: str = ":km7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over the full corpus, exact-arithmetic
+    variant: vectors quantized to micro-ints, distances and centroid
+    sums in BIGINT, centroid update by integer FLOOR division — the
+    entire trajectory (init → ``iters`` updates → final assignment) is
+    a pure function of the data, reproducible bit-for-bit and provable
+    against an unrolled SQL oracle (no seeded RNG, no float summation
+    order).
+
+    Init: the k rows with the smallest md5(id ‖ salt) — a seed-free
+    deterministic pick (same primitive as ``sampling.hash_bucket``),
+    cluster id = rank in that order. Per iteration: (1) assignment is
+    a NARROW map against a k×dim centroid literal — no join, no
+    shuffle, whole-stage codegen; (2) the update is ONE partial
+    aggregate (map-side combine) whose result is k×dim cells — the
+    only driver-side data per round is those k·dim (sum, count) ints,
+    exactly Spark MLlib KMeans' communication pattern (bounded:
+    O(k·dim), never O(corpus)). Python's ``//`` is floor division on
+    exact ints, matching the oracle's pmod-subtract form. A cluster
+    that loses all members simply drops out (deterministic in both
+    engines). Returns the final assignment
+    (id, cluster INT, dist BIGINT).
+
+    100 TB shape: iters+1 linear scans, one k×dim-cell shuffle per
+    iteration, O(k·dim) driver state — no per-row Python, no
+    quadratic stage anywhere."""
+    q = embeddings.select(
+        F.col(id_col),
+        quantize_embeddings(embeddings, vec_col, scale).alias("qv"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt))
+        ).alias("_h"),
+    )
+    # bounded: k rows of dim ints (the centroid seed pick)
+    init_rows = (
+        q.orderBy("_h", id_col).limit(k).select("qv").collect()
+    )
+    cents = [(i, [int(v) for v in r.qv]) for i, r in enumerate(init_rows)]
+
+    def assign(c: list[tuple[int, list[int]]]) -> DataFrame:
+        s = _kmeans_assign_expr("qv", c)
+        return q.select(
+            F.col(id_col), "qv",
+            s["cluster"].alias("cluster"), s["dist"].alias("dist"),
+        )
+
+    for _ in range(iters):
+        # bounded: k×dim (cluster, pos, sum, count) cells — the MLlib
+        # KMeans driver round trip, O(k·dim) regardless of corpus size
+        cells = (
+            assign(cents)
+            .select("cluster", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, list[int]] = {}
+        for r in cells:
+            by_cluster.setdefault(r.cluster, [0] * dim)[r.pos] = (
+                int(r.s) // int(r.n)
+            )
+        # sorted by cid: the assign literal's tie-break contract
+        cents = [(c, by_cluster[c]) for c in sorted(by_cluster)]
+
+    return assign(cents).select(id_col, "cluster", "dist")

@@ -7286,6 +7286,194 @@ def pipeline_reward_normalize_query(
     )
 
 
+def _kmeans_oracle(
+    dim: int = 64, k: int = 8, iters: int = 3,
+    scale: int = 1_000_000, salt: str = ":km7",
+) -> str:
+    """Unrolled Lloyd trajectory: quantize → md5-ranked init →
+    (assign, update) × iters → final assignment. Mirrors
+    ``similarity.kmeans_lloyd``'s exact integer arithmetic: micro-int
+    quantization via FLOOR(x·scale + ½), BIGINT squared-L2 distances,
+    centroid update by pmod-subtract floor division (≡ Python ``//``
+    for positive divisors), ties to the lowest cluster id."""
+    seed_order = f"md5(vec_id::VARCHAR || '{salt}'), vec_id"
+    parts = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY {seed_order}) - 1 AS INT)
+               AS cid, qv AS cv
+      FROM q ORDER BY {seed_order} LIMIT {k}
+    )""",
+    ]
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])))"
+    )
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+      SELECT q.vec_id, q.qv, c.cid, {d2} AS dist
+      FROM q CROSS JOIN c{t - 1} c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                 ORDER BY dist, c.cid) = 1
+    )""")
+        parts.append(f"""s{t} AS (
+      SELECT cid, i, SUM(qv[i]) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{t}, range(1, {dim} + 1) t(i) GROUP BY cid, i
+    )""")
+        parts.append(f"""c{t} AS (
+      SELECT cid,
+             list(CAST((s - (((s % n) + n) % n)) / n AS BIGINT)
+                  ORDER BY i) AS cv
+      FROM s{t} GROUP BY cid
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT q.vec_id, CAST(c.cid AS INT) AS cluster,
+           CAST({d2} AS BIGINT) AS dist
+    FROM q CROSS JOIN c{iters} c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                               ORDER BY dist, c.cid) = 1
+    """
+    )
+
+
+@register("embedding_kmeans", _kmeans_oracle())
+def embedding_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the full embedding table (k = 8,
+    3 iterations) — the clustering step behind SemDeDup-style pruning
+    and domain discovery, as an ITERATIVE Spark algorithm: narrow
+    literal-centroid assignment, one k×dim-cell partial aggregate per
+    round, O(k·dim) driver state (the MLlib KMeans communication
+    pattern). Exact integer arithmetic end-to-end, so the oracle
+    unrolls the identical trajectory as CTEs and the match is
+    bit-for-bit (operators.similarity.kmeans_lloyd)."""
+    from .operators.similarity import kmeans_lloyd
+
+    (embeddings,) = _load(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(embeddings, dim=64, k=8, iters=3)
+
+
+# 2024-01-16T00:00:00Z — the events table spans 2024-01-01..30, so the
+# reference window is the first half
+_PSI_CUTOFF_US = 1_705_363_200_000_000
+
+
+@register(
+    "stats_drift_psi",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v,
+             epoch_us(ts::TIMESTAMP) < {_PSI_CUTOFF_US} AS is_ref
+      FROM events
+    ),
+    span AS (
+      SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax
+      FROM e WHERE is_ref GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type, e.is_ref,
+             CASE WHEN s.vmax = s.vmin THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((e.v - s.vmin)
+                               / ((s.vmax - s.vmin) / 10)) AS INT)))
+             END AS bin
+      FROM e JOIN span s USING (event_type)
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS cr,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+               AS cc
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, bin, cr, cc,
+             CAST(SUM(cr) OVER (PARTITION BY event_type) AS BIGINT)
+               AS nr,
+             CAST(SUM(cc) OVER (PARTITION BY event_type) AS BIGINT)
+               AS nc
+      FROM cnt
+    ),
+    terms AS (
+      SELECT event_type, nr, nc,
+             CAST(ROUND((
+               CAST(2 * cr + 1 AS DOUBLE) / CAST(2 * nr + 10 AS DOUBLE)
+               - CAST(2 * cc + 1 AS DOUBLE) / CAST(2 * nc + 10 AS DOUBLE)
+             ) * ln(
+               CAST((2 * cr + 1) * (2 * nc + 10) AS DOUBLE)
+               / CAST((2 * cc + 1) * (2 * nr + 10) AS DOUBLE)
+             ) * 1e9) AS BIGINT) AS tn
+      FROM tot
+    )
+    SELECT event_type,
+           CAST(MAX(nr) AS BIGINT) AS n_ref,
+           CAST(MAX(nc) AS BIGINT) AS n_cur,
+           ROUND(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS psi
+    FROM terms GROUP BY 1
+    """,
+)
+def stats_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the month — the drift monitor a continuously-fed
+    training pipeline runs between snapshots. Equal-width bins over
+    the REFERENCE window's span, Laplace-½ smoothing, per-bin terms
+    rounded to exact nano-ints BEFORE the sum so the aggregate is
+    summation-order-free (operators.aggregates.psi_drift)."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import psi_drift
+
+    (events,) = _load(spark, sf_dir, "events")
+    return psi_drift(
+        events,
+        ["event_type"],
+        F.col("value"),
+        F.unix_micros(F.col("ts")) < F.lit(_PSI_CUTOFF_US),
+        n_bins=10,
+    )
+
+
+@register(
+    "sample_temperature",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    mix AS (SELECT lang, SUM(n_tokens) AS cur FROM base GROUP BY lang),
+    m2 AS (
+      SELECT lang, sqrt(CAST(cur AS DOUBLE)) / CAST(cur AS DOUBLE) AS r
+      FROM mix
+    ),
+    m3 AS (SELECT lang, r / MAX(r) OVER () AS keep_frac FROM m2)
+    SELECT b.doc_id, b.lang, b.n_tokens
+    FROM base b JOIN m3 USING (lang)
+    WHERE ('0x' || substr(md5(b.doc_id::VARCHAR || 'temp'), 1, 8))::BIGINT
+          % 10000 < keep_frac * 10000
+    """,
+)
+def sample_temperature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling at α = 0.5 (kept tokens ∝ √n_lang — the
+    standard multilingual-LM mixing rule): high-resource languages are
+    thinned, the scarcest kept whole, no target shares needed. √ is
+    IEEE-correctly-rounded so the whole fraction pipeline is
+    engine-exact; membership is the md5-bucket primitive
+    (operators.sampling.temperature_rebalance)."""
+    from .operators.sampling import temperature_rebalance
+
+    (documents,) = _load(spark, sf_dir, "documents")
+    return temperature_rebalance(documents, alpha=0.5)
+
+
 # --------------------------------------------------------------------------
 # Adapted TPC-H suite (Q3–Q22) — registers on import; see tpch_queries.py.
 # --------------------------------------------------------------------------

