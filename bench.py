@@ -325,6 +325,10 @@ HEADLINE = [
     "similarity_hybrid_rrf",
     "pipeline_reward_normalize",
     "dedup_prefix_filter_delta",
+    "embedding_kmeans",
+    "stats_drift_psi",
+    "sample_temperature",
+    "pipeline_preference_pairs",
 ]
 
 

@@ -7286,6 +7286,65 @@ def pipeline_reward_normalize_query(
     )
 
 
+@register(
+    "pipeline_preference_pairs",
+    """
+    WITH r AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 1000) AS BIGINT) AS rm
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id, rm FROM r
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY rm DESC, event_id ASC) = 1
+    ),
+    j AS (
+      SELECT user_id, event_id, rm FROM r
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY rm ASC, event_id ASC) = 1
+    )
+    SELECT c.user_id,
+           c.event_id AS chosen_event, j.event_id AS rejected_event,
+           c.rm AS chosen_milli, j.rm AS rejected_milli,
+           c.rm - j.rm AS margin_milli
+    FROM c JOIN j USING (user_id)
+    WHERE c.rm > j.rm
+    """,
+)
+def pipeline_preference_pairs_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: per prompt group (user),
+    pair the highest-reward response with the lowest (ties break to
+    the lowest event id on BOTH sides; zero-margin groups drop — a
+    pair needs a strict preference). Rewards in exact milli-ints, the
+    argmax/argmin as ONE groupBy of struct-max/min — no rank window,
+    no per-group sort, one shuffle on the group key (the same
+    window-free rewrite as ``agg_group_mode``); the oracle's two
+    rank-window CTEs prove the struct ordering equivalent."""
+    from pyspark.sql import functions as F
+
+    (events,) = _load(spark, sf_dir, "events")
+    r = events.select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("rm"),
+    )
+    g = r.groupBy("user_id").agg(
+        F.max(F.struct(F.col("rm"), (-F.col("event_id")).alias("nid")))
+        .alias("_c"),
+        F.min(F.struct(F.col("rm"), F.col("event_id"))).alias("_j"),
+    )
+    return g.select(
+        "user_id",
+        (-F.col("_c.nid")).alias("chosen_event"),
+        F.col("_j.event_id").alias("rejected_event"),
+        F.col("_c.rm").alias("chosen_milli"),
+        F.col("_j.rm").alias("rejected_milli"),
+        (F.col("_c.rm") - F.col("_j.rm")).alias("margin_milli"),
+    ).filter(F.col("margin_milli") > 0)
+
+
 def _kmeans_oracle(
     dim: int = 64, k: int = 8, iters: int = 3,
     scale: int = 1_000_000, salt: str = ":km7",
@@ -7438,6 +7497,113 @@ def stats_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")) < F.lit(_PSI_CUTOFF_US),
         n_bins=10,
     )
+
+
+@register(
+    "events_stream_drift",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v,
+             epoch_us(ts::TIMESTAMP) AS us
+      FROM events
+    ),
+    span AS (
+      SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax,
+             CAST(COUNT(*) AS BIGINT) AS nr
+      FROM e WHERE us < {_PSI_CUTOFF_US} GROUP BY 1
+    ),
+    rb AS (
+      SELECT e.event_type,
+             CASE WHEN s.vmax = s.vmin THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((e.v - s.vmin)
+                               / ((s.vmax - s.vmin) / 10)) AS INT)))
+             END AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cr
+      FROM e JOIN span s USING (event_type)
+      WHERE e.us < {_PSI_CUTOFF_US} GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT (e.us // 86400000000) * 86400000000 AS window_start_us,
+             e.event_type,
+             CASE WHEN s.vmax = s.vmin THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((e.v - s.vmin)
+                               / ((s.vmax - s.vmin) / 10)) AS INT)))
+             END AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cc
+      FROM e JOIN span s USING (event_type)
+      WHERE e.us >= {_PSI_CUTOFF_US} GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT w.window_start_us, w.event_type, t.i AS bin
+      FROM (SELECT DISTINCT window_start_us, event_type FROM cb) w,
+           range(0, 10) t(i)
+    ),
+    j AS (
+      SELECT g.window_start_us, g.event_type, g.bin,
+             COALESCE(rb.cr, 0) AS cr, COALESCE(cb.cc, 0) AS cc
+      FROM grid g
+      LEFT JOIN rb ON rb.event_type = g.event_type AND rb.bin = g.bin
+      LEFT JOIN cb ON cb.window_start_us = g.window_start_us
+                  AND cb.event_type = g.event_type AND cb.bin = g.bin
+    ),
+    tot AS (
+      SELECT j.*, s.nr,
+             CAST(SUM(cc) OVER (PARTITION BY window_start_us, event_type)
+                  AS BIGINT) AS nc
+      FROM j JOIN span s USING (event_type)
+    ),
+    terms AS (
+      SELECT window_start_us, event_type, nr, nc,
+             CAST(ROUND((
+               CAST(2 * cr + 1 AS DOUBLE) / CAST(2 * nr + 10 AS DOUBLE)
+               - CAST(2 * cc + 1 AS DOUBLE) / CAST(2 * nc + 10 AS DOUBLE)
+             ) * ln(
+               CAST((2 * cr + 1) * (2 * nc + 10) AS DOUBLE)
+               / CAST((2 * cc + 1) * (2 * nr + 10) AS DOUBLE)
+             ) * 1e9) AS BIGINT) AS tn
+      FROM tot
+    )
+    SELECT window_start_us, event_type,
+           CAST(MAX(nr) AS BIGINT) AS n_ref,
+           CAST(MAX(nc) AS BIGINT) AS n_cur,
+           ROUND(CAST(SUM(tn) AS DOUBLE) / 1e9, 6) AS psi
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def events_stream_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI drift monitor: the live second half of the month,
+    run as a real Structured Streaming query (file source → broadcast
+    stream-static join against the batch-built reference histogram →
+    one windowed aggregation → memory sink), scored per (day window,
+    event type) against the first half. The live histogram is n_bins
+    conditional sums inside the single streaming aggregate (bins ride
+    in columns, not rows — no chained stateful operators), PSI is a
+    stateless nano-int projection; the oracle recomputes both windows
+    relationally, proving batch/stream equivalence
+    (streaming.events.stream_drift_psi)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .streaming.events import (
+        drift_reference_histogram,
+        load_events_stream,
+        run_stream_to_memory,
+        stream_drift_psi,
+    )
+
+    (events,) = _load(spark, sf_dir, "events")
+    ref = events.filter(
+        F.unix_micros(F.col("ts")) < F.lit(_PSI_CUTOFF_US)
+    )
+    hist = drift_reference_histogram(ref, n_bins=10)
+    stream = load_events_stream(spark, _os.path.join(sf_dir, "events.parquet"))
+    drift = stream_drift_psi(
+        stream, hist, _PSI_CUTOFF_US, n_bins=10, window="1 day"
+    )
+    return run_stream_to_memory(drift, output_mode="complete")
 
 
 @register(

@@ -769,3 +769,130 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def drift_reference_histogram(
+    ref_events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Static PSI baseline from a BATCH reference slice: per group, the
+    value span plus a WIDE equal-width bin histogram (cr_0..cr_{b-1},
+    n_ref). Bounded output — one row per group — so the stream side
+    can broadcast it. Bin membership matches
+    ``aggregates.psi_drift`` expression-for-expression (IEEE-exact
+    min/max/sub/div/floor), so a batch PSI over the same slices is
+    bit-identical to the streaming one."""
+    base = ref_events.select(
+        group_col, F.col(value_col).cast("double").alias("_v")
+    )
+    span = base.groupBy(group_col).agg(
+        F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ref"),
+    )
+    binned = base.join(F.broadcast(span), group_col).select(
+        group_col,
+        _psi_bin_expr("_v", "_vmin", "_vmax", n_bins).alias("_bin"),
+        "_vmin", "_vmax", "n_ref",
+    )
+    return binned.groupBy(group_col).agg(
+        F.max("_vmin").alias("_vmin"), F.max("_vmax").alias("_vmax"),
+        F.max("n_ref").alias("n_ref"),
+        *[
+            F.sum(F.when(F.col("_bin") == b, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"cr_{b}")
+            for b in range(n_bins)
+        ],
+    )
+
+
+def _psi_bin_expr(v: str, vmin: str, vmax: str, n_bins: int):
+    """Equal-width bin index over [vmin, vmax], clamped to the edge
+    bins; the SAME expression shape as ``aggregates.psi_drift`` and
+    the SQL oracles (constant-span groups collapse to bin 0)."""
+    return (
+        F.when(F.col(vmax) == F.col(vmin), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(v) - F.col(vmin))
+                        / ((F.col(vmax) - F.col(vmin)) / n_bins)
+                    ).cast("int"),
+                ),
+            )
+        )
+    )
+
+
+def stream_drift_psi(
+    events: DataFrame,
+    ref_hist: DataFrame,
+    cutoff_us: int,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 10,
+    window: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming PSI drift monitor: per (tumbling window, group), the
+    Population Stability Index of the live value distribution against
+    the static reference histogram — the alert a continuously-fed
+    training pipeline keeps on its feature stream.
+
+    Plan shape: stream ⋈ broadcast(static one-row-per-group baseline)
+    attaches span + reference counts to each row (stateless, before
+    the aggregation, the supported stream-static join position), then
+    ONE streaming aggregation computes the live histogram as n_bins
+    conditional sums — no chained stateful operators, so every output
+    row is a pure function of closed-window counts. The PSI itself is
+    a stateless projection: per-bin terms rounded to exact nano-ints,
+    summed as BIGINTs (summation-order-free — same policy as
+    ``aggregates.psi_drift``), ONE ln() per bin under the 6dp rounding
+    headroom. Batch and stream take the identical plan (pass the
+    batch events DataFrame for the batch twin); state is
+    O(groups × windows-in-flight), bins ride in columns not rows.
+    """
+    df = events.filter(F.unix_micros(F.col("ts")) >= F.lit(cutoff_us))
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    binned = df.join(F.broadcast(ref_hist), group_col).select(
+        "ts", group_col, "n_ref",
+        _psi_bin_expr(value_col, "_vmin", "_vmax", n_bins).alias("_bin"),
+        *[f"cr_{b}" for b in range(n_bins)],
+    )
+    agg = binned.groupBy(F.window("ts", window), group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cur"),
+        F.max("n_ref").alias("n_ref"),
+        *[F.max(f"cr_{b}").alias(f"cr_{b}") for b in range(n_bins)],
+        *[
+            F.sum(F.when(F.col("_bin") == b, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"cc_{b}")
+            for b in range(n_bins)
+        ],
+    )
+
+    def term_nano(b: int):
+        cr, cc = F.col(f"cr_{b}"), F.col(f"cc_{b}")
+        nr, nc = F.col("n_ref"), F.col("n_cur")
+        two = F.lit(2)
+        p = (two * cr + 1).cast("double") / (two * nr + n_bins).cast("double")
+        q = (two * cc + 1).cast("double") / (two * nc + n_bins).cast("double")
+        ratio = ((two * cr + 1) * (two * nc + n_bins)).cast("double") / (
+            (two * cc + 1) * (two * nr + n_bins)
+        ).cast("double")
+        return F.round((p - q) * F.log(ratio) * 1e9).cast("bigint")
+
+    tn = term_nano(0)
+    for b in range(1, n_bins):
+        tn = tn + term_nano(b)
+    return agg.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        group_col, "n_ref", "n_cur",
+        F.round(tn.cast("double") / 1e9, 6).alias("psi"),
+    )

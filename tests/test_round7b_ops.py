@@ -243,3 +243,99 @@ def test_hash_bucket_matches_oracle_primitive(spark):
     for vid in range(100):
         h = hashlib.md5(f"{vid}temp".encode()).hexdigest()
         assert got[vid] == int(h[:8], 16) % 10_000
+
+
+# -------------------------------------------------- preference pairs
+
+
+def test_preference_pairs_tie_breaks_and_zero_margin(spark):
+    from mapreduce_join_comparison_spark.queries_catalog import QUERIES
+
+    # build a tiny events-shaped table and exercise the same operator
+    # shape directly (struct-max argmax with ties)
+    rows = [
+        # group 1: max tie between events 11/12 -> chosen 11; min is 13
+        (1, 11, 5.0), (1, 12, 5.0), (1, 13, 1.0),
+        # group 2: min tie between 22/23 -> rejected 22
+        (2, 21, 9.0), (2, 22, 2.0), (2, 23, 2.0),
+        # group 3: all equal -> zero margin -> dropped
+        (3, 31, 4.0), (3, 32, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, value double"
+    )
+    r = df.select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("rm"),
+    )
+    g = r.groupBy("user_id").agg(
+        F.max(F.struct(F.col("rm"), (-F.col("event_id")).alias("nid")))
+        .alias("_c"),
+        F.min(F.struct(F.col("rm"), F.col("event_id"))).alias("_j"),
+    )
+    out = {
+        row.user_id: (row.chosen, row.rejected, row.margin)
+        for row in g.select(
+            "user_id",
+            (-F.col("_c.nid")).alias("chosen"),
+            F.col("_j.event_id").alias("rejected"),
+            (F.col("_c.rm") - F.col("_j.rm")).alias("margin"),
+        )
+        .filter(F.col("margin") > 0)
+        .collect()
+    }
+    assert out == {1: (11, 13, 4000), 2: (21, 22, 7000)}
+
+
+# -------------------------------------------------- streaming drift
+
+
+def test_stream_drift_psi_batch_twin_matches_psi_drift(spark):
+    """stream_drift_psi on a BATCH frame with one window spanning the
+    whole current slice must equal aggregates.psi_drift on the same
+    split — same bins, same smoothing, same nano-int terms."""
+    from mapreduce_join_comparison_spark.streaming.events import (
+        drift_reference_histogram,
+        stream_drift_psi,
+    )
+
+    rows = []
+    for i in range(200):
+        # ref (us < cutoff): uniform over [0, 10); cur: shifted up for
+        # group a, identical for group b
+        rows.append(("a", 10_000 + i, float(i % 10)))
+        rows.append(("a", 200_000 + i, float(i % 10) + 4.0))
+        rows.append(("b", 20_000 + i, float(i % 7)))
+        rows.append(("b", 600_000 + i, float(i % 7)))
+    df = spark.createDataFrame(
+        rows,
+        "event_type string, us bigint, value double",
+    ).select(
+        "event_type",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "value",
+    )
+    cutoff = 100_000
+    ref = df.filter(F.unix_micros("ts") < cutoff)
+    hist = drift_reference_histogram(ref, n_bins=10)
+    # one giant window covers every current row (all within day 0)
+    got = {
+        (r.event_type,): (r.n_ref, r.n_cur, r.psi)
+        for r in stream_drift_psi(
+            df, hist, cutoff, n_bins=10, window="7 days"
+        ).collect()
+    }
+    want = {
+        (r.event_type,): (r.n_ref, r.n_cur, r.psi)
+        for r in psi_drift(
+            df,
+            ["event_type"],
+            F.col("value"),
+            F.unix_micros("ts") < cutoff,
+            n_bins=10,
+        ).collect()
+    }
+    assert got == want
+    # the shifted distribution must register as drifted, the stable not
+    assert got[("a",)][2] > 0.25
+    assert got[("b",)][2] == 0.0
