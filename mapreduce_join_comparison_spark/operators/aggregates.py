@@ -1188,7 +1188,8 @@ def psi_drift(
     same shapes in the SQL oracle), counts are exact BIGINTs, and the
     single ln() per bin is 6dp-rounded at the end — the same last-ulp
     policy as the TF-IDF/BM25 oracles. Groups with no reference rows
-    drop (nothing to baseline against).
+    drop (nothing to baseline against); a NULL group KEY is a real
+    group and keeps its row (the span re-attach is NULL-safe).
 
     Scale shape: one tiny per-group span aggregate broadcast back onto
     the events (no corpus shuffle for binning), one partial-agg
@@ -1204,8 +1205,10 @@ def psi_drift(
         .groupBy(*group_cols)
         .agg(F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax"))
     )
-    # bounded broadcast: one row per group
-    binned = base.join(F.broadcast(span), group_cols).select(
+    # bounded: one span row per group (group count never scales with
+    # the corpus row count); NULL-safe so a NULL group key keeps its
+    # PSI row (same round-6-advice lesson as the binned decompositions)
+    binned = _nullsafe_broadcast_join(base, span, group_cols).select(
         *group_cols, "_is_ref",
         F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0))
         .otherwise(

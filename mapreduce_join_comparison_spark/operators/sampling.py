@@ -182,7 +182,9 @@ def temperature_rebalance(
     Plan shape matches ``mix_rebalance``: one |strata|-row token
     aggregate broadcast back onto the corpus, membership via the
     md5-bucket primitive — corpus scanned once, filtered narrowly,
-    no corpus shuffle at all."""
+    no corpus shuffle at all. Rows with a NULL stratum drop, same as
+    ``mix_rebalance``'s strata-absent-from-targets rule (an unlabeled
+    document has no place in a per-language mix — label first)."""
     from .text import token_count
 
     base = df.select(
@@ -202,7 +204,8 @@ def temperature_rebalance(
         .select("_stratum", "keep_frac")
     )
     return (
-        # bounded broadcast: one row per stratum (coarse source labels)
+        # bounded: one row per stratum (coarse source labels, never
+        # scales with the corpus)
         base.join(F.broadcast(fracs), "_stratum")
         .filter(
             hash_bucket(key_col, buckets, salt)

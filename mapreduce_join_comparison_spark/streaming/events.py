@@ -791,6 +791,8 @@ def drift_reference_histogram(
         F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax"),
         F.count(F.lit(1)).cast("bigint").alias("n_ref"),
     )
+    # bounded: one span row per group (group cardinality is a label
+    # set, never the corpus)
     binned = base.join(F.broadcast(span), group_col).select(
         group_col,
         _psi_bin_expr("_v", "_vmin", "_vmax", n_bins).alias("_bin"),
@@ -860,6 +862,8 @@ def stream_drift_psi(
     df = events.filter(F.unix_micros(F.col("ts")) >= F.lit(cutoff_us))
     if watermark:
         df = df.withWatermark("ts", watermark)
+    # bounded: ref_hist is one row per group (drift_reference_
+    # histogram's contract) — the canonical stream-static dim join
     binned = df.join(F.broadcast(ref_hist), group_col).select(
         "ts", group_col, "n_ref",
         _psi_bin_expr(value_col, "_vmin", "_vmax", n_bins).alias("_bin"),

@@ -339,3 +339,55 @@ def test_stream_drift_psi_batch_twin_matches_psi_drift(spark):
     # the shifted distribution must register as drifted, the stable not
     assert got[("a",)][2] > 0.25
     assert got[("b",)][2] == 0.0
+
+
+# ---------------------------------------------- k-means property test
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-400, max_value=400).map(
+                lambda m: m / 1000.0
+            ),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=25,
+    ),
+    k=st.sampled_from([1, 2, 4]),
+    iters=st.sampled_from([1, 2]),
+)
+def test_kmeans_trajectory_property(spark, vecs, k, iters):
+    """Whatever the data (duplicates, collinear points, k > distinct
+    points, clusters that empty out), the Spark trajectory equals the
+    pure-Python exact replay Row-for-Row."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    got = {
+        r.vec_id: (r.dist, r.cluster)
+        for r in kmeans_lloyd(
+            _emb_df(spark, rows), dim=3, k=k, iters=iters
+        ).collect()
+    }
+    want = _py_kmeans(rows, dim=3, k=k, iters=iters)
+    assert got == want
+
+
+def test_psi_null_group_key_is_kept(spark):
+    # a NULL group key is a real group: the span re-attach is
+    # NULL-safe (round-6-advice lesson), so its PSI row must appear
+    rows = [(None, float(i % 5), True) for i in range(40)]
+    rows += [(None, float(i % 5), False) for i in range(40)]
+    rows += [("a", 1.0, True), ("a", 2.0, False)]
+    out = {
+        r.g: r.psi
+        for r in psi_drift(
+            _psi_df(spark, rows), ["g"], F.col("v"), F.col("r")
+        ).collect()
+    }
+    assert set(out) == {None, "a"}
+    assert out[None] == 0.0
