@@ -69,6 +69,18 @@ EXPECTATIONS = {
     # + the bucket-candidate distinct
     "similarity_lsh_ann": (3, None),
     "sort_total_order": (1, None),   # range partition + local sort only
+    # final Lloyd assignment is a pure narrow map against the k×dim
+    # centroid literal — ZERO exchanges (the per-iteration update aggs
+    # run in their own bounded jobs, not in this plan)
+    "embedding_kmeans": (0, None),
+    # bin agg + per-group total window + final group agg; the span
+    # re-attach is a NULL-safe BroadcastHashJoin
+    "stats_drift_psi": (3, "BroadcastHashJoin"),
+    # |strata|-row token agg + bounded SinglePartition max window on
+    # it; the corpus itself only sees the broadcast join + filter
+    "sample_temperature": (2, "BroadcastHashJoin"),
+    # ONE group-key shuffle: struct-argmax SortAggregate, no window
+    "pipeline_preference_pairs": (1, None),
     # one events-scale user agg; cells/sizes aggs are user-grain or
     # smaller; sizes re-attach by broadcast
     "events_cohort_retention": (4, "BroadcastHashJoin"),
