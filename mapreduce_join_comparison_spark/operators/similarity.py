@@ -972,7 +972,13 @@ def kmeans_lloyd(
 
     100 TB shape: iters+1 linear scans, one k×dim-cell shuffle per
     iteration, O(k·dim) driver state — no per-row Python, no
-    quadratic stage anywhere."""
+    quadratic stage anywhere.
+
+    Preconditions: every vector must have exactly ``dim`` non-null
+    entries (a short vector NULLs its zip_with distance; a long one
+    overruns the update's dim-sized centroid) and ids must be
+    non-null — the same well-formedness contract as the ANN family.
+    Fewer than k rows simply yields that many clusters."""
     q = embeddings.select(
         F.col(id_col),
         quantize_embeddings(embeddings, vec_col, scale).alias("qv"),

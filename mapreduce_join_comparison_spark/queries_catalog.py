@@ -7505,7 +7505,7 @@ def stats_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT event_type, CAST(value AS DOUBLE) AS v,
              epoch_us(ts::TIMESTAMP) AS us
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     span AS (
       SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax,

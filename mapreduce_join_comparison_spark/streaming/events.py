@@ -784,9 +784,11 @@ def drift_reference_histogram(
     ``aggregates.psi_drift`` expression-for-expression (IEEE-exact
     min/max/sub/div/floor), so a batch PSI over the same slices is
     bit-identical to the streaming one."""
+    # NULL values have no bin: excluded from the monitor entirely (both
+    # here and in stream_drift_psi), so counts and totals stay coherent
     base = ref_events.select(
         group_col, F.col(value_col).cast("double").alias("_v")
-    )
+    ).filter(F.col("_v").isNotNull())
     span = base.groupBy(group_col).agg(
         F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax"),
         F.count(F.lit(1)).cast("bigint").alias("n_ref"),
@@ -859,7 +861,10 @@ def stream_drift_psi(
     batch events DataFrame for the batch twin); state is
     O(groups × windows-in-flight), bins ride in columns not rows.
     """
-    df = events.filter(F.unix_micros(F.col("ts")) >= F.lit(cutoff_us))
+    df = events.filter(
+        (F.unix_micros(F.col("ts")) >= F.lit(cutoff_us))
+        & F.col(value_col).isNotNull()  # no bin for NULL: see histogram
+    )
     if watermark:
         df = df.withWatermark("ts", watermark)
     # bounded: ref_hist is one row per group (drift_reference_

@@ -391,3 +391,33 @@ def test_psi_null_group_key_is_kept(spark):
     }
     assert set(out) == {None, "a"}
     assert out[None] == 0.0
+
+
+def test_stream_drift_null_values_excluded_coherently(spark):
+    # NULL values have no bin: excluded from the monitor entirely, so
+    # n_ref/n_cur equal the sum of histogram cells, not the raw row
+    # count (keeps the operator coherent with its relational oracle)
+    from mapreduce_join_comparison_spark.streaming.events import (
+        drift_reference_histogram,
+        stream_drift_psi,
+    )
+
+    rows = [("a", 1_000 + i, float(i % 5)) for i in range(50)]
+    rows += [("a", 1_500 + i, None) for i in range(7)]       # ref nulls
+    # same shape AND same count as ref: Laplace smoothing cancels
+    # exactly only at equal n, making psi == 0.0 a sharp assertion
+    rows += [("a", 200_000 + i, float(i % 5)) for i in range(50)]
+    rows += [("a", 200_500 + i, None) for i in range(9)]     # cur nulls
+    df = spark.createDataFrame(
+        rows, "event_type string, us bigint, value double"
+    ).select(
+        "event_type", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    hist = drift_reference_histogram(
+        df.filter(F.unix_micros("ts") < 100_000), n_bins=10
+    )
+    out = stream_drift_psi(df, hist, 100_000, n_bins=10,
+                           window="7 days").collect()
+    assert len(out) == 1
+    assert out[0].n_ref == 50 and out[0].n_cur == 50
+    assert out[0].psi == 0.0
