@@ -3496,6 +3496,23 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avro_roundtrip(spark, proj, path)
 
 
+@register("source_xml_roundtrip", _NATION_SQL)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink — built-in since Spark 4.0 (SPARK-44265 folded
+    the external spark-xml package into core), completing the
+    text-format family alongside CSV/JSON: rowTag-delimited records,
+    explicit-schema read (inference would both rescan and widen ints
+    to long). Same roundtrip contract as the JSON/ORC/Avro twins."""
+    import tempfile
+
+    from .sources.io import xml_roundtrip
+
+    (nation,) = _load(spark, sf_dir, "nation")
+    proj = nation.select("n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_xml_roundtrip")
+    return xml_roundtrip(spark, proj, path)
+
+
 @register(
     "source_schema_evolution",
     """

@@ -220,6 +220,25 @@ def avro_roundtrip(spark, df: DataFrame, path: str) -> DataFrame:
     return spark.read.format(AVRO_FORMAT).schema(df.schema).load(path)
 
 
+def xml_roundtrip(spark, df: DataFrame, path: str,
+                  row_tag: str = "row") -> DataFrame:
+    """Write ``df`` as XML and read it back with the explicit schema
+    (inference is an extra scan — never at 100 TB — and would widen
+    ints to long). XML became a BUILT-IN source in Spark 4.0
+    (SPARK-44265 folded the external spark-xml package in), so unlike
+    Avro no class-name workaround is needed; same roundtrip contract
+    as the JSON/ORC/Avro catalog twins."""
+    (
+        df.write.mode("overwrite")
+        .option("rootTag", "rows").option("rowTag", row_tag)
+        .format("xml").save(path)
+    )
+    return (
+        spark.read.option("rowTag", row_tag)
+        .schema(df.schema).format("xml").load(path)
+    )
+
+
 def drop_table_and_stale_dir(spark, table_name: str,
                              path: str | None = None) -> None:
     """Idempotent saveAsTable precondition: drop the catalog entry AND
