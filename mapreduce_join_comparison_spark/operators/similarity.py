@@ -13,6 +13,7 @@ zip_with/aggregate — no Python in the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -938,6 +939,43 @@ def quantize_embeddings(
     )
 
 
+def _kmeans_assign_pandas(cents: list[tuple[int, list[int]]]):
+    """Arrow-batched exact-int argmin — the LARGE-k assignment path.
+    The literal HOF fold is interpreted (not codegen'd), so its cost
+    is k×dim scalar ops per row in the expression interpreter;
+    vectorized int64 numpy computes the same distances as
+    |q|² + |c|² − 2·q·Cᵀ (every term exact int64 — |q·c| ≤
+    (scale·max|x|)²·dim ≪ 2⁶³, and integer matmul is exact, so
+    results are BIT-IDENTICAL to the fold). ``np.argmin`` keeps the
+    FIRST minimum, which with cid-sorted ``cents`` is the lowest
+    cluster id — the identical tie-break. Measured at 20 k × 64-d,
+    k=64: ~10 s/pass (fold) → well under 1 s/pass (Arrow). This is
+    the documented pandas-UDF exception: Python in the hot path only
+    where it is Arrow-batched AND beats the JVM expression by an
+    order of magnitude."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([cv for _, cv in cents], dtype=np.int64)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cc = (C * C).sum(axis=1)[None, :]
+
+    @pandas_udf("struct<dist: bigint, cluster: int>")
+    def assign(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"dist": [], "cluster": []})
+        Q = np.stack(qv.to_numpy()).astype(np.int64, copy=False)
+        d = (Q * Q).sum(axis=1)[:, None] + cc - 2 * (Q @ C.T)
+        j = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "dist": d[np.arange(len(j)), j],
+                "cluster": cids[j].astype(np.int32),
+            }
+        )
+
+    return assign
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     dim: int = 64,
@@ -947,6 +985,7 @@ def kmeans_lloyd(
     salt: str = ":km7",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_via: str = "auto",
 ) -> DataFrame:
     """Distributed Lloyd k-means over the full corpus, exact-arithmetic
     variant: vectors quantized to micro-ints, distances and centroid
@@ -980,11 +1019,19 @@ def kmeans_lloyd(
     non-null — the same well-formedness contract as the ANN family.
     Fewer than k rows simply yields that many clusters.
 
-    Assignment cost is linear in k (measured: 20 k × 64-d vectors,
-    k=8 ≈ 1.5 s/pass, k=64 ≈ 10 s/pass — the HOF fold is interpreted,
-    not codegen'd). Same boundary as ``_nearest_cells_expr``: beyond
-    ~10⁴ centroids the pool belongs in real data (a co-partitioned
-    cell join), not a task-serialized literal."""
+    Assignment (``assign_via``): ``'literal'`` is the JVM HOF fold —
+    zero Python, but interpreted, so linear-in-k per-row cost
+    (measured 20 k × 64-d: k=8 ≈ 1.5 s/pass, k=64 ≈ 10 s/pass);
+    ``'pandas'`` is the Arrow-batched exact-int numpy argmin
+    (bit-identical — see ``_kmeans_assign_pandas``), an order of
+    magnitude faster at large k; ``'auto'`` (default) switches to
+    Arrow once k·dim ≥ 2048, the measured crossover region. Both are
+    NARROW (no join, no shuffle). Beyond ~10⁴ centroids the pool
+    belongs in real data (a co-partitioned cell join), not a
+    task-serialized literal/closure — same boundary as
+    ``_nearest_cells_expr``."""
+    if assign_via not in ("auto", "literal", "pandas"):
+        raise ValueError(f"assign_via={assign_via!r}")
     q = embeddings.select(
         F.col(id_col),
         quantize_embeddings(embeddings, vec_col, scale).alias("qv"),
@@ -999,7 +1046,13 @@ def kmeans_lloyd(
     cents = [(i, [int(v) for v in r.qv]) for i, r in enumerate(init_rows)]
 
     def assign(c: list[tuple[int, list[int]]]) -> DataFrame:
-        s = _kmeans_assign_expr("qv", c)
+        use_pandas = assign_via == "pandas" or (
+            assign_via == "auto" and k * dim >= 2048
+        )
+        if use_pandas:
+            s = _kmeans_assign_pandas(c)(F.col("qv"))
+        else:
+            s = _kmeans_assign_expr("qv", c)
         return q.select(
             F.col(id_col), "qv",
             s["cluster"].alias("cluster"), s["dist"].alias("dist"),

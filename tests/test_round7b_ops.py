@@ -421,3 +421,30 @@ def test_stream_drift_null_values_excluded_coherently(spark):
     assert len(out) == 1
     assert out[0].n_ref == 50 and out[0].n_cur == 50
     assert out[0].psi == 0.0
+
+
+def test_kmeans_pandas_assignment_bit_identical(spark):
+    # the Arrow-batched exact-int argmin must reproduce the literal
+    # HOF fold Row-for-Row (ties included), and both must match the
+    # Python replay
+    rows = []
+    for i in range(60):
+        rows.append((i, [0.01 * ((i * 7 + j * 3) % 23 - 11)
+                         for j in range(8)]))
+    # salt in exact duplicates and tie shapes
+    rows += [(100 + i, rows[i][1]) for i in range(10)]
+    df = _emb_df(spark, rows)
+    lit_out = {
+        r.vec_id: (r.dist, r.cluster)
+        for r in kmeans_lloyd(
+            df, dim=8, k=5, iters=2, assign_via="literal"
+        ).collect()
+    }
+    pd_out = {
+        r.vec_id: (r.dist, r.cluster)
+        for r in kmeans_lloyd(
+            df, dim=8, k=5, iters=2, assign_via="pandas"
+        ).collect()
+    }
+    assert lit_out == pd_out
+    assert lit_out == _py_kmeans(rows, dim=8, k=5, iters=2)
