@@ -1162,6 +1162,54 @@ def ks_two_sample_binned(
     )
 
 
+def psi_bin_expr(
+    v: str, vmin: str, vmax: str, n_bins: int
+) -> Column:
+    """Equal-width PSI bin index over [vmin, vmax], clamped to the
+    edge bins; constant-span groups collapse to bin 0. THE single
+    definition shared by the batch monitor (``psi_drift``), the
+    streaming monitor (``streaming.events.stream_drift_psi``), and —
+    expression-for-expression — the SQL oracles; all arguments are
+    column NAMES."""
+    return (
+        F.when(F.col(vmax) == F.col(vmin), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(v) - F.col(vmin))
+                        / ((F.col(vmax) - F.col(vmin)) / n_bins)
+                    ).cast("int"),
+                ),
+            )
+        )
+    )
+
+
+def psi_term_nano(
+    cr: Column, cc: Column, nr: Column, nc: Column, n_bins: int
+) -> Column:
+    """One PSI bin's contribution as an exact nano-int BIGINT:
+    Laplace-½ smoothed p = (2·cr+1)/(2·nr+n_bins) (ditto q), term =
+    (p−q)·ln(p/q) with the ratio formed from exact integer
+    cross-products, rounded to int(term·10⁹). BIGINT addition is
+    associative, so summing terms is order-free cross-engine; the one
+    ln() per bin sits under the same 6dp-rounding policy as the
+    TF-IDF/BM25 oracles. NOTE an empty-on-both-sides bin is NOT zero
+    when nr ≠ nc (p = 1/(2nr+b) ≠ 1/(2nc+b) = q), so every consumer
+    must sum over the FULL n_bins grid — the single definition here
+    keeps batch, stream, and oracles in lockstep."""
+    two = F.lit(2)
+    p = (two * cr + 1).cast("double") / (two * nr + n_bins).cast("double")
+    q = (two * cc + 1).cast("double") / (two * nc + n_bins).cast("double")
+    ratio = ((two * cr + 1) * (two * nc + n_bins)).cast("double") / (
+        (two * cc + 1) * (two * nr + n_bins)
+    ).cast("double")
+    return F.round((p - q) * F.log(ratio) * 1e9).cast("bigint")
+
+
 def psi_drift(
     df: DataFrame,
     group_cols: list[str],
@@ -1178,28 +1226,27 @@ def psi_drift(
     Bin edges are ``n_bins`` equal-width bins over the REFERENCE
     slice's [min, max] (the convention: the monitored window is scored
     against the baseline's binning); current values clamp into the
-    edge bins. Counts are smoothed with Laplace ½ so empty bins are
-    well-defined: p_b = (c_b + ½) / (n + n_bins/2), and
-    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b). A bin empty on BOTH sides
-    contributes exactly 0, so only observed bins need aggregating.
-
-    Determinism: bin membership uses only IEEE-exact ops (min/max are
-    exact, sub/div/floor are correctly rounded and computed in the
-    same shapes in the SQL oracle), counts are exact BIGINTs, and the
-    single ln() per bin is 6dp-rounded at the end — the same last-ulp
-    policy as the TF-IDF/BM25 oracles. Groups with no reference rows
-    drop (nothing to baseline against); a NULL group KEY is a real
-    group and keeps its row (the span re-attach is NULL-safe).
+    edge bins. Counts are smoothed with Laplace ½ and PSI sums
+    ``psi_term_nano`` over the FULL n_bins grid — under smoothing an
+    empty-on-both-sides bin still contributes whenever the two slice
+    sizes differ, so skipping unobserved bins would understate drift
+    (and diverge from the streaming twin, which always folds all
+    n_bins column-wise). NULL values have no bin and are excluded
+    entirely (same contract as ``drift_reference_histogram``), so
+    n_ref/n_cur equal the histogram mass. Groups with no reference
+    rows drop (nothing to baseline against); a NULL group KEY is a
+    real group and keeps its row (every re-attach is NULL-safe).
 
     Scale shape: one tiny per-group span aggregate broadcast back onto
     the events (no corpus shuffle for binning), one partial-agg
-    shuffle of (group × bin) cells, one |group|-row reduce. Linear,
-    two scans, no window over raw rows."""
+    shuffle of (group × bin) cells, then grid completion and totals on
+    the bounded cell table. Linear, two scans, no window over raw
+    rows."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     base = df.select(
         *group_cols, v.cast("double").alias("_v"),
         is_ref.alias("_is_ref"),
-    )
+    ).filter(F.col("_v").isNotNull())
     span = (
         base.filter("_is_ref")
         .groupBy(*group_cols)
@@ -1210,20 +1257,7 @@ def psi_drift(
     # PSI row (same round-6-advice lesson as the binned decompositions)
     binned = _nullsafe_broadcast_join(base, span, group_cols).select(
         *group_cols, "_is_ref",
-        F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_bins - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col("_v") - F.col("_vmin"))
-                        / ((F.col("_vmax") - F.col("_vmin")) / n_bins)
-                    ).cast("int"),
-                ),
-            )
-        )
-        .alias("_bin"),
+        psi_bin_expr("_v", "_vmin", "_vmax", n_bins).alias("_bin"),
     )
     cnt = binned.groupBy(*group_cols, "_bin").agg(
         F.sum(F.when(F.col("_is_ref"), 1).otherwise(0))
@@ -1231,35 +1265,38 @@ def psi_drift(
         F.sum(F.when(F.col("_is_ref"), 0).otherwise(1))
         .cast("bigint").alias("_cc"),
     )
+    # complete the grid: every group × every bin, zeros where
+    # unobserved (empty-both bins still carry a smoothed term)
+    grid = span.select(
+        *group_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_bin"),
+    )
+    renamed = cnt.select(
+        *[F.col(c).alias(f"_cj_{c}") for c in group_cols],
+        F.col("_bin").alias("_cj_bin"), "_cr", "_cc",
+    )
+    cond = F.col("_bin") == F.col("_cj_bin")
+    for k in group_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_cj_{k}"))
+    # bounded: cnt is ≤ |groups| × n_bins cells
+    full = grid.join(F.broadcast(renamed), cond, "left").select(
+        *group_cols, "_bin",
+        F.coalesce("_cr", F.lit(0)).cast("bigint").alias("_cr"),
+        F.coalesce("_cc", F.lit(0)).cast("bigint").alias("_cc"),
+    )
     from pyspark.sql import Window
 
     wg = Window.partitionBy(*group_cols)
-    tot = cnt.select(
+    tot = full.select(
         *group_cols, "_bin", "_cr", "_cc",
         F.sum("_cr").over(wg).cast("bigint").alias("_nr"),
         F.sum("_cc").over(wg).cast("bigint").alias("_nc"),
     )
-    # exact-int numerators/denominators, ONE double division each:
-    # p = (2c+1)/(2n+n_bins), and ln of the exact cross-product ratio
-    two = F.lit(2)
-    p = (two * F.col("_cr") + 1).cast("double") / (
-        two * F.col("_nr") + n_bins
-    ).cast("double")
-    q = (two * F.col("_cc") + 1).cast("double") / (
-        two * F.col("_nc") + n_bins
-    ).cast("double")
-    ratio = (
-        (two * F.col("_cr") + 1) * (two * F.col("_nc") + n_bins)
-    ).cast("double") / (
-        (two * F.col("_cc") + 1) * (two * F.col("_nr") + n_bins)
-    ).cast("double")
-    # each bin's term rounds to exact nano-int BEFORE the sum: BIGINT
-    # addition is associative, so the cross-engine result can't depend
-    # on bin summation order (the one ln() per bin is inside the same
-    # 6dp-headroom rounding policy as the TF-IDF/BM25 oracles)
-    term_nano = F.round((p - q) * F.log(ratio) * 1e9).cast("bigint")
+    tn = psi_term_nano(
+        F.col("_cr"), F.col("_cc"), F.col("_nr"), F.col("_nc"), n_bins
+    )
     return (
-        tot.withColumn("_tn", term_nano)
+        tot.withColumn("_tn", tn)
         .groupBy(*group_cols)
         .agg(
             F.max("_nr").alias("n_ref"),

@@ -924,7 +924,6 @@ def _kmeans_assign_expr(
 
 
 def quantize_embeddings(
-    df: DataFrame,
     vec_col: str = "embedding",
     scale: int = 1_000_000,
 ) -> Column:
@@ -1034,7 +1033,7 @@ def kmeans_lloyd(
         raise ValueError(f"assign_via={assign_via!r}")
     q = embeddings.select(
         F.col(id_col),
-        quantize_embeddings(embeddings, vec_col, scale).alias("qv"),
+        quantize_embeddings(vec_col, scale).alias("qv"),
         F.md5(
             F.concat(F.col(id_col).cast("string"), F.lit(salt))
         ).alias("_h"),

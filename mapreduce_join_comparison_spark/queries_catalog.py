@@ -7309,7 +7309,7 @@ def pipeline_reward_normalize_query(
     WITH r AS (
       SELECT user_id, event_id,
              CAST(ROUND(value * 1000) AS BIGINT) AS rm
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     c AS (
       SELECT user_id, event_id, rm FROM r
@@ -7339,11 +7339,14 @@ def pipeline_preference_pairs_query(
     argmax/argmin as ONE groupBy of struct-max/min — no rank window,
     no per-group sort, one shuffle on the group key (the same
     window-free rewrite as ``agg_group_mode``); the oracle's two
-    rank-window CTEs prove the struct ordering equivalent."""
+    rank-window CTEs prove the struct ordering equivalent. NULL
+    rewards are excluded up front: an unscored response cannot rank
+    (and Spark's NULLS-FIRST struct ordering vs SQL's NULLS-LAST rank
+    default would otherwise make the two sides disagree on it)."""
     from pyspark.sql import functions as F
 
     (events,) = _load(spark, sf_dir, "events")
-    r = events.select(
+    r = events.filter(F.col("value").isNotNull()).select(
         "user_id", "event_id",
         F.round(F.col("value") * 1000).cast("bigint").alias("rm"),
     )
@@ -7446,7 +7449,7 @@ _PSI_CUTOFF_US = 1_705_363_200_000_000
     WITH e AS (
       SELECT event_type, CAST(value AS DOUBLE) AS v,
              epoch_us(ts::TIMESTAMP) < {_PSI_CUTOFF_US} AS is_ref
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     span AS (
       SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax
@@ -7459,7 +7462,8 @@ _PSI_CUTOFF_US = 1_705_363_200_000_000
                     CAST(FLOOR((e.v - s.vmin)
                                / ((s.vmax - s.vmin) / 10)) AS INT)))
              END AS bin
-      FROM e JOIN span s USING (event_type)
+      FROM e JOIN span s
+        ON e.event_type IS NOT DISTINCT FROM s.event_type
     ),
     cnt AS (
       SELECT event_type, bin,
@@ -7469,13 +7473,23 @@ _PSI_CUTOFF_US = 1_705_363_200_000_000
                AS cc
       FROM binned GROUP BY 1, 2
     ),
+    grid AS (
+      SELECT s.event_type, t.i AS bin FROM span s, range(0, 10) t(i)
+    ),
+    fullb AS (
+      SELECT g.event_type, g.bin,
+             COALESCE(c.cr, 0) AS cr, COALESCE(c.cc, 0) AS cc
+      FROM grid g LEFT JOIN cnt c
+        ON g.event_type IS NOT DISTINCT FROM c.event_type
+       AND g.bin = c.bin
+    ),
     tot AS (
       SELECT event_type, bin, cr, cc,
              CAST(SUM(cr) OVER (PARTITION BY event_type) AS BIGINT)
                AS nr,
              CAST(SUM(cc) OVER (PARTITION BY event_type) AS BIGINT)
                AS nc
-      FROM cnt
+      FROM fullb
     ),
     terms AS (
       SELECT event_type, nr, nc,
@@ -7499,8 +7513,10 @@ def stats_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event type between the first and
     second half of the month — the drift monitor a continuously-fed
     training pipeline runs between snapshots. Equal-width bins over
-    the REFERENCE window's span, Laplace-½ smoothing, per-bin terms
-    rounded to exact nano-ints BEFORE the sum so the aggregate is
+    the REFERENCE window's span, Laplace-½ smoothing, terms summed
+    over the FULL 10-bin grid (an empty-both bin is nonzero whenever
+    the slice sizes differ — see psi_term_nano), each rounded to an
+    exact nano-int BEFORE the sum so the aggregate is
     summation-order-free (operators.aggregates.psi_drift)."""
     from pyspark.sql import functions as F
 

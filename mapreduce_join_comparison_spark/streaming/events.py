@@ -813,24 +813,12 @@ def drift_reference_histogram(
 
 
 def _psi_bin_expr(v: str, vmin: str, vmax: str, n_bins: int):
-    """Equal-width bin index over [vmin, vmax], clamped to the edge
-    bins; the SAME expression shape as ``aggregates.psi_drift`` and
-    the SQL oracles (constant-span groups collapse to bin 0)."""
-    return (
-        F.when(F.col(vmax) == F.col(vmin), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_bins - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col(v) - F.col(vmin))
-                        / ((F.col(vmax) - F.col(vmin)) / n_bins)
-                    ).cast("int"),
-                ),
-            )
-        )
-    )
+    """Shared with the batch monitor — ONE definition
+    (``operators.aggregates.psi_bin_expr``) so the two monitors and
+    the SQL oracles cannot drift apart."""
+    from ..operators.aggregates import psi_bin_expr
+
+    return psi_bin_expr(v, vmin, vmax, n_bins)
 
 
 def stream_drift_psi(
@@ -886,16 +874,16 @@ def stream_drift_psi(
         ],
     )
 
+    # ONE shared term definition with the batch monitor (see
+    # psi_term_nano's note: empty-both bins are NOT zero when the
+    # slice sizes differ, so the fold runs over all n_bins columns)
+    from ..operators.aggregates import psi_term_nano
+
     def term_nano(b: int):
-        cr, cc = F.col(f"cr_{b}"), F.col(f"cc_{b}")
-        nr, nc = F.col("n_ref"), F.col("n_cur")
-        two = F.lit(2)
-        p = (two * cr + 1).cast("double") / (two * nr + n_bins).cast("double")
-        q = (two * cc + 1).cast("double") / (two * nc + n_bins).cast("double")
-        ratio = ((two * cr + 1) * (two * nc + n_bins)).cast("double") / (
-            (two * cc + 1) * (two * nr + n_bins)
-        ).cast("double")
-        return F.round((p - q) * F.log(ratio) * 1e9).cast("bigint")
+        return psi_term_nano(
+            F.col(f"cr_{b}"), F.col(f"cc_{b}"),
+            F.col("n_ref"), F.col("n_cur"), n_bins,
+        )
 
     tn = term_nano(0)
     for b in range(1, n_bins):

@@ -141,8 +141,10 @@ def test_psi_zero_for_identical_distributions(spark):
 
 def test_psi_known_value_full_shift(spark):
     # ref all in bin 0 (v=0), cur all at the max (clamps to bin 9):
-    # smoothed p/q per the Laplace-1/2 closed form over the two
-    # occupied bins (empty-on-both-sides bins contribute exactly 0)
+    # smoothed p/q per the Laplace-1/2 closed form. The 8 bins empty
+    # on BOTH sides still contribute — n_ref (51) != n_cur (50), so
+    # p = 1/(2*51+10) != 1/(2*50+10) = q under the smoothing — the
+    # sum must run over the FULL 10-bin grid
     n = 50
     rows = [("a", 0.0, True) for _ in range(n)]
     rows += [("a", 10.0, True)]  # pins vmax so width > 0
@@ -159,7 +161,11 @@ def test_psi_known_value_full_shift(spark):
         )
         return round(t * 1e9)
 
-    nano = term(n, 0, n + 1, n) + term(1, n, n + 1, n)
+    nano = (
+        term(n, 0, n + 1, n)          # bin 0: ref-only mass
+        + term(1, n, n + 1, n)        # bin 9: the vmax ref row + cur
+        + 8 * term(0, 0, n + 1, n)    # bins 1-8: empty-both, nonzero
+    )
     assert out.psi == round(nano / 1e9, 6)
     assert out.n_ref == n + 1 and out.n_cur == n
 
@@ -302,9 +308,13 @@ def test_stream_drift_psi_batch_twin_matches_psi_drift(spark):
     rows = []
     for i in range(200):
         # ref (us < cutoff): uniform over [0, 10); cur: shifted up for
-        # group a, identical for group b
+        # group a, identical for group b. Group a's slice sizes are
+        # UNEQUAL (200 ref vs 150 cur) and its shift empties bins on
+        # both sides — the exact case where skipping empty-both bins
+        # used to make batch and stream disagree
         rows.append(("a", 10_000 + i, float(i % 10)))
-        rows.append(("a", 200_000 + i, float(i % 10) + 4.0))
+        if i < 150:
+            rows.append(("a", 200_000 + i, float(i % 10) + 4.0))
         rows.append(("b", 20_000 + i, float(i % 7)))
         rows.append(("b", 600_000 + i, float(i % 7)))
     df = spark.createDataFrame(
