@@ -105,20 +105,38 @@ def _select_batch(
     (a) contains an accepted symbol — its count only DECREASES, and
     its old priority was already below P_i's (sorted prefix), so it
     stays below; or (b) is created/boosted through an accepted MERGED
-    symbol — every such occurrence requires an old adjacency with an
-    accepted symbol, plus possibly a pre-existing pair containing the
-    merged string itself, so its new count is ≤ 2·U where U is the
-    max OLD count over non-accepted pairs sharing any symbol (or
-    merged string) with the accepted set. All such pairs sit after
-    position i in the sorted list or below the collection cutoff, so
-    U is computable from the collected rows alone. Rule 2
-    (cnt(P_i) > 2·U) therefore guarantees P_i is still the strict
-    argmax when its turn comes; recorded counts are exact because a
-    disjoint pair's count is UNCHANGED (no occurrence can be created
-    or destroyed without touching an accepted or merged symbol).
-    The first rejection ends the batch — the next round recounts.
-    ``batch_k=1`` degenerates to the plain sequential loop (the first
-    pair is always the true argmax, accepted unconditionally)."""
+    symbol. Case (b) splits by the generating old adjacency:
+
+    * generated by a NON-accepted old pair (e.g. (x, lr) from (x, l),
+      or (lr, lr) from the middle (r, l) of 'lrlr'): that generator
+      shares a symbol with the accepted set, is not accepted (all
+      accepted pairs are symbol-disjoint and every pre-candidate row
+      is accepted), so it sits after position i in the sorted list or
+      below the collection cutoff — its count is bounded by
+      ``later_sharing`` / ``cutoff``;
+    * generated by an accepted SELF-pair (x, x) with count C: the
+      leftmost non-overlapping rewrite of each x-run leaves (xx, xx)
+      and trailing (xx, x) adjacencies — per run of length m that is
+      floor(m/2) − 1 resp. ≤ 1 against an old contribution of m − 1,
+      so the created count is ≤ floor(C / 2). ``later_sharing`` never
+      sees this generator (it IS accepted), hence the explicit
+      ``self_half`` bound — without it, {'ac'×7, 'bbb'×10} accepts
+      (a, c)=7 into (b, b)=20's batch while sequential merges the
+      created (bb, b)=10 first (found by adversarial review, pinned
+      in test_round7b_ops).
+
+    A boosted pair may combine a pre-existing count (≤ later_sharing
+    or cutoff, since pairs containing the merged string conflict via
+    ``used``) with a created count, so its new count is
+    ≤ 2·max(cutoff, later_sharing, self_half). Rule 2
+    (cnt(P_i) strictly above that) therefore guarantees P_i is still
+    the strict argmax when its turn comes; recorded counts are exact
+    because a disjoint pair's count is UNCHANGED (no occurrence can
+    be created or destroyed without touching an accepted or merged
+    symbol). The first rejection ends the batch — the next round
+    recounts. ``batch_k=1`` degenerates to the plain sequential loop
+    (the first pair is always the true argmax, accepted
+    unconditionally)."""
     if not rows:
         return []
     rows = [(r["l"], r["r"], int(r["cnt"])) for r in rows]
@@ -137,7 +155,13 @@ def _select_batch(
             (c for (a, b, c) in rows[i + 1:] if a in used or b in used),
             default=0,
         )
-        if cnt <= 2 * max(cutoff, later_sharing):
+        # ceiling on pairs CREATED by an accepted self-merge (x, x):
+        # invisible to later_sharing because their generator is the
+        # accepted pair itself
+        self_half = max(
+            (c // 2 for (a, b, c) in accepted if a == b), default=0
+        )
+        if cnt <= 2 * max(cutoff, later_sharing, self_half):
             break
         accepted.append(rows[i])
         used.update((l, r, l + r))

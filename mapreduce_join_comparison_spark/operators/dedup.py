@@ -1016,9 +1016,16 @@ def _prefix_index_frames(
         sdict0 = sdict0.persist()
     if seed is None:
         # lazy single-query path: prove the seed up front (one eager
-        # vocab-dim aggregate). The BUILD path passes its seed and
-        # proves injectivity on the WRITTEN dict table instead — same
-        # aggregate over a small bucketed read, no extra corpus scan.
+        # vocab-dim aggregate) — so constructing this DataFrame runs a
+        # corpus-scale job, and the query later re-runs the same
+        # scan/aggregate subtree. That duplicate scan is DELIBERATE:
+        # persisting sdict0 here removes it but replaces the plan's
+        # ReusedExchange structure with InMemoryTableScans, measured
+        # 14 → 22 exchanges on dedup_prefix_filter (worse, and it
+        # breaks the pinned plan budget). Callers who care about the
+        # extra scan are the repeated-probe users, and their path is
+        # build_prefix_index — which persists build-scope snapshots
+        # AND proves the seed on the written dict table instead.
         seed = _vocab_hash_seed(sdict0)
     sdict = sdict0.withColumn(
         "h", F.xxhash64(F.col("shingle"), F.lit(seed))
@@ -1064,7 +1071,15 @@ def _prefix_index_frames(
     return sh_ids, prefix, sdict
 
 
-def _vocab_hash_seed(sdict0: DataFrame, max_tries: int = 5) -> int:
+# seed retry policy shared by _vocab_hash_seed (lazy path) and
+# build_prefix_index (proves on the written dict table) — ONE
+# definition so the two probes can't drift apart
+_SEED_BASE = 42
+_SEED_MAX_TRIES = 5
+
+
+def _vocab_hash_seed(sdict0: DataFrame,
+                     max_tries: int = _SEED_MAX_TRIES) -> int:
     """Pick (and PROVE) a hash seed whose ``xxhash64(shingle, seed)``
     is injective over this corpus's vocabulary: one bounded vocab-dim
     aggregate per try compares the distinct-shingle count to the
@@ -1076,7 +1091,7 @@ def _vocab_hash_seed(sdict0: DataFrame, max_tries: int = 5) -> int:
     birthday bound. Runs eagerly at query construction — at 100 TB
     it is one vocab-sized aggregate per index BUILD, amortized over
     every probe."""
-    for seed in range(42, 42 + max_tries):
+    for seed in range(_SEED_BASE, _SEED_BASE + max_tries):
         n, nd = sdict0.agg(
             F.count(F.lit(1)),
             F.countDistinct(F.xxhash64(F.col("shingle"), F.lit(seed))),
@@ -1223,7 +1238,7 @@ def build_prefix_index(
     t_milli = int(round(threshold * 1000))
     docs_t, post_t = f"{table_prefix}_docs", f"{table_prefix}_postings"
     dict_t = f"{table_prefix}_dict"
-    for seed in range(42, 47):
+    for seed in range(_SEED_BASE, _SEED_BASE + _SEED_MAX_TRIES):
         # snapshot=True: build-scope persists of the vocab dictionary
         # and the per-doc aggregate — the three writes would otherwise
         # each re-run the corpus scan; unpersisted before returning
@@ -1244,8 +1259,8 @@ def build_prefix_index(
             snap.unpersist()
     else:
         raise RuntimeError(
-            "no collision-free xxhash64 seed in 5 tries — "
-            "astronomically unlikely; inspect the shingle column"
+            f"no collision-free xxhash64 seed in {_SEED_MAX_TRIES} "
+            "tries — astronomically unlikely; inspect the shingle column"
         )
     write_bucketed(sh_ids, docs_t, ["id"], n_buckets, sort_cols=["id"])
     write_bucketed(prefix, post_t, ["sid"], n_buckets, sort_cols=["sid"])

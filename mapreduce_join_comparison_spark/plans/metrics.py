@@ -104,19 +104,24 @@ def harvest_operator_rows(df: DataFrame) -> tuple[dict, int]:
 
 
 def peak_intermediate_rows(stats: RunStats) -> int | None:
-    """Candidate-stage volume for the blocking family (round-7
+    """Peak intermediate volume for the blocking family (round-7
     directive #5): the max ``numOutputRows`` over the executed plan's
-    non-scan nodes. The candidate generator differs per plan shape (a
-    join in the SimHash/LSH bucket forms, a Generate-explode after a
-    per-sid aggregate in the indexed AllPairs probe), but it is always
-    the WIDEST intermediate — everything downstream only narrows — so
-    the peak against the naive pair count is the prune ratio the scale
-    claim rests on: a blocked operator whose every intermediate stays
-    ≪ n(n-1)/2 demonstrably never materializes the quadratic pair
-    space. Scans (and their ColumnarToRow mirrors) are excluded so
-    input size isn't conflated with intermediate blow-up. Accepts a
-    :class:`RunStats` or a bare operator→rows dict
-    (:func:`harvest_operator_rows`)."""
+    non-scan nodes. This is an UPPER BOUND on candidate-stage volume:
+    the candidate generator (a join in the SimHash/LSH bucket forms,
+    a Generate-explode after a per-sid aggregate in the indexed
+    AllPairs probe) is always ≤ the peak, so an operator whose peak
+    stays ≪ n(n-1)/2 demonstrably never materializes the quadratic
+    pair space — the prune-ratio scale claim. Caveat (honesty over
+    optics): on a WELL-pruned corpus a linear corpus-side node (the
+    shingle-explode Generate, ~docs × shingles rows) can be the peak
+    instead of the candidate join, so the reported ratio then
+    overstates candidate volume and a candidate regression hiding
+    below the explode volume is invisible until it crosses it — the
+    pinned number still catches every superlinear blow-up, which is
+    what the regression signal is for. Scans (and their ColumnarToRow
+    mirrors) are excluded so input size isn't conflated with
+    intermediate blow-up. Accepts a :class:`RunStats` or a bare
+    operator→rows dict (:func:`harvest_operator_rows`)."""
     rows = stats.operator_rows if hasattr(stats, "operator_rows") \
         else stats
     best = None

@@ -458,3 +458,53 @@ def test_kmeans_pandas_assignment_bit_identical(spark):
     }
     assert lit_out == pd_out
     assert lit_out == _py_kmeans(rows, dim=8, k=5, iters=2)
+
+
+# ------------------------------------------------- batched BPE self-pair
+
+
+def test_bpe_self_pair_merge_ends_batch(spark):
+    """Review counterexamples: an accepted SELF-pair (x, x) creates
+    (xx, x)/(xx, xx) adjacencies whose generator is the accepted pair
+    itself — invisible to later_sharing — so the batch must not
+    accept a weaker disjoint pair over them. Both corpora diverged
+    before the self_half bound; batched must equal sequential."""
+    from mapreduce_join_comparison_spark.operators.bpe import bpe_merges
+
+    corpora = [
+        ["ac"] * 7 + ["bbb"] * 10,
+        ["bbbbb"] * 20 + ["bbbba"] * 6 + ["aa"] * 10 + ["aba"]
+        + ["aaabbbb"] * 10,
+    ]
+    for words in corpora:
+        df = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id bigint, text string"
+        )
+        seq = sorted(
+            tuple(r) for r in bpe_merges(df, n_merges=4, batch_k=1).collect()
+        )
+        for k in (2, 8):
+            bat = sorted(
+                tuple(r)
+                for r in bpe_merges(df, n_merges=4, batch_k=k).collect()
+            )
+            assert bat == seq, f"k={k} words={words[:2]}"
+
+
+def test_bpe_select_batch_self_half_bound():
+    # unit-pin: after accepting a self-pair with count C, the next
+    # disjoint candidate needs cnt > 2*(C//2); at or below, batch ends
+    from mapreduce_join_comparison_spark.operators.bpe import _select_batch
+
+    rows = [
+        {"l": "b", "r": "b", "cnt": 20},
+        {"l": "a", "r": "c", "cnt": 20},   # 20 <= 2*(20//2) -> ends
+    ]
+    got = _select_batch(rows, batch_k=8, complete=True)
+    assert [(l, r) for l, r, _ in got] == [("b", "b")]
+    rows2 = [
+        {"l": "b", "r": "b", "cnt": 20},
+        {"l": "a", "r": "c", "cnt": 21},   # 21 > 20 -> accepted
+    ]
+    got2 = _select_batch(rows2, batch_k=8, complete=True)
+    assert [(l, r) for l, r, _ in got2] == [("b", "b"), ("a", "c")]
