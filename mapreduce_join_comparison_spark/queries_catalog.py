@@ -7553,7 +7553,8 @@ def stats_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / ((s.vmax - s.vmin) / 10)) AS INT)))
              END AS bin,
              CAST(COUNT(*) AS BIGINT) AS cr
-      FROM e JOIN span s USING (event_type)
+      FROM e JOIN span s
+        ON e.event_type IS NOT DISTINCT FROM s.event_type
       WHERE e.us < {_PSI_CUTOFF_US} GROUP BY 1, 2
     ),
     cb AS (
@@ -7565,7 +7566,8 @@ def stats_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / ((s.vmax - s.vmin) / 10)) AS INT)))
              END AS bin,
              CAST(COUNT(*) AS BIGINT) AS cc
-      FROM e JOIN span s USING (event_type)
+      FROM e JOIN span s
+        ON e.event_type IS NOT DISTINCT FROM s.event_type
       WHERE e.us >= {_PSI_CUTOFF_US} GROUP BY 1, 2, 3
     ),
     grid AS (
@@ -7577,15 +7579,19 @@ def stats_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.window_start_us, g.event_type, g.bin,
              COALESCE(rb.cr, 0) AS cr, COALESCE(cb.cc, 0) AS cc
       FROM grid g
-      LEFT JOIN rb ON rb.event_type = g.event_type AND rb.bin = g.bin
+      LEFT JOIN rb ON rb.event_type IS NOT DISTINCT FROM g.event_type
+                  AND rb.bin = g.bin
       LEFT JOIN cb ON cb.window_start_us = g.window_start_us
-                  AND cb.event_type = g.event_type AND cb.bin = g.bin
+                  AND cb.event_type IS NOT DISTINCT FROM g.event_type
+                  AND cb.bin = g.bin
     ),
     tot AS (
       SELECT j.*, s.nr,
-             CAST(SUM(cc) OVER (PARTITION BY window_start_us, event_type)
+             CAST(SUM(j.cc) OVER (PARTITION BY j.window_start_us,
+                                  j.event_type)
                   AS BIGINT) AS nc
-      FROM j JOIN span s USING (event_type)
+      FROM j JOIN span s
+        ON j.event_type IS NOT DISTINCT FROM s.event_type
     ),
     terms AS (
       SELECT window_start_us, event_type, nr, nc,

@@ -108,7 +108,12 @@ def load_events_stream(
         os.makedirs(stage, exist_ok=True)
         link = os.path.join(stage, os.path.basename(path))
         if not os.path.exists(link):
-            os.symlink(os.path.abspath(path), link)
+            try:
+                os.symlink(os.path.abspath(path), link)
+            except FileExistsError:
+                pass  # concurrent session staged it between the
+                # exists-check and the symlink — same digest, same
+                # target, so the loser just uses the winner's link
         path = stage
     else:
         import glob
@@ -213,11 +218,19 @@ SESSION_SCHEMA = T.StructType([
     T.StructField("sum_value", T.DoubleType()),
 ])
 
+# per-user state: ALL sessions still inside the watermark horizon,
+# as parallel arrays ordered by start (the last one is the open
+# session). A session leaves state only when the watermark passes its
+# end + gap — holding successor-closed sessions too, because a LATE
+# event above the watermark can still land within gap of a session
+# the in-batch stream has already moved past (end + gap can exceed
+# the watermark for successors closer than 2·gap).
 _STATE_SCHEMA = T.StructType([
-    T.StructField("start_us", T.LongType()),
-    T.StructField("last_us", T.LongType()),
-    T.StructField("n", T.LongType()),
-    T.StructField("total", T.DoubleType()),
+    T.StructField("starts", T.ArrayType(T.LongType())),
+    T.StructField("lasts", T.ArrayType(T.LongType())),
+    T.StructField("ns", T.ArrayType(T.LongType())),
+    T.StructField("totals", T.ArrayType(T.DoubleType())),
+    T.StructField("nvals", T.ArrayType(T.LongType())),
 ])
 
 
@@ -225,29 +238,80 @@ def sessionize_stateful(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:
     """Streaming sessionization via ``applyInPandasWithState``: per-user
-    state = the open session; a session closes when the event-time
-    watermark passes last_event + gap (EventTimeTimeout), which is when
-    it is emitted. State is O(active users), independent of stream
-    length — the 100 TB-ingest-safe shape.
+    state = every session whose (end + gap) the event-time watermark
+    has not passed; a session is EMITTED exactly when the watermark
+    passes end + gap (never earlier — an event later in the same batch
+    does not close it for emission, because a late arrival above the
+    watermark can still merge into it, possibly bridging two pending
+    sessions). Membership is a span test (a point within
+    [start − gap, last + gap] is within gap of its nearest session
+    event — internal gaps are ≤ gap by construction), and adding
+    points only ever MERGES sessions, so (start, last, n, Σv) carries
+    all needed state. State is O(active users × sessions inside one
+    watermark horizon), independent of stream length — the
+    100 TB-ingest-safe shape.
+
+    Cross-path semantics match ``sessionize_batch``: sum_value is
+    Decimal-HALF_UP-rounded to 4dp (Spark F.round's rule — Python
+    ``round()`` is half-to-even and diverges at ties, the same pitfall
+    ``rolling_anomaly_stateful`` documents); NULL values add an event
+    but no sum contribution, and an all-NULL session emits a NULL
+    sum_value exactly like ``F.round(F.sum(value), 4)``.
 
     The reference has no analog (SURVEY.md §2.9-§2.10); this is the
     engine's custom-stateful-operator surface.
     """
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
     out_cols = [f.name for f in SESSION_SCHEMA.fields]
 
+    def _row(user_id, s):
+        start, last, n, total, nv = s
+        sv = (
+            None if nv == 0
+            else float(
+                Decimal(repr(total)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+        )
+        return [user_id, start, last, n, sv]
+
+    def _split_ready(sessions, wm_us):
+        ready = [s for s in sessions if s[1] + gap_us < wm_us]
+        keep = [s for s in sessions if s[1] + gap_us >= wm_us]
+        return ready, keep
+
+    def _store(state, keep, wm_ms):
+        state.update((
+            [s[0] for s in keep], [s[1] for s in keep],
+            [s[2] for s in keep], [s[3] for s in keep],
+            [s[4] for s in keep],
+        ))
+        close_ms = (min(s[1] for s in keep) + gap_us) // 1000
+        # Spark refuses a timeout at/behind the watermark
+        state.setTimeoutTimestamp(max(close_ms, wm_ms + 1))
+
     def update(key, pdf_iter, state: GroupState):
         (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
         if state.hasTimedOut:
-            start_us, last_us, n, total = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [[user_id, start_us, last_us, n, round(total, 4)]],
-                columns=out_cols,
-            )
+            sessions = [list(t) for t in zip(*state.get)]
+            ready, keep = _split_ready(sessions, wm_us)
+            if keep:
+                _store(state, keep, wm_ms)
+            else:
+                state.remove()
+            if ready:
+                yield pd.DataFrame(
+                    [_row(user_id, s) for s in ready], columns=out_cols
+                )
             return
         pdf = pd.concat([p[["ts", "value"]] for p in pdf_iter]).sort_values("ts")
         # normalize to ns before the int cast — pandas may deliver
@@ -256,25 +320,35 @@ def sessionize_stateful(
             pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
         ).tolist()
         vals = pdf["value"].tolist()
-        if state.exists:
-            start_us, last_us, n, total = state.get
-        else:
-            start_us, last_us, n, total = 0, 0, 0, 0.0
-        closed = []
+        sessions = (
+            [list(t) for t in zip(*state.get)] if state.exists else []
+        )
         for t_us, v in zip(ts_us_seq, vals):
-            if n and (t_us - last_us) > gap_us:
-                closed.append([user_id, start_us, last_us, n, round(total, 4)])
-                n, total = 0, 0.0
-            if n == 0:
-                start_us = t_us
-            last_us = t_us
-            n += 1
-            total += v
-        state.update((start_us, last_us, n, total))
-        # timeout fires once the event-time watermark passes session end+gap
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
-        if closed:
-            yield pd.DataFrame(closed, columns=out_cols)
+            isnull = v is None or (isinstance(v, float) and _math.isnan(v))
+            absorb = [t_us, t_us, 1, 0.0 if isnull else v,
+                      0 if isnull else 1]
+            rest = []
+            for s in sessions:
+                if s[1] >= t_us - gap_us and s[0] <= t_us + gap_us:
+                    absorb = [
+                        min(absorb[0], s[0]), max(absorb[1], s[1]),
+                        absorb[2] + s[2], absorb[3] + s[3],
+                        absorb[4] + s[4],
+                    ]
+                else:
+                    rest.append(s)
+            rest.append(absorb)
+            rest.sort(key=lambda s: s[0])
+            sessions = rest
+        ready, keep = _split_ready(sessions, wm_us)
+        if keep:
+            _store(state, keep, wm_ms)
+        elif state.exists:
+            state.remove()
+        if ready:
+            yield pd.DataFrame(
+                [_row(user_id, s) for s in ready], columns=out_cols
+            )
 
     return (
         events.withWatermark("ts", f"{gap_minutes} minutes")
@@ -368,19 +442,35 @@ def incremental_upsert_stream(
     spark = stream_df.sparkSession
 
     def _snapshots() -> list[str]:
-        return sorted(glob.glob(os.path.join(target_dir, "v*")))
+        # only COMPLETE snapshots: a failed attempt leaves a directory
+        # without _SUCCESS, which must never be read back as state
+        return sorted(
+            d for d in glob.glob(os.path.join(target_dir, "v*"))
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+        )
 
     def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch's contract: the function MAY be re-executed for
+        # the same batch_id after a failure. Idempotence: (1) a
+        # complete snapshot carrying this batch_id's marker means the
+        # previous attempt finished — skip; (2) otherwise the partial
+        # dir (no _SUCCESS) is invisible to _snapshots and the retry
+        # mode('overwrite')s the SAME index it targeted before.
         snaps = _snapshots()
+        marker = f"_BATCH_{batch_id}"
+        if snaps and os.path.exists(os.path.join(snaps[-1], marker)):
+            return
         combined = (
             spark.read.parquet(snaps[-1]).unionByName(batch_df)
             if snaps
             else batch_df
         )
         merged = latest_per_key(combined, key, version_col, tiebreak)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(target_dir, f"v{len(snaps) + 1:06d}")
-        )
+        out = os.path.join(target_dir, f"v{len(snaps) + 1:06d}")
+        merged.write.mode("overwrite").parquet(out)
+        with open(os.path.join(out, marker), "w"):
+            pass  # local-fs marker; a cloud deployment swaps this sink
+            # for Iceberg/Delta MERGE, whose commits are atomic anyway
 
     q = (
         stream_df.writeStream.foreachBatch(_upsert_batch)
@@ -474,6 +564,12 @@ def rolling_anomaly_stateful(
 
     def update(key, pdf_iter, state: GroupState):
         (etype,) = key
+        if state.hasTimedOut:
+            # watermark passed last_event + window: every stored entry
+            # is outside any future event's frame — drop the series'
+            # state (idle-series GC; emits nothing, like the batch)
+            state.remove()
+            return
         pdf = pd.concat(list(pdf_iter))
         if pdf.empty:
             return
@@ -482,7 +578,14 @@ def rolling_anomaly_stateful(
             pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
         ).tolist()
         ids = pdf["event_id"].tolist()
-        vms = [_vm(v) for v in pdf["value"].tolist()]
+        # NULL value: the batch twin counts the row in the frame
+        # (count(lit(1))) but adds nothing to the sums and never scores
+        # it (NULL z fails the threshold) — store vm=0 with score=False
+        vms = [
+            None if v is None or (isinstance(v, float) and math.isnan(v))
+            else _vm(v)
+            for v in pdf["value"].tolist()
+        ]
         if state.exists:
             d_us, d_vm = state.get
             d_us, d_vm = list(d_us), list(d_vm)
@@ -498,10 +601,11 @@ def rolling_anomaly_stateful(
             while j < len(us_new) and us_new[j] == us_new[i]:
                 j += 1
             for g in range(i, j):
+                vm_g = 0 if vms[g] is None else vms[g]
                 d_us.append(us_new[g])
-                d_vm.append(vms[g])
-                s1 += vms[g]
-                s2 += vms[g] * vms[g]
+                d_vm.append(vm_g)
+                s1 += vm_g
+                s2 += vm_g * vm_g
             # evict strictly-older-than-frame entries (frame start
             # us - window_us is INCLUSIVE, matching RANGE ... PRECEDING)
             lo = us_new[i] - window_us
@@ -518,6 +622,8 @@ def rolling_anomaly_stateful(
                 var = s2 / n - mean * mean
                 if var > 0:
                     for g in range(i, j):
+                        if vms[g] is None:
+                            continue  # NULL value: z is NULL in batch
                         # Spark F.round / DuckDB ROUND are HALF_UP on
                         # the shortest decimal string; Python round()
                         # is half-to-even on the binary double — use
@@ -537,17 +643,34 @@ def rolling_anomaly_stateful(
                             ])
             i = j
         state.update((d_us, d_vm))
+        # idle-series GC: once the watermark passes last + window, no
+        # future event's frame can reach any stored entry (its frame
+        # start ts − window > last), so the state is dead weight —
+        # without this, every series EVER seen pins its final 24 h of
+        # arrays forever and state grows with distinct keys, not
+        # active ones
+        state.setTimeoutTimestamp(
+            max(
+                (d_us[-1] + window_us) // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 
     return (
-        events.groupBy("event_type")
+        # 0-second watermark: the staging chunker already guarantees
+        # time-ordered micro-batches (docstring contract), so nothing
+        # is dropped as late; the watermark exists to drive the
+        # idle-series timeout GC above
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("event_type")
         .applyInPandasWithState(
             update,
             outputStructType=ANOMALY_SCHEMA,
             stateStructType=_ANOM_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -690,7 +813,13 @@ def user_running_stats_stateful(events: DataFrame) -> DataFrame:
         else:
             cnt0, sum0 = 0, 0
         n = len(pdf)
-        run_sum = pdf["vm"].cumsum() + sum0
+        # NULL value → NULL vm → NaN here: it adds an event but no sum
+        # contribution (the batch window's SUM skips NULLs; without the
+        # fill, cumsum poisons every later row and int() crashes the
+        # query). Sole divergence: an all-NULL prefix reports 0 where
+        # SQL's SUM reports NULL — int64 state can't carry the
+        # distinction
+        run_sum = pdf["vm"].fillna(0).astype("int64").cumsum() + sum0
         state.update((cnt0 + n, int(run_sum.iloc[-1])))
         yield pd.DataFrame(
             {
@@ -745,7 +874,8 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
                 cnt0, sum0 = 0, 0
             n = len(pdf)
             run_cnt = pd.Series(range(cnt0 + 1, cnt0 + n + 1), index=pdf.index)
-            run_sum = pdf["vm"].cumsum() + sum0
+            # same NULL-vm fill as the GroupState form (kept in sync)
+            run_sum = pdf["vm"].fillna(0).astype("int64").cumsum() + sum0
             self._agg.update((cnt0 + n, int(run_sum.iloc[-1])))
             yield pd.DataFrame(
                 {
@@ -793,9 +923,12 @@ def drift_reference_histogram(
         F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax"),
         F.count(F.lit(1)).cast("bigint").alias("n_ref"),
     )
+    from ..operators.aggregates import _nullsafe_broadcast_join
+
     # bounded: one span row per group (group cardinality is a label
-    # set, never the corpus)
-    binned = base.join(F.broadcast(span), group_col).select(
+    # set, never the corpus); NULL-safe so a NULL group key keeps its
+    # baseline, matching the batch monitor's contract
+    binned = _nullsafe_broadcast_join(base, span, [group_col]).select(
         group_col,
         _psi_bin_expr("_v", "_vmin", "_vmax", n_bins).alias("_bin"),
         "_vmin", "_vmax", "n_ref",
@@ -855,9 +988,44 @@ def stream_drift_psi(
     )
     if watermark:
         df = df.withWatermark("ts", watermark)
-    # bounded: ref_hist is one row per group (drift_reference_
-    # histogram's contract) — the canonical stream-static dim join
-    binned = df.join(F.broadcast(ref_hist), group_col).select(
+    from ..operators.aggregates import _nullsafe_broadcast_join
+
+    # bounded collect: ref_hist is ONE row per group (drift_reference_
+    # histogram's contract), so freeze it into a literal VALUES
+    # relation — the static side of a stream join re-executes per
+    # micro-batch, and leaving the two-aggregate histogram lineage
+    # live measured ~2× on the end-to-end query; a VALUES relation is
+    # a plan literal with nothing to re-run (and, unlike
+    # createDataFrame, no RDD-backed scan)
+    hist_rows = ref_hist.collect()
+    if hist_rows:
+        def _sql_lit(v, dt: str) -> str:
+            if v is None:
+                return f"CAST(NULL AS {dt})"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, float):
+                # repr() is the shortest round-trip form: the parsed
+                # double is bit-identical
+                return f"CAST({v!r} AS DOUBLE)"
+            return f"CAST({int(v)} AS BIGINT)"
+
+        fields = ref_hist.schema.fields
+        values = ", ".join(
+            "(" + ", ".join(
+                _sql_lit(row[f.name], f.dataType.simpleString().upper())
+                for f in fields
+            ) + ")"
+            for row in hist_rows
+        )
+        names = ", ".join(f.name for f in fields)
+        ref_hist = events.sparkSession.sql(
+            f"SELECT * FROM VALUES {values} AS t({names})"
+        )
+
+    # NULL-safe so a NULL group is monitored like any other (the batch
+    # twin keeps it, so the stream must too)
+    binned = _nullsafe_broadcast_join(df, ref_hist, [group_col]).select(
         "ts", group_col, "n_ref",
         _psi_bin_expr(value_col, "_vmin", "_vmax", n_bins).alias("_bin"),
         *[f"cr_{b}" for b in range(n_bins)],

@@ -508,3 +508,44 @@ def test_bpe_select_batch_self_half_bound():
     ]
     got2 = _select_batch(rows2, batch_k=8, complete=True)
     assert [(l, r) for l, r, _ in got2] == [("b", "b"), ("a", "c")]
+
+
+def test_stream_drift_null_group_key_is_monitored(spark):
+    # the batch monitor keeps a NULL group; the stream must too (both
+    # re-attaches are NULL-safe) — and their values must agree
+    from mapreduce_join_comparison_spark.streaming.events import (
+        drift_reference_histogram,
+        stream_drift_psi,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((None, 1_000 + i, float(i % 6)))
+        rows.append((None, 200_000 + i, float(i % 6)))
+        rows.append(("a", 2_000 + i, float(i % 4)))
+        rows.append(("a", 300_000 + i, float(i % 4)))
+    df = spark.createDataFrame(
+        rows, "event_type string, us bigint, value double"
+    ).select(
+        "event_type", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    cutoff = 100_000
+    hist = drift_reference_histogram(
+        df.filter(F.unix_micros("ts") < cutoff), n_bins=10
+    )
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi)
+        for r in stream_drift_psi(
+            df, hist, cutoff, n_bins=10, window="7 days"
+        ).collect()
+    }
+    want = {
+        r.g: (r.n_ref, r.n_cur, r.psi)
+        for r in psi_drift(
+            df.withColumnRenamed("event_type", "g"),
+            ["g"], F.col("value"),
+            F.unix_micros("ts") < cutoff, n_bins=10,
+        ).collect()
+    }
+    assert set(got) == {None, "a"}
+    assert got == want
