@@ -35,9 +35,13 @@ MAGIC_PREFIXES: list[tuple[str, str]] = [
     ("FFFB", "mp3"),
     ("664C6143", "flac"),
     ("1A45DFA3", "mkv/webm"),
-    ("00000018667479", "mp4"),
-    ("00000020667479", "mp4"),
 ]
+
+# MP4 is NOT a fixed prefix: the leading 4 bytes are the (variable)
+# ftyp box SIZE — the signature is bytes 5..8 == 'ftyp', exactly what
+# _parse_mp4_header checks, so the sniff and the parser agree on every
+# box size (a fixed-size prefix list missed 0x14/0x1C/0x24 ftyp boxes)
+_MP4_FTYP_HEX = "66747970"
 
 
 def sniff_format(blob: Column | str) -> Column:
@@ -45,7 +49,9 @@ def sniff_format(blob: Column | str) -> Column:
     prefix, no UDF."""
     c = F.col(blob) if isinstance(blob, str) else blob
     prefix = F.upper(F.hex(F.substring(c, 1, 16)))
-    out = F.lit("unknown")
+    out = F.when(
+        F.upper(F.hex(F.substring(c, 5, 4))) == _MP4_FTYP_HEX, F.lit("mp4")
+    ).otherwise(F.lit("unknown"))
     for magic, fmt in reversed(MAGIC_PREFIXES):
         out = F.when(prefix.startswith(magic), F.lit(fmt)).otherwise(out)
     return out
@@ -214,6 +220,12 @@ def decode_image_features(
             have_pil = False
 
         for pdf in batches:
+            # a NULL blob/id has nothing to decode: drop the row (the
+            # JVM metadata path yields NULL meta for it) instead of
+            # crashing the worker on bytes(None)/len(None)
+            pdf = pdf[pdf[blob_col].notna() & pdf[id_col].notna()]
+            if pdf.empty:
+                continue
             out = {
                 "doc_id": pdf[id_col].astype("int64"),
                 "byte_len": pdf[blob_col].map(len).astype("int64"),
@@ -226,6 +238,8 @@ def decode_image_features(
                     if b[: len(magic) // 2].hex().upper().startswith(magic):
                         fmt = name
                         break
+                if fmt == "unknown" and b[4:8] == b"ftyp":
+                    fmt = "mp4"  # size-agnostic, like sniff_format
                 decoded = None
                 if have_pil and fmt in ("png", "jpeg", "gif"):
                     try:  # pragma: no cover - PIL absent here
@@ -364,18 +378,25 @@ def sample_frames(
         import pandas as pd
 
         for pdf in batches:
+            pdf = pdf[pdf[blob_col].notna() & pdf[id_col].notna()]
+            if pdf.empty:
+                continue
             ids, idxs, digests = [], [], []
             ts_ms, widths, heights, decoders = [], [], [], []
             for doc_id, raw in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(raw)
                 hex_form = b.hex().upper()
+                # hash the (dominant) blob hex ONCE, fork the digest
+                # state per frame: md5(hex || i) byte-identical, but
+                # one pass over the blob instead of n_frames passes
+                base_md5 = hashlib.md5(hex_form.encode())
                 parsed = _parse_mp4_header(b)
                 for i in range(n_frames):
                     ids.append(int(doc_id))
                     idxs.append(i)
-                    digests.append(
-                        hashlib.md5((hex_form + str(i)).encode()).hexdigest()
-                    )
+                    d = base_md5.copy()
+                    d.update(str(i).encode())
+                    digests.append(d.hexdigest())
                     if parsed is not None:
                         dur_ms, w, h = parsed
                         ts_ms.append((2 * i + 1) * dur_ms // (2 * n_frames))
@@ -550,6 +571,9 @@ def extract_audio_features(
         import pandas as pd
 
         for pdf in batches:
+            pdf = pdf[pdf[blob_col].notna() & pdf[id_col].notna()]
+            if pdf.empty:
+                continue  # NULL blob/id: nothing to parse (see image tier)
             out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
             for doc_id, raw in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(raw)

@@ -24,11 +24,23 @@ from .text import md5_hash32
 def hash_bucket(col: Column | str, buckets: int = 100, salt: str = "") -> Column:
     """Stable bucket in [0, buckets) from md5 of the column value (+
     optional salt so independent splits of the same data decorrelate).
-    md5_hash32 is non-negative, so plain ``%`` is already a pmod."""
+    md5_hash32 is non-negative, so plain ``%`` is already a pmod.
+    A NULL key yields a NULL bucket (every comparison on it is false)
+    — partition-style consumers that must place EVERY row coalesce
+    the key first (see ``hash_split``)."""
     c = F.col(col) if isinstance(col, str) else col
     return (md5_hash32(F.concat(c.cast("string"), F.lit(salt))) % buckets).cast(
         "int"
     )
+
+
+def _nullsafe_key_str(col: Column | str) -> Column:
+    """Key as string with NULL mapped to a NUL-byte sentinel (no real
+    id renders as \\x00), so hash-ordered operators place NULL-keyed
+    rows deterministically instead of dropping them (NULL hash) or
+    letting them always win (NULLS-FIRST window rank)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.cast("string"), F.lit("\x00"))
 
 
 def hash_split(
@@ -42,8 +54,10 @@ def hash_split(
     hash. Splitting on a stable document KEY (not the text) keeps a
     doc in the same side even if its text is later cleaned/re-encoded;
     splitting on content dedups leakage instead — caller's choice of
-    ``on``."""
-    b = hash_bucket(on, buckets, salt)
+    ``on``. This is a PARTITION (train ∪ holdout == df): a NULL key
+    hashes via the NUL sentinel rather than yielding a NULL bucket
+    that silently falls out of BOTH sides."""
+    b = hash_bucket(_nullsafe_key_str(on), buckets, salt)
     return df.filter(b < train_pct), df.filter(b >= train_pct)
 
 
@@ -70,12 +84,22 @@ def stratified_hash_sample(
     engine-independent pure function of (key, salt) — reproducible
     across engines and stable under re-runs, repartitioning, and
     incremental arrival, which is what a training-data mix needs.
-    Fraction granularity is 1/buckets."""
+    Fraction granularity is EXACTLY 1/buckets: thresholds are rounded
+    to integers driver-side, so the bucket comparison is pure int —
+    a float ``fraction × buckets`` admits an off-by-one bucket
+    whenever the double product rounds up (0.33 × 10000 =
+    3300.0000000000005 keeps bucket 3300), and engines that parse
+    decimal literals exactly (DuckDB DECIMAL) would disagree with
+    engines computing in doubles."""
     thresholds = F.create_map(
-        *[F.lit(x) for k, v in fractions.items() for x in (k, float(v))]
+        *[
+            F.lit(x)
+            for k, v in fractions.items()
+            for x in (k, int(round(float(v) * buckets)))
+        ]
     )
-    thr = F.coalesce(thresholds[F.col(strata_col)], F.lit(0.0))
-    return df.filter(hash_bucket(key_col, buckets, salt) < thr * buckets)
+    thr = F.coalesce(thresholds[F.col(strata_col)], F.lit(0))
+    return df.filter(hash_bucket(key_col, buckets, salt) < thr)
 
 
 def mix_rebalance(
@@ -242,7 +266,7 @@ def shuffle_shards(
     ``row_number() OVER (ORDER BY ...)`` global-position approach
     serializes the whole corpus through one task). Size ``n_shards``
     to ~corpus_rows / 10M so each shard's sort fits an executor."""
-    h = md5_hash32(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    h = md5_hash32(F.concat(_nullsafe_key_str(key_col), F.lit(salt)))
     w = Window.partitionBy("shard_id").orderBy(F.col("_h"), F.col(key_col))
     return (
         df.withColumn("_h", h)
@@ -271,7 +295,7 @@ def hash_reservoir_per_group(
     and emits a bounded ``k`` rows per group. ``sample_rank`` (1-based
     hash-order rank) is part of the output so downstream can shrink
     the sample to any k' ≤ k without resampling."""
-    h = md5_hash32(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    h = md5_hash32(F.concat(_nullsafe_key_str(key_col), F.lit(salt)))
     w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
@@ -311,7 +335,7 @@ def priority_sample_per_group(
     """
     w_int = F.col(weight_col).cast("bigint")
     u_int = (
-        md5_hash32(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+        md5_hash32(F.concat(_nullsafe_key_str(key_col), F.lit(salt)))
         + F.lit(1)
     )
     pri = (w_int * F.lit(1 << 32)) / u_int
@@ -386,6 +410,11 @@ def kmv_distinct_per_group(
     cnt_w = Window.partitionBy(group_col)
     return (
         df.select(F.col(group_col), h.alias("_h"))
+        # COUNT DISTINCT semantics: a NULL value has no hash — without
+        # the filter it would rank FIRST in the ascending window
+        # (consuming a bottom-k slot and skewing the k-th minimum)
+        # while DuckDB's NULLS-LAST default ranks it differently
+        .where(F.col("_h").isNotNull())
         .distinct()
         .withColumn("_rnk", F.row_number().over(w))
         .withColumn("n_distinct", F.count(F.lit(1)).over(cnt_w))
@@ -428,6 +457,11 @@ def kmv_sketch_per_group(
     w = Window.partitionBy(group_col).orderBy("_h")
     return (
         df.select(F.col(group_col), h.alias("_h"))
+        # COUNT DISTINCT semantics: a NULL value has no hash — without
+        # the filter it would rank FIRST in the ascending window
+        # (consuming a bottom-k slot and skewing the k-th minimum)
+        # while DuckDB's NULLS-LAST default ranks it differently
+        .where(F.col("_h").isNotNull())
         .distinct()
         .withColumn("_rnk", F.row_number().over(w))
         .filter(F.col("_rnk") <= k)

@@ -3199,9 +3199,9 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang FROM documents
     WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT % 10000
-          < 10000 * CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
-                              WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.2
-                              WHEN 'zh' THEN 0.2 ELSE 0.0 END
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+                      WHEN 'es' THEN 3000 WHEN 'fr' THEN 2000
+                      WHEN 'zh' THEN 2000 ELSE 0 END
     """,
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,11 +38,25 @@ TABLES = (
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (Spark 4 reads them as
-    long only, under spark.sql.legacy.parquet.nanosAsLong)."""
+    long only, under spark.sql.legacy.parquet.nanosAsLong).
+
+    The probe reads the footer with pyarrow on the DRIVER's local
+    filesystem — on a non-local path (hdfs://, s3://) it degrades
+    gracefully to "no nanos columns" instead of failing the load:
+    nanos-typed parquet is a quirk of one round's LOCAL driver
+    testdata, while cluster-side data is written with µs timestamps
+    (Spark can't even produce nanos), so skipping the probe there is
+    correct, and a genuinely nanos-typed remote file would still fail
+    loudly at spark.read with the nanosAsLong hint in its message."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = pq.read_schema(path)
+    try:
+        schema = pq.read_schema(path)
+    except (OSError, FileNotFoundError):
+        if os.path.exists(path):
+            raise  # local file, real footer problem: surface it
+        return []
     return [
         f.name
         for f in schema

@@ -549,3 +549,86 @@ def test_stream_drift_null_group_key_is_monitored(spark):
     }
     assert set(got) == {None, "a"}
     assert got == want
+
+
+# --------------------------------------------- review-pass-4 hardening
+
+
+def test_hash_split_partitions_null_keys(spark):
+    from mapreduce_join_comparison_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (None,)], "k bigint"
+    )
+    train, hold = hash_split(df, "k", train_pct=50, buckets=100)
+    # a PARTITION: every row (including NULL keys) lands in exactly
+    # one side
+    assert train.count() + hold.count() == 5
+    both = train.intersect(hold).count()
+    assert both == 0
+
+
+def test_kmv_ignores_null_values(spark):
+    from mapreduce_join_comparison_spark.operators.sampling import (
+        kmv_distinct_per_group,
+    )
+
+    base = [("g", str(i)) for i in range(40)]
+    df1 = spark.createDataFrame(base, "g string, v string")
+    df2 = spark.createDataFrame(
+        base + [("g", None)] * 3, "g string, v string"
+    )
+    k = 16
+    a = kmv_distinct_per_group(df1, "g", "v", k=k).collect()[0]
+    b = kmv_distinct_per_group(df2, "g", "v", k=k).collect()[0]
+    # NULLs are not values: sketch, k-th minimum, and estimate all
+    # identical (previously the NULL hash consumed bottom-k rank 1)
+    assert (a.n_exact, a.kth_min, a.est_distinct) == (
+        b.n_exact, b.kth_min, b.est_distinct
+    )
+
+
+def test_reservoir_null_keys_do_not_always_win(spark):
+    from mapreduce_join_comparison_spark.operators.sampling import (
+        hash_reservoir_per_group,
+    )
+
+    rows = [("g", i) for i in range(100)] + [("g", None)] * 3
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    out = hash_reservoir_per_group(df, "g", "k", k=50).collect()
+    ranks_of_null = [r.sample_rank for r in out if r.k is None]
+    # the NULL keys hash via the sentinel: deterministic rank, not
+    # automatic ranks 1..3
+    assert ranks_of_null != [1, 2, 3]
+    assert len(out) == 50
+
+
+def test_mp4_sniff_is_box_size_agnostic(spark):
+    from mapreduce_join_comparison_spark.operators.multimodal import (
+        sniff_format,
+    )
+
+    rows = [
+        (bytes.fromhex("0000001C") + b"ftypisom" + b"\x00" * 8,),  # 0x1C
+        (bytes.fromhex("00000018") + b"ftypmp42" + b"\x00" * 8,),  # 0x18
+        (b"not a container at all!!",),
+    ]
+    df = spark.createDataFrame(rows, "blob binary")
+    got = [r.f for r in df.select(sniff_format("blob").alias("f")).collect()]
+    assert got == ["mp4", "mp4", "unknown"]
+
+
+def test_multimodal_decoders_tolerate_null_blobs(spark):
+    from mapreduce_join_comparison_spark.operators.multimodal import (
+        decode_image_features,
+        extract_audio_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 24), (2, None)],
+        "doc_id bigint, blob binary",
+    )
+    assert decode_image_features(df).count() == 1
+    assert sample_frames(df, n_frames=2).count() == 2  # 1 blob x 2 frames
+    assert extract_audio_features(df).count() == 1
