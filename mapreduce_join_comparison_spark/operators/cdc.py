@@ -50,25 +50,35 @@ def merge_upsert(
     assert set(base.columns) == set(updates.columns), "schemas must match"
     if version_col is not None:
         updates = latest_per_key(updates, key, version_col, tiebreak)
-    u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
+    # explicit presence flag — keying "row came from updates" off the
+    # update KEY's nullability corrupts NULL-key update rows: the
+    # full-outer join never matches them (NULL = NULL is NULL), the
+    # nullability test then reads them as base-side, and the select
+    # emits an all-NULL row where SQL MERGE inserts the source row
+    u = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in updates.columns],
+        F.lit(True).alias("_u_present"),
+    )
     if version_col is None:
         # dup-count window; the guard lives in the matched predicate
         # (NOT in the join key — rewriting the key column would hide
         # the window's hash partitioning from the join and cost an
-        # extra exchange)
+        # extra exchange). NULL keys are exempt: SQL MERGE treats
+        # NULL-key source rows as never-matching inserts, so several
+        # of them are not "duplicate matches"
         w = Window.partitionBy(f"_u_{key}")
         u = u.withColumn("_u_dup", F.count(F.lit(1)).over(w))
         matched = F.when(
-            F.col("_u_dup") > 1,
+            (F.col("_u_dup") > 1) & F.col(f"_u_{key}").isNotNull(),
             F.raise_error(
                 F.concat(
                     F.lit(f"merge_upsert: duplicate update key '{key}'="),
                     F.col(f"_u_{key}").cast("string"),
                 )
             ),
-        ).otherwise(F.col(f"_u_{key}").isNotNull())
+        ).otherwise(F.col("_u_present").isNotNull())
     else:
-        matched = F.col(f"_u_{key}").isNotNull()
+        matched = F.col("_u_present").isNotNull()
     joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")
     return joined.select(
         *[
@@ -177,12 +187,18 @@ def scd2_history(
     """
     order = [F.col(version_col).asc(), F.col(tiebreak).asc()]
     w = Window.partitionBy(key).orderBy(*order)
+    # NULL-safe run compression: `attr != _prev` is NULL (dropped!)
+    # when a change record sets attr to NULL, silently losing the NULL
+    # interval; and "_prev IS NULL" conflates the FIRST row with a
+    # genuinely-NULL previous value (which must compress, not split).
+    # A lag over a literal marks the first row unambiguously.
     changes = (
         log.withColumn("_prev", F.lag(attr).over(w))
+        .withColumn("_first", F.lag(F.lit(1)).over(w).isNull())
         .filter(
-            F.col("_prev").isNull() | (F.col(attr) != F.col("_prev"))
+            F.col("_first") | ~F.col(attr).eqNullSafe(F.col("_prev"))
         )
-        .drop("_prev")
+        .drop("_prev", "_first")
     )
     w2 = Window.partitionBy(key).orderBy(*order)
     return (
@@ -285,11 +301,17 @@ def snapshot_diff(
 ) -> DataFrame:
     """Snapshot reconciliation: classify every key across two table
     snapshots as ``added`` / ``removed`` / ``changed`` by comparing a
-    per-row md5 over the compared columns (NULL distinguished from
-    empty by a sentinel); ``unchanged`` rows are dropped — the diff is
-    the deliverable. Callers pre-convert floats/timestamps to exact
-    integer forms (``unix_micros``): float→string rendering is not
-    engine-portable.
+    per-row md5 over the compared columns; ``unchanged`` rows are
+    dropped — the diff is the deliverable. Callers pre-convert
+    floats/timestamps to exact integer forms (``unix_micros``):
+    float→string rendering is not engine-portable.
+
+    The row hash concatenates FIXED-WIDTH per-column digests (each
+    column: md5 of a null-flag prefix + value). A delimiter-joined
+    concat is ambiguous the moment a value contains the delimiter
+    (('x|y','z') vs ('x','y|z') hash equal → a real change classified
+    'unchanged'), and a NULL sentinel is ambiguous against a value
+    equal to the sentinel; digest concatenation has neither hole.
 
     This is the at-scale "what changed between yesterday's and today's
     copy" primitive (replication audit, CDC backfill validation). Scale
@@ -300,9 +322,15 @@ def snapshot_diff(
     """
     def hashed(df: DataFrame) -> DataFrame:
         canon = F.concat_ws(
-            "|",
+            "",
             *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                F.md5(
+                    F.concat(
+                        F.when(F.col(c).isNull(), F.lit("N"))
+                        .otherwise(F.lit("V")),
+                        F.coalesce(F.col(c).cast("string"), F.lit("")),
+                    )
+                )
                 for c in compare_cols
             ],
         )

@@ -213,8 +213,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_counts(col: Column | str) -> list[Column]:
-    """Per-category PII match counts (aliased n_<category>) — the audit
-    side of redaction. Narrow projection, JVM regex, no UDF."""
+    """Per-category PII match counts (aliased n_<category>) — RAW
+    pattern occurrences on the unredacted text, each category scanned
+    independently. Where categories overlap (an SSN-shaped digit run
+    inside an email local part), counts can exceed what ``redact_pii``
+    actually replaces, because redaction consumes text in chained
+    order (email first) — the audit answers "how much PII-shaped
+    content exists", not "how many replacements were made". Narrow
+    projection, JVM regex, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     return [
         F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
@@ -368,6 +374,13 @@ def chunk_windows(
     """
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # the n_chunks formula's "last chunk still adds new tokens"
+        # guarantee holds only for overlapping-or-adjacent windows; a
+        # gap stride would emit phantom EMPTY chunks past the text
+        raise ValueError(
+            f"stride ({stride}) must not exceed window ({window})"
+        )
     toks = tokens(text_col)
     n = F.size(toks)
     n_chunks = F.lit(1) + F.greatest(
@@ -588,7 +601,12 @@ def boilerplate_stats(
     ).select("id", md5_hash32(F.col("s")).alias("h"))
     boiler_hashes = (
         sh.groupBy("h")
-        .agg(F.count("*").alias("df"))
+        # DISTINCT documents, as the docstring promises: shingles are
+        # per-doc distinct STRINGS, but two distinct strings in the
+        # SAME doc can collide to one 32-bit hash — count('*') would
+        # then count that doc twice toward min_docs
+        # (remove_boilerplate was already hardened this way)
+        .agg(F.countDistinct("id").alias("df"))
         .filter(F.col("df") >= min_docs)
         .select("h")
     )
@@ -695,6 +713,11 @@ def bigram_fluency(
     co-partitioned on their keys; the per-doc re-agg is the final
     shuffle. Hot bigrams are exactly the well-known ones — skew splits
     under AQE, and no stage is ever pairwise in documents.
+
+    Documents with fewer than 2 tokens have NO bigrams and therefore
+    NO row in the output (there is nothing to score — explode drops
+    them); a quality gate joining on the verdict should left-join and
+    choose its own policy for scoreless docs.
     """
     from ..sources.io import fan_out
 
@@ -1014,6 +1037,14 @@ def bm25_rank(
     per_query_cols = []
     stack_args: list[str] = []
     for j, qid in enumerate(sorted(queries)):
+        if "'" in qid or "\\" in qid:
+            # qid is interpolated into the stack() expression as a SQL
+            # string literal — a quote would break (or alter) the
+            # parsed expression. Reject rather than escape: query ids
+            # are caller-chosen labels, not data
+            raise ValueError(
+                f"query id {qid!r} must not contain quotes/backslashes"
+            )
         qterms = queries[qid]
         # left-to-right sum in the query's declared term order — the
         # oracle spells the same chain so float addition order matches

@@ -4467,7 +4467,7 @@ sh AS (
   FROM t
 ),
 h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hh FROM sh),
-dfreq AS (SELECT hh, count(*) AS df FROM h GROUP BY hh)
+dfreq AS (SELECT hh, count(DISTINCT doc_id) AS df FROM h GROUP BY hh)
 SELECT h.doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN df >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
@@ -4538,11 +4538,14 @@ WITH e AS (
   FROM events
 ),
 ch AS (
+  -- NULL-safe run compression, mirroring operators.cdc.scd2_history:
+  -- first row via lag-of-literal (prev IS NULL would conflate it with
+  -- a genuinely-NULL previous attr), change via IS DISTINCT FROM
   SELECT user_id, event_type, us, event_id FROM (
-    SELECT *, lag(event_type) OVER (
-      PARTITION BY user_id ORDER BY us, event_id) AS prev
-    FROM e)
-  WHERE prev IS NULL OR event_type <> prev
+    SELECT *, lag(event_type) OVER w AS prev,
+           lag(1) OVER w IS NULL AS is_first
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+  WHERE is_first OR event_type IS DISTINCT FROM prev
 )
 SELECT user_id, event_type, us AS valid_from_us,
        lead(us) OVER w AS valid_to_us,
@@ -6157,20 +6160,31 @@ def stats_table_checksum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_snapshot_diff",
     """
     WITH old AS (
+      -- fixed-width per-column digests with a null-flag prefix, like
+      -- operators.cdc.snapshot_diff (delimiter-joined concat is
+      -- ambiguous when a value contains the delimiter)
       SELECT o_orderkey,
-             md5(coalesce(o_custkey::VARCHAR, chr(0)) || '|' ||
-                 coalesce(o_orderstatus, chr(0)) || '|' ||
-                 coalesce(o_orderpriority, chr(0))) AS h
+             md5(md5(CASE WHEN o_custkey IS NULL THEN 'N'
+                          ELSE 'V' || o_custkey::VARCHAR END) ||
+                 md5(CASE WHEN o_orderstatus IS NULL THEN 'N'
+                          ELSE 'V' || o_orderstatus END) ||
+                 md5(CASE WHEN o_orderpriority IS NULL THEN 'N'
+                          ELSE 'V' || o_orderpriority END)) AS h
       FROM orders WHERE o_orderkey % 97 != 3
     ),
     new AS (
       SELECT o_orderkey,
-             md5(coalesce(o_custkey::VARCHAR, chr(0)) || '|' ||
-                 coalesce(o_orderstatus, chr(0)) || '|' ||
-                 coalesce(CASE WHEN o_orderkey % 53 = 5
-                               THEN 'X-' || o_orderpriority
-                               ELSE o_orderpriority END, chr(0))) AS h
-      FROM orders WHERE o_orderkey % 89 != 7
+             md5(md5(CASE WHEN o_custkey IS NULL THEN 'N'
+                          ELSE 'V' || o_custkey::VARCHAR END) ||
+                 md5(CASE WHEN o_orderstatus IS NULL THEN 'N'
+                          ELSE 'V' || o_orderstatus END) ||
+                 md5(CASE WHEN p2 IS NULL THEN 'N'
+                          ELSE 'V' || p2 END)) AS h
+      FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 53 = 5
+                        THEN 'X-' || o_orderpriority
+                        ELSE o_orderpriority END AS p2
+            FROM orders WHERE o_orderkey % 89 != 7)
     )
     SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
            CASE WHEN o.h IS NULL THEN 'added'

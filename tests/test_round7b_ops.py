@@ -632,3 +632,73 @@ def test_multimodal_decoders_tolerate_null_blobs(spark):
     assert decode_image_features(df).count() == 1
     assert sample_frames(df, n_frames=2).count() == 2  # 1 blob x 2 frames
     assert extract_audio_features(df).count() == 1
+
+
+# --------------------------------------------- review-pass-5 hardening
+
+
+def test_merge_upsert_null_key_updates_insert(spark):
+    from mapreduce_join_comparison_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    ups = spark.createDataFrame(
+        [(2, "B"), (None, "x"), (None, "y")], "k bigint, v string"
+    )
+    out = merge_upsert(base, ups, "k")
+    rows = {(r.k, r.v) for r in out.collect()}
+    # SQL MERGE semantics: NULL-key source rows never match — they
+    # insert (previously: corrupted to an all-NULL row, and two of
+    # them spuriously tripped the duplicate-key guard)
+    assert rows == {(1, "a"), (2, "B"), (None, "x"), (None, "y")}
+
+
+def test_scd2_history_null_attr_interval(spark):
+    from mapreduce_join_comparison_spark.operators.cdc import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            (1, "A", 10, 100),
+            (1, None, 20, 101),   # change TO NULL: its own interval
+            (1, None, 25, 102),   # same NULL run: compressed
+            (1, "A", 30, 103),    # change back: third interval
+        ],
+        "k bigint, attr string, v bigint, tb bigint",
+    )
+    out = scd2_history(log, "k", "attr", "v", "tb").orderBy("version")
+    got = [(r.attr, r.valid_from, r.valid_to) for r in out.collect()]
+    assert got == [("A", 10, 20), (None, 20, 30), ("A", 30, None)]
+
+
+def test_snapshot_diff_delimiter_injection(spark):
+    from mapreduce_join_comparison_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x|y", "z")], "k bigint, a string, b string")
+    new = spark.createDataFrame([(1, "x", "y|z")], "k bigint, a string, b string")
+    out = snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    # ('x|y','z') vs ('x','y|z') previously hashed EQUAL and the
+    # change vanished; fixed-width per-column digests disambiguate
+    assert [(r.k, r.diff_class) for r in out] == [(1, "changed")]
+    # NULL vs a value equal to the old sentinel also distinguishes
+    old2 = spark.createDataFrame([(1, None)], "k bigint, a string")
+    new2 = spark.createDataFrame([(1, "\x00")], "k bigint, a string")
+    assert snapshot_diff(old2, new2, ["k"], ["a"]).count() == 1
+
+
+def test_chunk_windows_rejects_gap_stride(spark):
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_windows(df, window=10, stride=100)
+
+
+def test_bm25_rejects_quoted_query_id(spark):
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.operators.text import bm25_rank
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="query id"):
+        bm25_rank(df, {"q's": ["hello"]})
