@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 STRATEGIES = ("repartition", "broadcast", "merge", "auto", "advised")
 
@@ -227,7 +228,12 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` for the same key (left-outer semantics —
-    unmatched left rows keep nulls).
+    unmatched left rows keep nulls). Every non-key column (the ts
+    columns included) is payload and flows to the output, so the two
+    sides' column names must be disjoint — with both sides carrying a
+    natural ``ts`` the overlap check fires; rename one side first
+    (``asof_nearest_join`` instead excludes raw ts columns and emits
+    epoch-µs fields).
 
     Spark has no built-in as-of join (thesis ch. 7 lists temporal joins
     as future work; the reference implements none). Implemented as a
@@ -245,29 +251,38 @@ def asof_join(
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    # the right payload travels as ONE nullable struct — per-column
+    # last(ignorenulls) would skip a genuinely-NULL payload FIELD and
+    # substitute the value from an OLDER right row, stitching one
+    # output row out of two different right rows; last(struct) picks
+    # the latest right ROW atomically (a left row's struct is NULL, a
+    # right row's struct is non-null even when every field is NULL)
+    rstruct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in rcols]
+    )
     tagged_l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+        F.lit(None).cast(rstruct_t).alias("_rrow"),
     )
     tagged_r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c) for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("_rrow"),
     )
     unioned = tagged_l.unionByName(tagged_r)
     # right rows sort before left at equal timestamps (<= semantics);
-    # right payload columns complete the order so two right rows
-    # sharing (key, ts) yield a DETERMINISTIC survivor (the max by
-    # payload — last() picks the final row of the tie group) instead
-    # of whichever physical row order the shuffle produced
+    # the payload struct completes the order so two right rows sharing
+    # (key, ts) yield a DETERMINISTIC survivor (the max by payload —
+    # last() picks the final row of the tie group) instead of
+    # whichever physical row order the shuffle produced
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", *rcols)
+        .orderBy("_ts", "_side", "_rrow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -275,11 +290,29 @@ def asof_join(
         "_ts",
         "_side",
         *[F.col(c) for c in lcols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rr"),
     )
     return carried.filter(F.col("_side") == 1).select(
-        F.col("_k").alias(on), *lcols, *rcols
+        F.col("_k").alias(on), *lcols,
+        *[F.col("_rr")[c].alias(c) for c in rcols],
     )
+
+
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _require_integral(op: str, *cols: tuple[DataFrame, str]) -> None:
+    """Interval/band bucketing does exact integer tier/cell arithmetic;
+    a fractional bound silently truncates into an undersized tier and
+    DROPS matching pairs — reject loudly instead."""
+    for df, c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, _INTEGRAL_TYPES):
+            raise TypeError(
+                f"{op}: column {c!r} must be integer-typed (got "
+                f"{dt.simpleString()}); cast dates to epoch days / "
+                "timestamps to epoch micros first"
+            )
 
 
 def interval_join(
@@ -310,12 +343,22 @@ def interval_join(
     The tier index is computed from ``log2`` then CORRECTED in exact
     integer arithmetic (``width > base_cell << t`` bumps one tier), so
     float rounding at power-of-2 boundaries can never under-cover.
-    Columns must be numeric (cast dates to epoch days first) and
-    disjoint between the two sides. Intervals with ``hi <= lo`` match
-    nothing under strict bounds and are dropped early.
+    Columns must be INTEGER-typed (cast dates to epoch days,
+    timestamps to epoch micros first) and disjoint between the two
+    sides — the width/tier arithmetic truncates ``hi − lo`` to a long,
+    so a fractional interval (lo=0.9, hi=2.05: true width 1.15,
+    truncated 1) would be assigned one tier too small, span 3 cells
+    while only 2 are emitted, and silently miss matching points;
+    validated below rather than documented away. Intervals with
+    ``hi <= lo`` match nothing under strict bounds and are dropped
+    early.
     """
     if base_cell < 1:
         raise ValueError(f"base_cell must be >= 1, got {base_cell}")
+    _require_integral(
+        "interval_join",
+        (intervals, lo_col), (intervals, hi_col), (points, x_col),
+    )
     lo, hi, x = F.col(lo_col), F.col(hi_col), F.col(x_col)
     w = (hi - lo).cast("long")
     t0 = F.greatest(
@@ -408,12 +451,18 @@ def interval_overlap_join(
     occurring-tier lists are log-bounded; fetched once, bounded
     collects).
 
-    Columns must be numeric and disjoint between the two sides; pass
-    slim (id, lo, hi) frames and re-attach payloads by id. Empty
+    Columns must be INTEGER-typed and disjoint between the two sides
+    (same truncated-width hazard as ``interval_join`` — validated);
+    pass slim (id, lo, hi) frames and re-attach payloads by id. Empty
     intervals (``hi <= lo``) match nothing and are dropped.
     """
     if base_cell < 1:
         raise ValueError(f"base_cell must be >= 1, got {base_cell}")
+    _require_integral(
+        "interval_overlap_join",
+        (left, left_lo), (left, left_hi), (right, right_lo),
+        (right, right_hi),
+    )
 
     def _with_tier(df: DataFrame, lo: Column, hi: Column) -> DataFrame:
         w = (hi - lo).cast("long")
@@ -527,9 +576,22 @@ def dominance_count(
     import math
 
     x, y = F.col(x_col), F.col(y_col)
-    t = df.select(F.col(id_col), x.alias("_dx"), y.alias("_dy"))
+    # rows missing either coordinate cannot be ranked OR dominate —
+    # excluded up front (a NULL cell key would otherwise silently
+    # null-reject them mid-plan, an inconsistent half-drop)
+    t = df.select(F.col(id_col), x.alias("_dx"), y.alias("_dy")).filter(
+        x.isNotNull() & y.isNotNull()
+    )
     # bounded: 4 scalars (row count, distinct-x count, y bounds)
     n_rows, m_x = t.count(), t.select("_dx").distinct().count()
+    if n_rows == 0:
+        # empty input: the binning scalars below would be None —
+        # return the (empty) result instead of a TypeError
+        return t.select(
+            F.col(id_col), F.col("_dx").alias(x_col),
+            F.col("_dy").alias(y_col),
+            F.lit(0).cast("bigint").alias("n_dominated"),
+        )
     if k_buckets is None:
         k_buckets = max(64, math.ceil(n_rows / math.sqrt(max(m_x, 1))))
     (ymin, ymax) = t.agg(F.min("_dy"), F.max("_dy")).collect()[0]
@@ -807,6 +869,11 @@ def grid_distance_join(
     engine-bit-identical, no float epsilon anywhere. ``id_a < id_b``
     canonicalizes pair order.
     """
+    if radius <= 0:
+        raise ValueError(
+            f"radius must be a positive integer, got {radius} "
+            "(0 divides by zero building cells; negative inverts them)"
+        )
     cx = F.floor(F.col(x_col) / radius).cast("long")
     cy = F.floor(F.col(y_col) / radius).cast("long")
     probe = points.select(
@@ -993,39 +1060,38 @@ def asof_nearest_join(
         .orderBy(F.col("_us").desc(), F.col("_side").asc(), *rcols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    r_us_col = F.when(F.col("_side") == 0, F.col("_us"))
+    # timestamp AND payload travel in ONE struct per direction, so the
+    # picked row is atomic: per-column last(ignorenulls) would skip a
+    # genuinely-NULL payload field and stitch the output from two
+    # different right rows (worse here than in asof_join — the
+    # reported nearest_ts_us and the payload could disagree)
+    rstruct = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_us").alias("_rus"), *[F.col(c) for c in rcols]
+        ),
+    )
     carried = unioned.select(
         "_k", "_us", "_side", *lcols,
-        F.last(r_us_col, ignorenulls=True).over(w_back).alias("_bus"),
-        F.last(r_us_col, ignorenulls=True).over(w_fwd).alias("_fus"),
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w_back)
-            .alias(f"_b_{c}")
-            for c in rcols
-        ],
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w_fwd)
-            .alias(f"_f_{c}")
-            for c in rcols
-        ],
+        F.last(rstruct, ignorenulls=True).over(w_back).alias("_b"),
+        F.last(rstruct, ignorenulls=True).over(w_fwd).alias("_f"),
     ).filter(F.col("_side") == 1)
-    bd = F.col("_us") - F.col("_bus")
-    fd = F.col("_fus") - F.col("_us")
-    pick_b = F.col("_bus").isNotNull() & (F.col("_fus").isNull() | (bd <= fd))
+    bus, fus = F.col("_b")["_rus"], F.col("_f")["_rus"]
+    bd = F.col("_us") - bus
+    fd = fus - F.col("_us")
+    pick_b = bus.isNotNull() & (fus.isNull() | (bd <= fd))
     return carried.select(
         F.col("_k").alias(on),
         F.col("_us").alias("left_ts_us"),
         *lcols,
-        F.when(pick_b, F.col("_bus")).otherwise(F.col("_fus")).alias(
-            "nearest_ts_us"
-        ),
+        F.when(pick_b, bus).otherwise(fus).alias("nearest_ts_us"),
         *[
-            F.when(pick_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(c)
+            F.when(pick_b, F.col("_b")[c])
+            .otherwise(F.col("_f")[c])
+            .alias(c)
             for c in rcols
         ],
         F.when(pick_b, bd)
-        .when(F.col("_fus").isNotNull(), fd)
+        .when(fus.isNotNull(), fd)
         .alias("nearest_dist_us"),
     )

@@ -32,6 +32,29 @@ from pyspark.sql import functions as F
 from .aggregates import _nullsafe_broadcast_join
 
 
+def _nullsafe_left_join(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """LEFT join on ``keys`` with NULL-safe equality — the left-outer
+    sibling of ``aggregates._nullsafe_broadcast_join`` (same round-6
+    lesson: a plain key-list join silently null-rejects the NULL
+    series, so its bin aggregates vanish and the binned forms diverge
+    from the direct windows they claim to reproduce). No forced
+    broadcast: both sides here are bin-grain aggregates whose size
+    tracks series × bins, and ``<=>`` is still hash-joinable."""
+    renamed = right.select(
+        *[F.col(k).alias(f"_nsl_{k}") for k in keys],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_nsl_{k}"))
+        cond = c if cond is None else cond & c
+    return left.join(renamed, cond, "left").drop(
+        *[f"_nsl_{k}" for k in keys]
+    )
+
+
 def _dense_per_bin(
     events: DataFrame,
     bin_micros: int,
@@ -74,7 +97,7 @@ def _dense_per_bin(
             F.explode(F.sequence("lo", "hi")).alias("bin")
         )
     )
-    return grid.join(per_bin, ["series", "bin"], "left")
+    return _nullsafe_left_join(grid, per_bin, ["series", "bin"])
 
 
 def resample_locf(
@@ -318,28 +341,36 @@ def rolling_zscore_anomalies_binned(
     k = bins_per_window
     id_type = df.schema[id_col].dataType
 
+    # the series key rides in a 1-field STRUCT: struct equality is
+    # NULL-safe per field (a NULL series is a real group that matches
+    # itself in plain equi-joins), and because EVERY stage keys on the
+    # same struct, hash partitioning flows through unchanged — unlike
+    # an eqNullSafe join condition, whose coalesce-rewritten keys hide
+    # the upstream partitioning and cost two extra exchanges here
+    # (measured 4 -> 6 against the pinned budget)
     base = df.select(
         F.col(id_col),
-        F.col(series_col),
+        F.struct(F.col(series_col)).alias("_skey"),
         F.unix_micros(F.col(ts_col)).alias("_us"),
         F.round(F.col(value_col) * 1000).cast("bigint").alias("_vm"),
     ).withColumn("_bin", F.expr(f"_us DIV {bin_us}"))
 
-    per_bin = base.groupBy(series_col, "_bin").agg(
+    per_bin = base.groupBy("_skey", "_bin").agg(
         F.sum("_vm").alias("b1"),
         F.sum(F.col("_vm") * F.col("_vm")).alias("b2"),
         F.count(F.lit(1)).alias("bn"),
     )
-    span = base.groupBy(series_col).agg(
+    span = base.groupBy("_skey").agg(
         F.min("_bin").alias("_lo"), F.max("_bin").alias("_hi")
     )
     dense = (
         span.select(
-            series_col, F.explode(F.sequence("_lo", "_hi")).alias("_bin")
+            "_skey",
+            F.explode(F.sequence("_lo", "_hi")).alias("_bin"),
         )
-        .join(per_bin, [series_col, "_bin"], "left")
+        .join(per_bin, ["_skey", "_bin"], "left")
         .select(
-            series_col,
+            "_skey",
             "_bin",
             F.coalesce("b1", F.lit(0)).alias("b1"),
             F.coalesce("b2", F.lit(0)).alias("b2"),
@@ -348,12 +379,12 @@ def rolling_zscore_anomalies_binned(
     )
     if k > 1:
         w_full = (
-            Window.partitionBy(series_col)
+            Window.partitionBy("_skey")
             .orderBy("_bin")
             .rowsBetween(-(k - 1), -1)
         )
         full = dense.select(
-            series_col,
+            "_skey",
             "_bin",
             F.sum("b1").over(w_full).alias("f1"),
             F.sum("b2").over(w_full).alias("f2"),
@@ -361,7 +392,7 @@ def rolling_zscore_anomalies_binned(
         )
     else:
         full = dense.select(
-            series_col,
+            "_skey",
             "_bin",
             F.lit(None).cast("bigint").alias("f1"),
             F.lit(None).cast("bigint").alias("f2"),
@@ -369,13 +400,13 @@ def rolling_zscore_anomalies_binned(
         )
 
     w_pref = (
-        Window.partitionBy(series_col, "_bin")
+        Window.partitionBy("_skey", "_bin")
         .orderBy("_us")
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     pref = base.select(
         id_col,
-        series_col,
+        "_skey",
         "_us",
         "_vm",
         "_bin",
@@ -386,7 +417,7 @@ def rolling_zscore_anomalies_binned(
 
     dat = base.select(
         F.lit(None).cast(id_type).alias("_pid"),
-        F.col(series_col),
+        F.col("_skey"),
         "_bin",
         "_us",
         "_vm",
@@ -394,14 +425,14 @@ def rolling_zscore_anomalies_binned(
     )
     probe = base.select(
         F.col(id_col).alias("_pid"),
-        F.col(series_col),
+        F.col("_skey"),
         (F.col("_bin") - k).alias("_bin"),
         (F.col("_us") - window_us).alias("_us"),
         F.lit(None).cast("bigint").alias("_vm"),
         F.lit(None).cast("int").alias("_one"),
     )
     w_suf = (
-        Window.partitionBy(series_col, "_bin")
+        Window.partitionBy("_skey", "_bin")
         .orderBy(F.col("_us").desc())
         .rangeBetween(Window.unboundedPreceding, 0)
     )
@@ -418,11 +449,11 @@ def rolling_zscore_anomalies_binned(
 
     z = F.lit(0).cast("bigint")
     stats = (
-        pref.join(full, [series_col, "_bin"], "left")
+        pref.join(full, ["_skey", "_bin"], "left")
         .join(suf, pref[id_col] == suf["_pid"], "left")
         .select(
             id_col,
-            series_col,
+            F.col("_skey")[series_col].alias(series_col),
             "_us",
             "_vm",
             (
@@ -578,6 +609,13 @@ def sliding_window_distinct(
     hour, OR-merged over the trailing window) replaces replication —
     documented here as the scale escape hatch.
     """
+    if window_hours % slide_hours:
+        raise ValueError(
+            f"window_hours={window_hours} must be a multiple of "
+            f"slide_hours={slide_hours} — integer slot division would "
+            "silently shrink the effective window to "
+            f"{(window_hours // slide_hours) * slide_hours} h"
+        )
     n_slots = window_hours // slide_hours
     slide_us = slide_hours * 3_600_000_000
     # integer div — a double quotient rounds before the floor at

@@ -250,7 +250,11 @@ EXPECTATIONS = {
     "events_anomaly_zscore": (4, "Window"),
     # df-count shuffle + broadcast of the over-threshold set + per-doc
     # agg + fan_out; corpus never shuffles for the match
-    "text_boilerplate_ngrams": (5, "BroadcastHashJoin"),
+    # +1 exchange (5 → 6) for count_DISTINCT(id) document frequency —
+    # the two-phase distinct agg is the price of the documented
+    # "distinct documents" semantics (an intra-doc 32-bit hash
+    # collision previously counted one doc twice toward min_docs)
+    "text_boilerplate_ngrams": (6, "BroadcastHashJoin"),
     # detection plan (+1 for the count_distinct(doc) two-phase agg —
     # collision-safe doc frequency) + positional-start collect + the
     # narrow rewrite

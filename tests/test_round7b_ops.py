@@ -702,3 +702,148 @@ def test_bm25_rejects_quoted_query_id(spark):
     df = spark.createDataFrame([(1, "hello world")], "doc_id bigint, text string")
     with _pytest.raises(ValueError, match="query id"):
         bm25_rank(df, {"q's": ["hello"]})
+
+
+# --------------------------------------------- review-pass-6 hardening
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    from mapreduce_join_comparison_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100, "early"), (1, 20, None, None)],
+        "k bigint, r_ts bigint, price bigint, src string",
+    )
+    left = spark.createDataFrame([(1, 30)], "k bigint, l_ts bigint")
+    out = asof_join(left, right, "k", "l_ts", "r_ts").collect()
+    # the ts=20 row is the as-of match; its NULL price must NOT be
+    # replaced by the stale 100 from ts=10 (per-column ignorenulls
+    # stitched rows before the struct carry)
+    assert [(r.price, r.src) for r in out] == [(None, None)]
+
+
+def test_asof_nearest_payload_matches_reported_ts(spark):
+    from mapreduce_join_comparison_spark.operators.joins import (
+        asof_nearest_join,
+    )
+    from pyspark.sql import functions as F
+
+    right = spark.createDataFrame(
+        [(1, 10_000_000, 100), (1, 20_000_000, None)],
+        "k bigint, us bigint, price bigint",
+    ).select("k", F.timestamp_micros("us").alias("ts"), "price")
+    left = spark.createDataFrame(
+        [(1, 21_000_000)], "k bigint, us bigint"
+    ).select("k", F.timestamp_micros("us").alias("ts"))
+    out = asof_nearest_join(left, right, "k").collect()[0]
+    # nearest row is us=20s whose price is NULL: the payload must come
+    # from THAT row, not the older one
+    assert out.nearest_ts_us == 20_000_000
+    assert out.price is None
+
+
+def test_binned_zscore_null_series_equals_direct(spark):
+    from mapreduce_join_comparison_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+        rolling_zscore_anomalies_binned,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(60):
+        # a NULL series interleaved with a real one; inject outliers
+        v = 1000.0 if i in (40, 50) else float(i % 7)
+        rows.append((i, None, i * 600_000_000, v))
+        rows.append((1000 + i, "a", i * 600_000_000, v))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, us bigint, value double"
+    ).select(
+        "event_id", "event_type",
+        F.timestamp_micros("us").alias("ts"), "value",
+    )
+    kw = dict(window_us=6_000_000_000, min_points=5, z_threshold=2.0)
+    direct = {
+        (r.event_id, r.zscore)
+        for r in rolling_zscore_anomalies(df, **kw).collect()
+    }
+    binned = {
+        (r.event_id, r.zscore)
+        for r in rolling_zscore_anomalies_binned(
+            df, bins_per_window=6, **kw
+        ).collect()
+    }
+    assert direct == binned
+    assert any(eid < 1000 for eid, _ in binned), "NULL series missing"
+
+
+def test_resample_locf_null_series_kept(spark):
+    from mapreduce_join_comparison_spark.operators.timeseries import (
+        resample_locf,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, None, 0, 5.0), (2, None, 1_800_000_000, 7.0),
+            (3, "a", 0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, us bigint, value double"
+    ).select(
+        "event_id", "event_type",
+        F.timestamp_micros("us").alias("ts"), "value",
+    )
+    out = resample_locf(df, bin_micros=900_000_000)
+    by_series = {}
+    for r in out.collect():
+        by_series.setdefault(r.series, []).append(r)
+    # the NULL series keeps its observations (previously every one of
+    # its bins reported n_events=0 via the null-rejecting grid join)
+    assert sum(r.n_events for r in by_series[None]) == 2
+
+
+def test_dominance_count_empty_and_null_coords(spark):
+    from mapreduce_join_comparison_spark.operators.joins import (
+        dominance_count,
+    )
+
+    empty = spark.createDataFrame([], "id bigint, x bigint, y bigint")
+    assert dominance_count(empty, "x", "y", "id").count() == 0
+    withnulls = spark.createDataFrame(
+        [(1, 1, 1), (2, None, 5), (3, 2, None)],
+        "id bigint, x bigint, y bigint",
+    )
+    out = dominance_count(withnulls, "x", "y", "id").collect()
+    assert [r.id for r in out] == [1]
+
+
+def test_interval_join_rejects_fractional_bounds(spark):
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.operators.joins import (
+        interval_join,
+    )
+
+    ivals = spark.createDataFrame(
+        [(0.9, 2.05)], "lo double, hi double"
+    )
+    pts = spark.createDataFrame([(1,)], "x bigint")
+    with _pytest.raises(TypeError, match="integer-typed"):
+        interval_join(ivals, pts, "lo", "hi", "x")
+
+
+def test_guards_sliding_window_and_grid_radius(spark):
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.operators.joins import (
+        grid_distance_join,
+    )
+    from mapreduce_join_comparison_spark.operators.timeseries import (
+        sliding_window_distinct,
+    )
+
+    pts = spark.createDataFrame([(1, 0, 0)], "id bigint, x bigint, y bigint")
+    with _pytest.raises(ValueError, match="radius"):
+        grid_distance_join(pts, "id", "x", "y", radius=0)
+    ev = spark.createDataFrame([(1, 1)], "user_id bigint, us bigint")
+    with _pytest.raises(ValueError, match="multiple"):
+        sliding_window_distinct(
+            ev, "us", "user_id", window_hours=24, slide_hours=7
+        )
