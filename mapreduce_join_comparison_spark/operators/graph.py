@@ -52,6 +52,11 @@ def pagerank(
     )
     nodes = nodes.persist()
     n = nodes.count()  # one small action; N parameterizes the formula
+    if n == 0:
+        # empty graph: the damping formula divides by N — return the
+        # (empty) rank frame instead of a ZeroDivisionError
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     links = e.join(out_deg, "src")  # (src, dst, deg)
 
@@ -80,4 +85,12 @@ def pagerank(
                 persisted.unpersist()
             persisted = nxt
             ranks = nxt
+    # `nodes` and the final snapshot stay cached: the returned lineage
+    # references both, and unpersisting them here embeds the FULL
+    # unfolded iteration tree in the result's cached-plan
+    # representation (measured 36 → 68 static exchanges). Repeated
+    # calls in one session do accumulate cache entries, but Spark's
+    # storage memory evicts LRU under pressure — bounded staleness,
+    # not a hard leak; callers running pagerank in a tight loop can
+    # spark.catalog.clearCache() between runs.
     return ranks

@@ -66,6 +66,14 @@ def hypercube_triangle_join(
     """
     p1, p2, p3 = grid
     g = {"pa": p1, "pb": p2, "pc": p3}
+    # inner equi-join semantics: NULL keys never match, so drop them
+    # before the cell fan-out — they would otherwise reach the pandas
+    # cell join as NaN, and pd.merge treats NaN keys as EQUAL,
+    # emitting "triangles" the SQL/chain plan never produces (the two
+    # strategies must agree on every input)
+    r = r.dropna(subset=["a", "b"])
+    s = s.dropna(subset=["b", "c"])
+    t = t.dropna(subset=["c", "a"])
     tagged = (
         _cells(0, r, "a", "b", ("pa", "pb"), "pc", g)
         .unionByName(_cells(1, s, "b", "c", ("pb", "pc"), "pa", g))

@@ -418,7 +418,18 @@ def train_ivf_centroids(
         .limit(sample_rows)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus sample — nothing to "
+            "train a quantizer on (np.linalg.norm over a 0-row matrix "
+            "would raise an opaque AxisError here)"
+        )
     x = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    if x.shape[1] != dim:
+        raise ValueError(
+            f"train_ivf_centroids: vectors are {x.shape[1]}-d, "
+            f"caller declared dim={dim}"
+        )
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
@@ -515,7 +526,7 @@ def ivf_topk(
     FAISS) re-expressed as two DataFrame joins."""
     from pyspark.sql.window import Window
 
-    cents = centroids or train_ivf_centroids(
+    cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, dim, n_cells, seed=seed, vec_col=vec_col
     )
     c = fan_out(
@@ -523,7 +534,7 @@ def ivf_topk(
             F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
         )
     ).withColumn(
-        "cell", F.element_at(_nearest_cells_expr("c_vec", cents, 1), 1)
+        "cell", _nearest_cell_argmin_expr("c_vec", cents)
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -582,23 +593,34 @@ def lsh_topk(
             for t, planes in enumerate(tables)
         ]
     )
-    c = (
-        fan_out(corpus.select(F.col(id_col).alias("corpus_id"),
-                              F.col(vec_col).alias("c_vec")))
-        .withColumn("tb", F.explode(bucket_arr("c_vec")))
-        .select("corpus_id", "c_vec", "tb.table", "tb.bucket")
+    c_vecs = fan_out(
+        corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("c_vec"))
     )
-    q = (
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("tb", F.explode(bucket_arr("q_vec")))
-        .select("query_id", "q_vec", "tb.table", "tb.bucket")
+    q_vecs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    cand = (
+    ch = (
+        c_vecs.withColumn("tb", F.explode(bucket_arr("c_vec")))
+        .select("corpus_id", "tb.table", "tb.bucket")
+    )
+    qh = (
+        q_vecs.withColumn("tb", F.explode(bucket_arr("q_vec")))
+        .select("query_id", "tb.table", "tb.bucket")
+    )
+    # candidate join + distinct on IDS ONLY, vectors re-attached by id
+    # afterwards — the projected_rerank_topk pattern: deduplicating int
+    # pairs is far cheaper than hashing two 64-float payloads per
+    # pre-distinct candidate row
+    cand_ids = (
         # bounded: query batch (ANN workload), orders smaller than the corpus
-        c.join(F.broadcast(q), ["table", "bucket"])
+        ch.join(F.broadcast(qh), ["table", "bucket"])
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "corpus_id", "c_vec")
+        .select("query_id", "corpus_id")
         .distinct()
+    )
+    cand = cand_ids.join(c_vecs, "corpus_id").join(
+        F.broadcast(q_vecs), "query_id"
     )
     scored = cand.withColumn("cosine", cosine_expr("c_vec", "q_vec"))
     w = Window.partitionBy("query_id").orderBy(
@@ -656,7 +678,7 @@ def ivfpq_topk(
     """
     from pyspark.sql.window import Window
 
-    cents = centroids or train_ivf_centroids(
+    cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, dim, n_cells, seed=seed, vec_col=vec_col
     )
     cb = pq_codebook(dim, m, kc, pq_seed)
@@ -674,7 +696,7 @@ def ivfpq_topk(
             )
         )
         .withColumn(
-            "cell", F.element_at(_nearest_cells_expr("c_vec", cents, 1), 1)
+            "cell", _nearest_cell_argmin_expr("c_vec", cents)
         )
         .select("corpus_id", "c_vec", "cell", *code_cols)
     )

@@ -56,9 +56,14 @@ def top_k_per_group(
     ascending: bool = False,
 ) -> DataFrame:
     """Windowed top-k: rank within group, keep ≤ k. One shuffle on the
-    group keys."""
-    from pyspark.sql.window import Window
-
+    group keys. The helper rank column uses a reserved name (any
+    caller column of the same name would be silently clobbered and
+    dropped)."""
+    if "_rn" in df.columns:
+        raise ValueError(
+            "top_k_per_group: input already has a '_rn' column "
+            "(reserved helper name) — rename it first"
+        )
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = Window.partitionBy(*group_cols).orderBy(order)
     return (
@@ -103,16 +108,28 @@ def skyline_2d(
     x-keyed exchanges of the per-x grain + the row re-attach join.
     Maximizing a dimension = pass its negation.
     """
-    lo, hi = df.agg(F.min(x_col), F.max(x_col)).first()  # 2-scalar fetch
+    # a point missing either coordinate cannot be on (or dominate) the
+    # frontier — excluded up front: a NULL x would land in the LAST
+    # bin via least()'s null-skip and sort NULLS-FIRST inside it,
+    # polluting the intra-bin prefix min and dropping true frontier
+    # points
+    pts = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    lo, hi = pts.agg(F.min(x_col), F.max(x_col)).first()  # 2-scalar fetch
     if lo is None:
-        return df  # empty input: empty frontier
-    span = (hi - lo) or 1
+        return pts  # empty input: empty frontier
+    # bin arithmetic in DOUBLE: (x - lo) * bins in long wraps on
+    # wide-range BIGINT x (bins go non-monotone, silently corrupting
+    # the prefix-min invariant). The algorithm only needs bins
+    # MONOTONE in x, which the double form preserves at any range.
+    span = (float(hi) - float(lo)) or 1.0
     bin_of = F.least(
         F.lit(bins - 1),
-        F.floor((F.col(x_col) - F.lit(lo)) * bins / F.lit(span)).cast("int"),
+        F.floor(
+            (F.col(x_col).cast("double") - float(lo)) * bins / span
+        ).cast("int"),
     )
     perx = (
-        df.groupBy(x_col)
+        pts.groupBy(x_col)
         .agg(F.min(y_col).alias("_miny"))
         .withColumn("_bin", bin_of)
     )
@@ -140,6 +157,6 @@ def skyline_2d(
         .filter(F.col("_prev").isNull() | (F.col("_prev") > F.col("_miny")))
         .select(x_col, "_miny")
     )
-    return df.join(sur, on=x_col).filter(F.col(y_col) == F.col("_miny")).drop(
-        "_miny"
-    )
+    return pts.join(sur, on=x_col).filter(
+        F.col(y_col) == F.col("_miny")
+    ).drop("_miny")

@@ -66,8 +66,11 @@ EXPECTATIONS = {
     # source at scale) + the query_id top-k window exchange
     "similarity_bruteforce_topk": (2, None),
     "similarity_ivf_ann": (2, None),
-    # + the bucket-candidate distinct
-    "similarity_lsh_ann": (3, None),
+    # +1 (3 → 4): the candidate distinct now dedups ID PAIRS with the
+    # vectors re-attached by an id-keyed join (projected_rerank's
+    # pattern) — one extra cheap exchange buys a payload-free dedup
+    # (previously every pre-distinct row hashed two 64-float arrays)
+    "similarity_lsh_ann": (4, None),
     "sort_total_order": (1, None),   # range partition + local sort only
     # final Lloyd assignment is a pure narrow map against the k×dim
     # centroid literal — ZERO exchanges (the per-iteration update aggs

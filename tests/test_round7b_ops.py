@@ -847,3 +847,79 @@ def test_guards_sliding_window_and_grid_radius(spark):
         sliding_window_distinct(
             ev, "us", "user_id", window_hours=24, slide_hours=7
         )
+
+
+# --------------------------------------------- review-pass-7 hardening
+
+
+def test_skyline_null_coords_and_wide_range(spark):
+    from mapreduce_join_comparison_spark.operators.sorts import skyline_2d
+
+    df = spark.createDataFrame(
+        [(0, 5), (10, 1), (None, 0), (3, None)],
+        "x bigint, y bigint",
+    )
+    got = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    # NULL-coordinate rows neither join nor dominate the frontier
+    # (a NULL x previously landed in the last bin NULLS-FIRST and its
+    # y=0 wrongly dominated the true frontier point (10, 1))
+    assert got == {(0, 5), (10, 1)}
+    # wide-range BIGINT x: (x-lo)*bins overflows long; double binning
+    # stays monotone and the frontier is exact
+    wide = spark.createDataFrame(
+        [(-4 * 10**18, 5), (0, 3), (4 * 10**18, 1)], "x bigint, y bigint"
+    )
+    got_w = {(r.x, r.y) for r in skyline_2d(wide, "x", "y").collect()}
+    assert got_w == {(-4 * 10**18, 5), (0, 3), (4 * 10**18, 1)}
+
+
+def test_hypercube_null_keys_match_chain_semantics(spark):
+    from mapreduce_join_comparison_spark.operators.multiway import (
+        hypercube_triangle_join,
+        triangle_join,
+    )
+
+    r = spark.createDataFrame([(1, None), (1, 2)], "a bigint, b bigint")
+    s = spark.createDataFrame([(None, 3), (2, 3)], "b bigint, c bigint")
+    t = spark.createDataFrame([(3, 1)], "c bigint, a bigint")
+    hyper = {tuple(x) for x in hypercube_triangle_join(r, s, t).collect()}
+    chain = {tuple(x) for x in triangle_join(r, s, t).collect()}
+    # SQL inner-join semantics: NULL keys never match — pandas NaN
+    # merge inside the cells previously fabricated a NULL triangle
+    assert hyper == chain == {(1, 2, 3)}
+
+
+def test_pagerank_empty_graph(spark):
+    from mapreduce_join_comparison_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(edges).count() == 0
+
+
+def test_ivf_train_guards(spark):
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    empty = spark.createDataFrame([], "embedding array<float>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        train_ivf_centroids(empty, dim=8)
+    wrongdim = spark.createDataFrame(
+        [([0.1] * 4,)], "embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="declared dim"):
+        train_ivf_centroids(wrongdim, dim=8)
+
+
+def test_top_k_per_group_reserved_column(spark):
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.operators.sorts import (
+        top_k_per_group,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "g bigint, v bigint, _rn bigint")
+    with _pytest.raises(ValueError, match="_rn"):
+        top_k_per_group(df, ["g"], "v", 1)
