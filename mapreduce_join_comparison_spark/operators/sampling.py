@@ -15,6 +15,8 @@ Two kinds matter at 100 TB:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,11 +97,16 @@ def stratified_hash_sample(
         *[
             F.lit(x)
             for k, v in fractions.items()
-            for x in (k, int(round(float(v) * buckets)))
+            # floor(x + 0.5) = deterministic half-UP: Python round()
+            # is half-to-even, so fraction×buckets landing exactly on
+            # .5 (0.45 × 10 = 4.5) would sample 40% instead of 45%
+            for x in (k, int(math.floor(float(v) * buckets + 0.5)))
         ]
     )
     thr = F.coalesce(thresholds[F.col(strata_col)], F.lit(0))
-    return df.filter(hash_bucket(key_col, buckets, salt) < thr)
+    # NUL sentinel: a NULL key samples at its stratum's rate like any
+    # other row instead of silently dropping (NULL bucket)
+    return df.filter(hash_bucket(_nullsafe_key_str(key_col), buckets, salt) < thr)
 
 
 def mix_rebalance(
@@ -166,7 +173,9 @@ def mix_rebalance(
         # ~1/buckets of the stratum the docstring promises to keep
         # whole. Comparing against the raw double keeps f_s = 1 exact.
         .filter(
-            hash_bucket(key_col, buckets, salt)
+            # NUL sentinel, same as hash_split/shuffle_shards: a NULL
+            # doc id samples at its stratum's rate, not silently out
+            hash_bucket(_nullsafe_key_str(key_col), buckets, salt)
             < F.col("keep_frac") * buckets
         )
         .select(
@@ -232,7 +241,10 @@ def temperature_rebalance(
         # scales with the corpus)
         base.join(F.broadcast(fracs), "_stratum")
         .filter(
-            hash_bucket(key_col, buckets, salt)
+            # NUL sentinel, same as hash_split/shuffle_shards: a NULL
+            # doc id is still a document — it samples at its stratum's
+            # rate instead of silently falling out of the mix
+            hash_bucket(_nullsafe_key_str(key_col), buckets, salt)
             < F.col("keep_frac") * buckets
         )
         .select(

@@ -620,6 +620,8 @@ def lsh_topk(
         .distinct()
     )
     cand = cand_ids.join(c_vecs, "corpus_id").join(
+        # bounded: q_vecs is the query batch (ANN workload), orders of
+        # magnitude smaller than the corpus side it re-attaches to
         F.broadcast(q_vecs), "query_id"
     )
     scored = cand.withColumn("cosine", cosine_expr("c_vec", "q_vec"))

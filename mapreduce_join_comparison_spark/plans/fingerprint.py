@@ -221,11 +221,24 @@ def _segment_names(seg: str) -> set[str]:
 def compute_fingerprints(
     queries: Mapping[str, Callable],
     oracles: Mapping[str, str],
+    *,
+    narrow: bool = False,
 ) -> dict[str, str]:
     """key -> sha256 hex of everything its result depends on. Pure
     file-reading + AST; never touches Spark. The tree hashed is
     whichever tree the callables were imported from, so running this
-    inside an old git worktree fingerprints that round's code."""
+    inside an old git worktree fingerprints that round's code.
+
+    ``narrow=True`` hashes only the DIRECT source of the query — its
+    function segment, same-module helpers, oracle SQL, and the files
+    of modules the segment imports by name — skipping the transitive
+    closure. The pair (full, narrow) splits "stale" into "this query's
+    own code/operators changed" vs "only a shared dependency deeper in
+    the import graph changed": an edit to ``sources/io.py`` marks all
+    201 keys full-stale (every query loads tables), and without the
+    narrow tier the driver's ~50-key window would fill with
+    oldest-green keys instead of the ones whose semantics actually
+    moved."""
     fps: dict[str, str] = {}
     for key, fn in queries.items():
         mod = sys.modules.get(fn.__module__)
@@ -265,7 +278,15 @@ def compute_fingerprints(
         direct = _resolve_imports(
             seg_tree, _package_of(path, pkg, pkg_dir), pkg
         )
-        for depname, deppath in sorted(_closure(direct, pkg, pkg_dir).items()):
+        if narrow:
+            deps = {
+                m: p
+                for m in direct
+                if (p := _mod_path(m, pkg, pkg_dir)) is not None
+            }
+        else:
+            deps = _closure(direct, pkg, pkg_dir)
+        for depname, deppath in sorted(deps.items()):
             pieces.append(depname.encode())
             pieces.append(_module_info(deppath).raw)
         h = hashlib.sha256()
@@ -281,6 +302,28 @@ def compute_fingerprints(
 # --------------------------------------------------------------------------
 
 MANIFEST_NAME = "FINGERPRINTS.json"
+
+# Keys to LEAD the next driver window regardless of green-age — the
+# per-round "front-load changed keys" directive (VERDICT r7 item 2
+# named the four keys the round-7 final commit touched after their
+# last driver check; the rest changed semantics in round 8: NULL-key
+# sentinel in the samplers, half-up thresholds, drift VALUES-freeze).
+# A pinned key jumps the queue only while it is STALE — once re-proven
+# green with unchanged source it sorts normally, so a stale pin list
+# never wastes future windows.
+FRONTLOAD: tuple[str, ...] = (
+    "sort_skyline_frontier",
+    "join_triangle_hypercube",
+    "similarity_ivf_ann",
+    "similarity_lsh_ann",
+    "sample_temperature",
+    "sample_mix_rebalance",
+    "sample_stratified",
+    "sample_hash_split",
+    "corpus_shuffle_shards",
+    "stats_drift_psi",
+    "events_stream_drift",
+)
 
 
 def manifest_path() -> str:
@@ -309,10 +352,19 @@ def derive_priority(
     """Driver-check ordering over ALL registered keys:
 
       1. never driver-green (not in the manifest) — registration order;
-      2. stale (current fingerprint != fingerprint at last green) —
-         oldest last-green round first, then registration order;
-      3. fresh greens — oldest last-green round first (rotating
+      2. direct-stale (the query's NARROW fingerprint — own function,
+         helpers, oracle SQL, directly-imported modules — moved since
+         its last green; or the manifest predates narrow fingerprints)
+         — oldest last-green round first, then registration order;
+      3. transitive-stale (narrow unchanged but the full closure
+         fingerprint moved: a shared dependency like ``sources/io.py``
+         changed) — same sort;
+      4. fresh greens — oldest last-green round first (rotating
          re-verification), then registration order.
+
+    The 2/3 split exists because a shared-module edit marks EVERY key
+    full-stale at once; semantically-changed keys must still fit in
+    the driver's ~50-key window.
 
     Any failure (unreadable manifest, AST surprise) returns [] so the
     driver still sees plain registration order rather than an import
@@ -321,16 +373,27 @@ def derive_priority(
     if not manifest:
         return []
     current = compute_fingerprints(queries, oracles)
+    current_narrow = compute_fingerprints(queries, oracles, narrow=True)
     reg_pos = {k: i for i, k in enumerate(queries)}
-    never, stale, fresh = [], [], []
+    never, stale_direct, stale_trans, fresh = [], [], [], []
     for k in queries:
         rec = manifest.get(k)
         if rec is None:
             never.append(k)
         elif rec.get("fp") != current.get(k):
-            stale.append(k)
+            nfp = rec.get("nfp")
+            if nfp is None or nfp != current_narrow.get(k):
+                stale_direct.append(k)
+            else:
+                stale_trans.append(k)
         else:
             fresh.append(k)
-    stale.sort(key=lambda k: (manifest[k].get("round", 0), reg_pos[k]))
-    fresh.sort(key=lambda k: (manifest[k].get("round", 0), reg_pos[k]))
-    return never + stale + fresh
+    by_age = lambda k: (manifest[k].get("round", 0), reg_pos[k])  # noqa: E731
+    stale_direct.sort(key=by_age)
+    stale_trans.sort(key=by_age)
+    fresh.sort(key=by_age)
+    # stale-gated pins lead the stale block (see FRONTLOAD)
+    stale_all = stale_direct + stale_trans
+    pinned = [k for k in FRONTLOAD if k in set(stale_all)]
+    rest = [k for k in stale_all if k not in set(pinned)]
+    return never + pinned + rest + fresh

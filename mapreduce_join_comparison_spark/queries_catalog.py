@@ -2373,7 +2373,8 @@ def text_chunk_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr AS (SELECT lang, target * alpha / share AS keep_frac FROM m4)
     SELECT b.doc_id, b.lang, b.n_tokens
     FROM base b JOIN fr ON b.lang = fr.lang
-    WHERE ('0x' || substr(md5(b.doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT
+    WHERE ('0x' || substr(md5(coalesce(b.doc_id::VARCHAR, chr(0)) || 'mix'),
+                          1, 8))::BIGINT
           % 10000 < fr.keep_frac * 10000
     """,
 )
@@ -3174,7 +3175,8 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, length(text) AS text_len
     FROM documents
-    WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT % 100 < 80
+    WHERE ('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(0)) || 'split'),
+                          1, 8))::BIGINT % 100 < 80
     """,
 )
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3198,7 +3200,8 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_stratified",
     """
     SELECT doc_id, lang FROM documents
-    WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT % 10000
+    WHERE ('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(0)) || 'mix'),
+                          1, 8))::BIGINT % 10000
           < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
                       WHEN 'es' THEN 3000 WHEN 'fr' THEN 2000
                       WHEN 'zh' THEN 2000 ELSE 0 END
@@ -3227,7 +3230,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT doc_id,
-             ('0x' || substr(md5(doc_id::VARCHAR || 'shuf'), 1, 8))::BIGINT AS hv
+             ('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(0)) || 'shuf'),
+                             1, 8))::BIGINT AS hv
       FROM documents
     )
     SELECT doc_id, CAST(hv % 8 AS INT) AS shard_id,
@@ -7676,7 +7680,8 @@ def events_stream_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 AS (SELECT lang, r / MAX(r) OVER () AS keep_frac FROM m2)
     SELECT b.doc_id, b.lang, b.n_tokens
     FROM base b JOIN m3 USING (lang)
-    WHERE ('0x' || substr(md5(b.doc_id::VARCHAR || 'temp'), 1, 8))::BIGINT
+    WHERE ('0x' || substr(md5(coalesce(b.doc_id::VARCHAR, chr(0)) || 'temp'),
+                          1, 8))::BIGINT
           % 10000 < keep_frac * 10000
     """,
 )

@@ -53,7 +53,10 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
     try:
         schema = pq.read_schema(path)
-    except (OSError, FileNotFoundError):
+    # ValueError covers pyarrow.lib.ArrowInvalid (its base class),
+    # which pyarrow raises for unrecognized URI schemes like hdfs://
+    # — without it the "graceful on remote paths" promise above fails
+    except (OSError, FileNotFoundError, ValueError):
         if os.path.exists(path):
             raise  # local file, real footer problem: surface it
         return []

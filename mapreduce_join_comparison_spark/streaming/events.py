@@ -954,6 +954,31 @@ def _psi_bin_expr(v: str, vmin: str, vmax: str, n_bins: int):
     return psi_bin_expr(v, vmin, vmax, n_bins)
 
 
+def _sql_lit(v, dt: str) -> str:
+    """Render one driver-side value as a Spark-SQL literal for the
+    VALUES-freeze in ``stream_drift_psi``. Non-finite doubles need the
+    string-cast form (``repr()`` yields ``nan``/``inf``, which don't
+    resolve as SQL); bool is checked before the int fallback because
+    it's an int subclass and would otherwise be retyped BIGINT."""
+    if v is None:
+        return f"CAST(NULL AS {dt})"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        # repr() is the shortest round-trip form: the parsed double is
+        # bit-identical
+        return f"CAST({v!r} AS DOUBLE)"
+    return f"CAST({int(v)} AS BIGINT)"
+
+
 def stream_drift_psi(
     events: DataFrame,
     ref_hist: DataFrame,
@@ -999,17 +1024,6 @@ def stream_drift_psi(
     # createDataFrame, no RDD-backed scan)
     hist_rows = ref_hist.collect()
     if hist_rows:
-        def _sql_lit(v, dt: str) -> str:
-            if v is None:
-                return f"CAST(NULL AS {dt})"
-            if isinstance(v, str):
-                return "'" + v.replace("'", "''") + "'"
-            if isinstance(v, float):
-                # repr() is the shortest round-trip form: the parsed
-                # double is bit-identical
-                return f"CAST({v!r} AS DOUBLE)"
-            return f"CAST({int(v)} AS BIGINT)"
-
         fields = ref_hist.schema.fields
         values = ", ".join(
             "(" + ", ".join(

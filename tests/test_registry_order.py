@@ -46,21 +46,27 @@ def _green_union() -> set[str]:
 
 
 def _classify():
-    """(never, stale, fresh) key lists re-derived from first
-    principles — manifest + live fingerprints — for cross-checking
-    the catalog's import-time ordering."""
+    """(never, stale_direct, stale_trans, fresh) key lists re-derived
+    from first principles — manifest + live full AND narrow
+    fingerprints — for cross-checking the catalog's import-time
+    ordering."""
     manifest = fp.load_manifest()
     current = fp.compute_fingerprints(qc.QUERIES, qc.ORACLES)
-    never, stale, fresh = [], [], []
+    narrow = fp.compute_fingerprints(qc.QUERIES, qc.ORACLES, narrow=True)
+    never, stale_direct, stale_trans, fresh = [], [], [], []
     for k in qc.QUERIES:
         rec = manifest.get(k)
         if rec is None:
             never.append(k)
         elif rec.get("fp") != current.get(k):
-            stale.append(k)
+            nfp = rec.get("nfp")
+            if nfp is None or nfp != narrow.get(k):
+                stale_direct.append(k)
+            else:
+                stale_trans.append(k)
         else:
             fresh.append(k)
-    return manifest, never, stale, fresh
+    return manifest, never, stale_direct, stale_trans, fresh
 
 
 def test_priority_keys_registered_and_unique():
@@ -105,23 +111,35 @@ def test_manifest_covers_all_greens():
 
 def test_registry_order_matches_staleness_policy():
     """The live registry ordering must be exactly: never-green block,
-    then stale block (ascending last-green round), then fresh block
-    (ascending last-green round) — each tie-broken by original
+    then stale-gated FRONTLOAD pins, then direct-stale (ascending
+    last-green round), then transitive-only-stale (same sort), then
+    fresh greens (ascending last-green round) — tie-broken by original
     registration order. Re-derived here independently of
     derive_priority()'s own sort for a genuine cross-check."""
-    manifest, never, stale, fresh = _classify()
+    manifest, never, stale_direct, stale_trans, fresh = _classify()
     order = list(qc.QUERIES)
-    pos = {k: i for i, k in enumerate(order)}
-    n_never, n_stale = len(never), len(stale)
+    stale = set(stale_direct) | set(stale_trans)
+    pinned = [k for k in fp.FRONTLOAD if k in stale]
+    n_never, n_pin, n_stale = len(never), len(pinned), len(stale)
     assert set(order[:n_never]) == set(never), (
         f"never-green keys must lead: {order[:n_never]} vs {never}"
     )
-    assert set(order[n_never:n_never + n_stale]) == set(stale), (
+    assert order[n_never:n_never + n_pin] == pinned, (
+        "stale FRONTLOAD pins must lead the stale block in pin order"
+    )
+    assert set(order[n_never:n_never + n_stale]) == stale, (
         "stale keys must precede fresh greens"
     )
-    # within each green block, last-green rounds never decrease
-    for block in (order[n_never:n_never + n_stale],
-                  order[n_never + n_stale:]):
+    # after the pins: direct-stale precede transitive-stale
+    tail = [k for k in order[n_never + n_pin:n_never + n_stale]]
+    n_dir = len([k for k in stale_direct if k not in pinned])
+    assert set(tail[:n_dir]) == {k for k in stale_direct if k not in pinned}
+    # within each age-sorted block, last-green rounds never decrease
+    for block in (
+        tail[:n_dir],
+        tail[n_dir:],
+        order[n_never + n_stale:],
+    ):
         rounds = [manifest[k]["round"] for k in block]
         assert rounds == sorted(rounds), f"non-monotone rounds: {block}"
 

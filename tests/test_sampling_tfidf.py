@@ -151,3 +151,49 @@ def test_mix_rebalance_hits_target_ratios(spark, tables):
     # deterministic: same inputs, same membership
     again = mix_rebalance(docs, targets).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_stratified_hash_sample_half_up_thresholds(spark):
+    """fraction × buckets landing exactly on .5 rounds HALF-UP, not
+    Python's half-to-even: 0.45 × 10 = 4.5 must keep buckets 0–4
+    (45 %), not 0–3 (40 %). Verified end-to-end with buckets=10 and a
+    key set engineered to cover every bucket."""
+    from mapreduce_join_comparison_spark.operators.sampling import (
+        hash_bucket,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), "en") for i in range(400)], "doc_id string, lang string"
+    )
+    out = stratified_hash_sample(
+        df, "lang", {"en": 0.45}, key_col="doc_id", buckets=10, salt="h"
+    )
+    kept_buckets = {
+        r.b
+        for r in out.select(
+            hash_bucket("doc_id", 10, "h").alias("b")
+        ).distinct().collect()
+    }
+    assert kept_buckets == {0, 1, 2, 3, 4}, kept_buckets
+
+
+def test_rebalance_keeps_null_keys(spark):
+    """A NULL doc_id routes through the NUL sentinel (same contract as
+    hash_split/shuffle_shards) instead of silently dropping: with
+    keep_frac = 1 for its stratum, every row — including the NULL-keyed
+    one — survives both rebalancers."""
+    from mapreduce_join_comparison_spark.operators.sampling import (
+        mix_rebalance,
+        temperature_rebalance,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "en", "w w w"), (None, "en", "x x"), ("c", "en", "y")],
+        "doc_id string, lang string, text string",
+    )
+    # single stratum → keep_frac is exactly 1.0 in both rules
+    t = temperature_rebalance(df, alpha=0.5).collect()
+    m = mix_rebalance(df, {"en": 1.0}).collect()
+    assert len(t) == 3 and any(r.doc_id is None for r in t)
+    assert len(m) == 3 and any(r.doc_id is None for r in m)

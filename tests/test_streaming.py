@@ -355,3 +355,54 @@ def test_running_stats_tws_equals_batch(spark, events_batch):
     )
     want = rows_set(user_running_stats_batch(events_batch))
     assert got == want
+
+
+def test_sql_lit_renders_every_driver_type(spark):
+    """The VALUES-freeze literal renderer round-trips every type the
+    reference histogram can contain — including non-finite doubles
+    (repr() emits 'nan'/'inf', which don't resolve as SQL) and bools
+    (an int subclass that must not be retyped BIGINT)."""
+    import math
+
+    from mapreduce_join_comparison_spark.streaming.events import _sql_lit
+
+    cases = [
+        (None, "DOUBLE"), ("o'brien", "STRING"), (True, "BOOLEAN"),
+        (False, "BOOLEAN"), (42, "BIGINT"), (1.5, "DOUBLE"),
+        (float("nan"), "DOUBLE"), (float("inf"), "DOUBLE"),
+        (float("-inf"), "DOUBLE"),
+    ]
+    sql = "SELECT " + ", ".join(
+        f"{_sql_lit(v, dt)} AS c{i}" for i, (v, dt) in enumerate(cases)
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row.c0 is None
+    assert row.c1 == "o'brien"
+    assert row.c2 is True and row.c3 is False
+    assert row.c4 == 42 and spark.sql(sql).schema["c4"].dataType.simpleString() == "bigint"
+    assert row.c5 == 1.5
+    assert math.isnan(row.c6)
+    assert row.c7 == float("inf") and row.c8 == float("-inf")
+
+
+def test_stream_drift_psi_survives_nonfinite_reference(spark, events_batch):
+    """A NaN in the monitored column used to poison the reference
+    histogram's span and crash the VALUES-freeze with an unresolvable
+    CAST(nan AS DOUBLE); now the literal renders and the query runs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_join_comparison_spark.streaming.events import (
+        drift_reference_histogram,
+        stream_drift_psi,
+    )
+
+    poisoned = events_batch.withColumn(
+        "value",
+        F.when(F.col("value") > 100, F.lit(float("nan"))).otherwise(
+            F.col("value")
+        ),
+    )
+    hist = drift_reference_histogram(poisoned, n_bins=4)
+    out = stream_drift_psi(poisoned, hist, 0, n_bins=4, window="365 days")
+    # batch twin of the streaming plan: must not raise at analysis time
+    assert out.count() >= 0

@@ -39,8 +39,15 @@ def main() -> None:
     got = os.path.abspath(os.path.join(os.path.dirname(qc.__file__), ".."))
     assert got == root, f"imported {got}, wanted {root}"
 
+    full = fplib.compute_fingerprints(qc.QUERIES, qc.ORACLES)
+    try:
+        narrow = fplib.compute_fingerprints(
+            qc.QUERIES, qc.ORACLES, narrow=True
+        )
+    except TypeError:  # fplib from a tree predating narrow fingerprints
+        narrow = {}
     json.dump(
-        fplib.compute_fingerprints(qc.QUERIES, qc.ORACLES),
+        {"fp": full, "nfp": narrow},
         sys.stdout, indent=0, sort_keys=True,
     )
 

@@ -49,7 +49,17 @@ def _green_keys(path: str) -> set[str]:
     return green
 
 
-def _fingerprint_tree(commit: str) -> dict[str, str]:
+def _parse_fp_dump(out: str) -> tuple[dict[str, str], dict[str, str]]:
+    """fp_dump output -> (full, narrow). Accepts both the current
+    {"fp": {...}, "nfp": {...}} shape and the pre-narrow flat
+    {key: fp} shape (empty narrow)."""
+    data = json.loads(out)
+    if set(data) <= {"fp", "nfp"}:
+        return data.get("fp", {}), data.get("nfp", {})
+    return data, {}
+
+
+def _fingerprint_tree(commit: str) -> tuple[dict[str, str], dict[str, str]]:
     with tempfile.TemporaryDirectory(prefix="fp_wt_") as tmp:
         wt = os.path.join(tmp, "tree")
         _git("worktree", "add", "--detach", wt, commit)
@@ -59,7 +69,7 @@ def _fingerprint_tree(commit: str) -> dict[str, str]:
                  "--root", wt],
                 check=True, capture_output=True, text=True, cwd=tmp,
             ).stdout
-            return json.loads(out)
+            return _parse_fp_dump(out)
         finally:
             _git("worktree", "remove", "--force", wt)
 
@@ -89,7 +99,7 @@ def main() -> None:
             commit = adds[-1]
             print(f"round {n}: {len(keys)} keys at {commit[:9]}",
                   file=sys.stderr)
-            fps = _fingerprint_tree(commit)
+            fps, nfps = _fingerprint_tree(commit)
         else:
             # The driver dropped CORRECTNESS_rN.json after the final commit
             # and it is still untracked (ADVICE r4): the graded tree is the
@@ -101,10 +111,12 @@ def main() -> None:
                  os.path.join(REPO, "tools", "fp_dump.py"), "--root", REPO],
                 check=True, capture_output=True, text=True,
             ).stdout
-            fps = json.loads(out)
+            fps, nfps = _parse_fp_dump(out)
         for k in keys:
             if k in fps:
                 manifest[k] = {"fp": fps[k], "round": n}
+                if k in nfps:
+                    manifest[k]["nfp"] = nfps[k]
             else:
                 print(f"  ! {k} green in r{n} but absent from that tree",
                       file=sys.stderr)
