@@ -160,26 +160,59 @@ def bench_zipf_joins(
         detail["generate_stage_sec"] = round(time.monotonic() - tg, 3)
         fact = spark.read.parquet(os.path.join(stage, "fact"))
         dim = spark.read.parquet(os.path.join(stage, "dim"))
+        # round-8 directive #6: record the Fig-6.11 advisor's pick for
+        # THIS cell's actual staged inputs (same 512 MiB budget the
+        # forced-broadcast path enforces), so REPORT.md can score the
+        # advisor against the measured fastest strategy per cell
+        try:
+            from mapreduce_join_comparison_spark.operators.joins import (
+                advise_strategy,
+            )
+
+            pick, reason = advise_strategy(
+                fact, dim.selectExpr("k AS dk", "a1 AS d1"), "k", "dk"
+            )
+            detail["advisor"] = {"pick": pick, "reason": reason}
+        except Exception as e:  # noqa: BLE001 — advisory, never fails a bench
+            detail["advisor"] = {"pick": None,
+                                 "reason": f"ERROR {type(e).__name__}"}
         # AQE skew-split thresholds scaled to local partition sizes so
         # the s>=1.2 cells exercise the same split path a cluster-sized
         # hot key takes against the 256 MB default (session.py)
         strategies = ("repartition", "broadcast", "merge")
         runs_by_strategy: dict[str, list[float]] = {s: [] for s in strategies}
+        refused: dict[str, str] = {}
         with scoped_conf(spark, **LOCAL_SKEW_CONF):
             # interleaved round-robin, same rationale as bench_queries:
             # a contention spike hits one run of each strategy, not all
             # ``repeats`` runs of whichever strategy went last
             for _wave in range(repeats):
                 for strategy in strategies:
+                    if strategy in refused:
+                        continue
                     t0 = time.monotonic()
-                    materialize(
-                        equi_join(fact,
-                                  dim.selectExpr("k AS dk", "a1 AS d1"),
-                                  "k", "dk", "inner", strategy)
-                    )
+                    try:
+                        materialize(
+                            equi_join(fact,
+                                      dim.selectExpr("k AS dk", "a1 AS d1"),
+                                      "k", "dk", "inner", strategy)
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        # a broadcast whose build side crosses the
+                        # byte budget refuses EXPLICITLY (joins.py) —
+                        # the scaleup sweep records that refusal as a
+                        # designed data point (the reference GC-died
+                        # at the same wall; speedup_0.5.csv's missing
+                        # tail rows), never as a crashed bench
+                        refused[strategy] = f"{type(e).__name__}: " \
+                            + str(e)[:200]
+                        continue
                     runs_by_strategy[strategy].append(
                         round(time.monotonic() - t0, 3))
         for strategy, runs in runs_by_strategy.items():
+            if strategy in refused:
+                detail["join"][strategy] = {"refused": refused[strategy]}
+                continue
             med = round(statistics.median(runs), 3)
             out[f"{prefix}{strategy}"] = med
             detail["join"][strategy] = {
@@ -197,8 +230,7 @@ def bench_skew_curve(
     rows_list: list[int],
     scaleup_skews: list[float],
     repeats: int = 5,
-) -> tuple[dict[str, dict[str, dict[str, float]]],
-           dict[str, dict[str, float]]]:
+) -> tuple[dict, dict, dict, dict]:
     """The reference's headline experiment: join time vs Zipf skew per
     strategy (results_skew.csv — flat for repartition/broadcast,
     degrading for merge), plus larger-row spot checks at the skews
@@ -209,11 +241,13 @@ def bench_skew_curve(
     curve: dict[str, dict[str, dict[str, float]]] = {}
     gen: dict[str, dict[str, float]] = {}
     spread: dict[str, dict[str, dict]] = {}
+    advisor: dict[str, dict[str, dict]] = {}
     for n_rows in rows_list:
         picked = skews if n_rows == rows_list[0] else scaleup_skews
         per_rows: dict[str, dict[str, float]] = {}
         per_rows_gen: dict[str, float] = {}
         per_rows_spread: dict[str, dict] = {}
+        per_rows_advisor: dict[str, dict] = {}
         for s in picked:
             timing, detail = bench_zipf_joins(
                 spark, n_rows, s, prefix="", repeats=repeats
@@ -221,10 +255,12 @@ def bench_skew_curve(
             per_rows[str(s)] = timing
             per_rows_gen[str(s)] = detail["generate_stage_sec"]
             per_rows_spread[str(s)] = detail["join"]
+            per_rows_advisor[str(s)] = detail.get("advisor", {})
         curve[str(n_rows)] = per_rows
         gen[str(n_rows)] = per_rows_gen
         spread[str(n_rows)] = per_rows_spread
-    return curve, gen, spread
+        advisor[str(n_rows)] = per_rows_advisor
+    return curve, gen, spread, advisor
 
 
 HEADLINE = [
@@ -391,6 +427,15 @@ def main() -> None:
                          "REPORT.md 3x7 grid), not just the first — "
                          "~20 extra generated-join cells; not part of "
                          "the per-round driver bench")
+    ap.add_argument("--scaleup-rows", type=int, nargs="*", default=[],
+                    help="EXTRA row counts measured at skews 0.5/1.2 "
+                         "only, merged into the same curve (round-8 "
+                         "directive #3: the reference's 13-point "
+                         "scaleup sweeps, data/speedup_0.5.csv — run "
+                         "geometric points 1M..100M so REPORT.md's "
+                         "scaleup tables resolve the curve shape; the "
+                         "broadcast column records its byte-budget "
+                         "refusal at the dim size that crosses it)")
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument(
         "--repeats", type=int,
@@ -472,6 +517,7 @@ def main() -> None:
     skew_curve: dict = {}
     skew_curve_generate: dict = {}
     skew_curve_spread: dict = {}
+    skew_curve_advisor: dict = {}
     if not args.no_generated and not args.no_sweep:
         _gc_between_phases()
         # reference matrix: skews 0.1–1.2 (s=1.0 is the inverse-CDF
@@ -479,7 +525,8 @@ def main() -> None:
         # 10x rows at the skews where the reference degraded (0.5) and
         # failed (1.2)
         full_skews = [0.1, 0.3, 0.5, 0.7, 0.9, 1.01, 1.2]
-        skew_curve, skew_curve_generate, skew_curve_spread = bench_skew_curve(
+        (skew_curve, skew_curve_generate, skew_curve_spread,
+         skew_curve_advisor) = bench_skew_curve(
             spark,
             skews=full_skews,
             rows_list=args.sweep_rows,
@@ -488,6 +535,19 @@ def main() -> None:
             # driver benches keep the 2-skew scale-up spot checks
             scaleup_skews=full_skews if args.full_grid else [0.5, 1.2],
         )
+        # --scaleup-rows: extra geometric row points at the reference's
+        # scaleup skews only, merged into the same curve structures
+        extra = [r for r in args.scaleup_rows if str(r) not in skew_curve]
+        if extra:
+            _gc_between_phases()
+            c2, g2, s2, a2 = bench_skew_curve(
+                spark, skews=[0.5, 1.2], rows_list=extra,
+                scaleup_skews=[0.5, 1.2],
+            )
+            skew_curve.update(c2)
+            skew_curve_generate.update(g2)
+            skew_curve_spread.update(s2)
+            skew_curve_advisor.update(a2)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the driver tail-captures stdout and parses the LAST JSON line; in
@@ -506,6 +566,7 @@ def main() -> None:
         "skew_curve": skew_curve,
         "skew_curve_generate": skew_curve_generate,
         "skew_curve_spread": skew_curve_spread,
+        "skew_curve_advisor": skew_curve_advisor,
         "zipf_headline": zipf_detail,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))

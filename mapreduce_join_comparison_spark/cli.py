@@ -190,6 +190,63 @@ def _report_rows_from_detail(path: str) -> list[dict]:
     return records
 
 
+def _advisor_table_from_detail(path: str) -> list[str]:
+    """Markdown scorecard of the Fig-6.11 strategy advisor vs the
+    measured grid (round-8 directive #6): for every (rows, skew) cell
+    of the skew/scaleup sweep, the advisor's pick on that cell's
+    actual staged inputs vs the measured fastest strategy, with regret
+    = pick_sec / fastest_sec. Agreement + max regret summarize."""
+    import json
+
+    with open(path) as f:
+        detail = json.load(f)
+    curve = detail.get("skew_curve") or {}
+    advisor = detail.get("skew_curve_advisor") or {}
+    if not advisor or not any(v for v in advisor.values()):
+        return []
+    lines = ["", "## Strategy advisor vs measured grid", "",
+             "The thesis Fig-6.11 decision tree "
+             "(`operators/joins.advise_strategy`) run on each grid "
+             "cell's actual staged inputs (512 MiB broadcast budget), "
+             "scored against the measured fastest strategy. Regret = "
+             "advisor-pick median / fastest median.", "",
+             "| rows | skew | advisor pick | fastest (sec) | "
+             "pick (sec) | regret |", "|---|---|---|---|---|---|"]
+    n_cells = n_agree = 0
+    worst = 1.0
+    for rows in sorted(curve, key=int):
+        for skew in sorted(curve[rows], key=float):
+            timing = curve[rows][skew]
+            pick = (advisor.get(rows, {}).get(skew) or {}).get("pick")
+            if not timing or pick is None:
+                continue
+            fastest = min(timing, key=timing.get)
+            pick_sec = timing.get(pick)
+            n_cells += 1
+            n_agree += pick == fastest
+            if pick_sec is None:
+                # the pick was never measured (e.g. broadcast refused
+                # its byte budget at this size — then the advisor must
+                # NOT have picked it; surface the cell regardless)
+                lines.append(
+                    f"| {int(rows):,} | {skew} | {pick} | "
+                    f"{fastest} ({timing[fastest]:.2f}) | not run | — |")
+                continue
+            regret = pick_sec / timing[fastest] if timing[fastest] else 1.0
+            worst = max(worst, regret)
+            lines.append(
+                f"| {int(rows):,} | {skew} | {pick} | "
+                f"{fastest} ({timing[fastest]:.2f}) | {pick_sec:.2f} | "
+                f"{regret:.2f}× |")
+    if not n_cells:
+        return []
+    lines += ["",
+              f"Agreement: {n_agree}/{n_cells} cells "
+              f"({100 * n_agree / n_cells:.0f} %); worst regret "
+              f"{worst:.2f}×."]
+    return lines
+
+
 def _query_table_from_detail(path: str) -> list[str]:
     """Markdown cold/warm per-query table from BENCH_DETAIL.json —
     the per-query analog of the skew/scaleup pivots (warm column
@@ -411,7 +468,8 @@ def render_report(
     query_table: list[str] = []
     if detail:
         records += _report_rows_from_detail(detail)
-        query_table = _query_table_from_detail(detail)
+        query_table = _advisor_table_from_detail(detail) \
+            + _query_table_from_detail(detail)
     if not records and not query_table:
         raise SystemExit("no simulate records found (see --detail / CSV args)")
 

@@ -265,6 +265,7 @@ def incremental_minhash_dedup(
     k: int = 3,
     seed: int = 42,
     verify_threshold: float | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup check of an arriving batch against a PRECOMPUTED corpus
     signature index — the production shape of MinHash dedup at scale:
@@ -290,8 +291,42 @@ def incremental_minhash_dedup(
     old_banded = _banded_buckets(idx, num_hashes, bands).select(
         F.col("id").alias("corpus_id"), "band", "bucket"
     )
+    # Hot-bucket grid split (round-8, adversarial-corpus guard): the
+    # bipartite analogue of minhash_lsh_pairs' triangle — a
+    # near-duplicate cluster straddling batch and corpus collapses one
+    # (band, bucket) join key to |new|×|corpus| pairs in ONE task.
+    # Each side splits its hot buckets into hash groups independently
+    # (gₙ, g_c from per-side count windows); a new row in group rₙ
+    # replicates across corpus groups 0..g_c-1, a corpus row across
+    # new groups 0..gₙ-1, and the join key widens to (band, bucket,
+    # _rn, _rc) — every cross pair lands in exactly one (rₙ, r_c)
+    # grid cell of ≤ cap² pairs. Cold buckets are g = 1 on both sides:
+    # the plain equi-join, one code path. Each side learns the OTHER
+    # side's group count from a one-row-per-bucket frame (bounded by
+    # the bucket count, joined on the same (band, bucket) layout —
+    # no broadcast, no size assumption).
+    w_bucket = Window.partitionBy("band", "bucket")
+    gcount = F.ceil(
+        F.count(F.lit(1)).over(w_bucket) / (bucket_cap or _SID_SALT_CAP)
+    )
+    new_g = new_banded.select(
+        "new_id", "band", "bucket", gcount.cast("int").alias("_gn")
+    ).withColumn("_rn", F.pmod(F.hash("new_id"), F.col("_gn")))
+    old_g = old_banded.select(
+        "corpus_id", "band", "bucket", gcount.cast("int").alias("_gc")
+    ).withColumn("_rc", F.pmod(F.hash("corpus_id"), F.col("_gc")))
+    new_gdims = new_g.select("band", "bucket", "_gn").distinct()
+    old_gdims = old_g.select("band", "bucket", "_gc").distinct()
+    new_cells = new_g.join(old_gdims, ["band", "bucket"]).select(
+        "new_id", "band", "bucket", "_rn",
+        F.explode(F.sequence(F.lit(0), F.col("_gc") - 1)).alias("_rc"),
+    )
+    old_cells = old_g.join(new_gdims, ["band", "bucket"]).select(
+        "corpus_id", "band", "bucket", "_rc",
+        F.explode(F.sequence(F.lit(0), F.col("_gn") - 1)).alias("_rn"),
+    )
     cand = (
-        new_banded.join(old_banded, ["band", "bucket"])
+        new_cells.join(old_cells, ["band", "bucket", "_rn", "_rc"])
         .select("new_id", "corpus_id")
         .distinct()
     )
@@ -324,6 +359,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     seed: int = 42,
     verify_threshold: float | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: split each signature into ``bands``
     bands of r = num_hashes/bands rows; docs colliding on any whole
@@ -345,13 +381,47 @@ def minhash_lsh_pairs(
     # bucket size; shuffling a 16×bigint payload through that blow-up
     # (and sort-aggregating it in distinct) was ~50× slower. Signatures
     # re-join AFTER the pair set is deduped to its final (small) size.
+    #
+    # Hot-bucket salt-split (round-8, adversarial-corpus guard): a
+    # pathological near-duplicate cluster puts its whole membership in
+    # ONE (band, bucket) per band, and AQE can split the shuffle but
+    # not a single join key's cross product — one task would own the
+    # cluster's n²/2 candidates per band. Same triangle replication as
+    # the SimHash path (_simhash_candidate_pairs): buckets above
+    # _SID_SALT_CAP members split into g = ⌈n/cap⌉ hash groups; a row
+    # joins as LEFT of cells (r, r..g-1) and RIGHT of cells (0..r, r),
+    # so each unordered pair lands in exactly one cell. A cold bucket
+    # is g = 1 — the plain equi-join, one code path.
+    cap = bucket_cap or _SID_SALT_CAP
     banded = _banded_buckets(sigs, num_hashes, bands)
-    left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    w_bucket = Window.partitionBy("band", "bucket")
+    grouped = banded.select(
+        "id", "band", "bucket",
+        F.ceil(F.count(F.lit(1)).over(w_bucket) / cap)
+        .cast("int").alias("_g"),
+    ).withColumn("_r", F.pmod(F.hash("id"), F.col("_g")))
+    left = grouped.select(
+        F.col("id").alias("id_a"), "band", "bucket",
+        F.col("_r").alias("_gi"),
+        F.explode(F.sequence(F.col("_r"), F.col("_g") - 1)).alias("_gj"),
+    )
+    right = grouped.select(
+        F.col("id").alias("id_b"), "band", "bucket",
+        F.col("_r").alias("_gj"),
+        F.explode(F.sequence(F.lit(0), F.col("_r"))).alias("_gi"),
+    )
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        left.join(right, ["band", "bucket", "_gi", "_gj"])
+        # diagonal cells pair a group with itself: orient there; off-
+        # diagonal cells already see each unordered pair exactly once
+        .filter(
+            (F.col("_gi") != F.col("_gj"))
+            | (F.col("id_a") < F.col("id_b"))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
     with_sigs = (
@@ -917,6 +987,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.3,
+    sid_cap: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard ≥ t pairs via PREFIX FILTERING (AllPairs /
     PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): the
@@ -967,7 +1038,7 @@ def prefix_filter_jaccard_pairs(
     """
     t_milli = int(round(threshold * 1000))
     sh_ids, prefix, _ = _prefix_index_frames(df, text_col, id_col, k, t_milli)
-    cand = _prefix_candidates(prefix, t_milli)
+    cand = _prefix_candidates(prefix, t_milli, sid_cap or _SID_SALT_CAP)
     return _prefix_verify(cand, sh_ids, threshold)
 
 
@@ -1104,30 +1175,92 @@ def _vocab_hash_seed(sdict0: DataFrame,
     )
 
 
-def _prefix_candidates(prefix: DataFrame, t_milli: int) -> DataFrame:
+# Per-cell posting cap for the hot-shingle salt-split below: a
+# diagonal cell generates ≤ cap²/2 ≈ 500k pair-structs, an
+# off-diagonal cell ≤ cap² = 1M — a bounded unit of work for one task
+_SID_SALT_CAP = 1000
+
+
+def _prefix_candidates(
+    prefix: DataFrame, t_milli: int, sid_cap: int = _SID_SALT_CAP
+) -> DataFrame:
     """Stage 2: per-shingle posting-list pair expansion + length and
     PPJoin positional filters, all in exact milli ints. When
-    ``prefix`` is a table bucketed by ``sid``, the groupBy rides the
-    bucketing with zero exchange."""
-    docs_arr = F.array_sort(F.collect_list(F.struct("id", "n_sh", "pos")))
-    pair_expr = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("docs"), i + 2,
-                        F.greatest(F.size(F.col("docs")) - i - 1, F.lit(0)),
-                    ),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"), x["n_sh"].alias("n_a"),
-                        x["pos"].alias("pos_a"),
-                        y["id"].alias("id_b"), y["n_sh"].alias("n_b"),
-                        y["pos"].alias("pos_b"),
-                    ),
-                ),
-            )
+    ``prefix`` is a table bucketed by ``sid``, the posting-count
+    window rides the bucketing with zero exchange.
+
+    **Hot-shingle salt-split (round-8, adversarial-corpus guard):**
+    the per-sid pair expansion is a groupBy — AQE can split a skewed
+    SHUFFLE partition but never a single grouping key, so a
+    pathological near-duplicate cluster (10 k copies of one document
+    ⇒ every prefix shingle's posting list is the whole cluster) used
+    to hand ONE task a ~50 M-struct explode per hot sid. Same cure as
+    the SimHash pigeonhole path (:func:`_simhash_candidate_pairs`):
+    posting lists above ``sid_cap`` split into g = ⌈n/cap⌉ hash groups
+    and each unordered pair lands in exactly one (gᵢ, gⱼ) triangle
+    cell — a member row is the LEFT of cells (r, r..g-1) and the RIGHT
+    of cells (0..r-1, r), diagonal cells pair within their own left
+    list, off-diagonal cells cross left×right with id-canonical
+    orientation. A cold sid is just g = 1: one (0,0) cell, empty right
+    emission, byte-identical volume to the unguarded form — ONE code
+    path, no hot/cold union, no broadcast of a bucket list, and the
+    pair set is EXACTLY the unguarded one (exhaustive enumeration, not
+    sampling; pinned against brute force on a crafted hot cluster in
+    tests/test_text_dedup.py). Cost on cold corpora: the groupBy key
+    widens to (sid, gᵢ, gⱼ) after a posting-count window on sid —
+    one extra exchange of the prefix postings."""
+    w_sid = Window.partitionBy("sid")
+    grouped = prefix.select(
+        "sid",
+        F.struct("id", "n_sh", "pos").alias("m"),
+        F.ceil(F.count(F.lit(1)).over(w_sid) / sid_cap)
+        .cast("int").alias("_g"),
+    ).withColumn("_r", F.pmod(F.hash(F.col("m.id")), F.col("_g")))
+    left = grouped.select(
+        "sid", "m", F.col("_r").alias("_gi"),
+        F.explode(F.sequence(F.col("_r"), F.col("_g") - 1)).alias("_gj"),
+        F.lit(True).alias("_l"),
+    )
+    right = grouped.filter(F.col("_r") > 0).select(
+        "sid", "m",
+        F.explode(F.sequence(F.lit(0), F.col("_r") - 1)).alias("_gi"),
+        F.col("_r").alias("_gj"),
+        F.lit(False).alias("_l"),
+    )
+    cells = (
+        left.unionByName(right)
+        .groupBy("sid", "_gi", "_gj")
+        .agg(
+            # collect_list drops the NULLs the WHENs produce, so each
+            # cell carries its two member lists; sorted by id (struct
+            # lexicographic order) so diagonal pairs come out ordered
+            F.sort_array(
+                F.collect_list(F.when(F.col("_l"), F.col("m")))
+            ).alias("ls"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("_l"), F.col("m")))
+            ).alias("rs"),
         )
+    )
+    # diagonal: ordered pairs within the sorted left list (id_a < id_b
+    # by construction); off-diagonal: left × right, orientation by id
+    diag_expr = F.expr(
+        "flatten(transform(ls, (a, i) -> "
+        "transform(slice(ls, i + 2, greatest(size(ls) - i - 1, 0)), "
+        "b -> struct(a.id AS id_a, a.n_sh AS n_a, a.pos AS pos_a, "
+        "b.id AS id_b, b.n_sh AS n_b, b.pos AS pos_b))))"
+    )
+    cross_expr = F.expr(
+        "flatten(transform(ls, a -> transform(rs, b -> "
+        "IF(a.id < b.id, "
+        "struct(a.id AS id_a, a.n_sh AS n_a, a.pos AS pos_a, "
+        "b.id AS id_b, b.n_sh AS n_b, b.pos AS pos_b), "
+        "struct(b.id AS id_a, b.n_sh AS n_a, b.pos AS pos_a, "
+        "a.id AS id_b, a.n_sh AS n_b, a.pos AS pos_b)))))"
+    )
+    pair_expr = F.explode(
+        F.when(F.col("_gi") == F.col("_gj"), diag_expr)
+        .otherwise(cross_expr)
     )
     # POSITIONAL filter (PPJoin): the smallest prefix-matched token is
     # the smallest COMMON token outright (a smaller common token would
@@ -1138,9 +1271,11 @@ def _prefix_candidates(prefix: DataFrame, t_milli: int) -> DataFrame:
     # distinct with a same-key groupBy: no extra shuffle, and most
     # false candidates never reach the verify join.
     cand = (
-        prefix.groupBy("sid")
-        .agg(docs_arr.alias("docs"))
-        .filter(F.size("docs") > 1)
+        cells
+        .filter(
+            F.when(F.col("_gi") == F.col("_gj"), F.size("ls") > 1)
+            .otherwise((F.size("ls") > 0) & (F.size("rs") > 0))
+        )
         .select(pair_expr.alias("p"))
         .filter(
             (F.col("p.n_b") * 1000 >= F.col("p.n_a") * t_milli)

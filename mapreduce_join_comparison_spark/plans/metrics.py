@@ -133,6 +133,17 @@ def peak_intermediate_rows(stats: RunStats) -> int | None:
     return best
 
 
+def _stage_list(store):
+    """``AppStatusStore.stageList`` has four Scala default arguments;
+    py4j can't elide them, so fetch each ``stageList$default$N`` thunk
+    explicitly. (The old one-arg call raised Py4JError on every Spark 4
+    build and silently degraded the skew telemetry to zeros.)"""
+    defaults = [
+        store.__getattr__(f"stageList$default${i}")() for i in (2, 3, 4, 5)
+    ]
+    return store.stageList(None, *defaults)
+
+
 def task_time_summary(spark) -> dict[str, float]:
     """mean / median / max of per-stage average task runtime (ms) —
     ``JoinSimulation.java:34-70`` over Spark's app-status store
@@ -142,7 +153,7 @@ def task_time_summary(spark) -> dict[str, float]:
     per_stage: list[float] = []
     try:
         store = spark.sparkContext._jsc.sc().statusStore()
-        stages = store.stageList(None)
+        stages = _stage_list(store)
         for i in range(stages.size()):
             sd = stages.apply(i)
             n = sd.numCompleteTasks()
@@ -161,3 +172,65 @@ def task_time_summary(spark) -> dict[str, float]:
         "median_task_ms": round(statistics.median(per_stage), 2),
         "max_task_ms": round(max(per_stage), 2),
     }
+
+
+def max_stage_id(spark) -> int:
+    """Highest stage id seen so far — a checkpoint for
+    :func:`peak_task_metrics`' ``since`` parameter."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        stages = _stage_list(store)
+        best = -1
+        for i in range(stages.size()):
+            best = max(best, stages.apply(i).stageId())
+        return best
+    except Exception:
+        return -1
+
+
+def peak_task_metrics(spark, since: int = -1) -> dict:
+    """PER-TASK maxima over every completed stage with id > ``since``
+    — the hot-group skew signal (round-7 directive #4): a salt-split
+    that works shows max_task_input_bytes and max_task_ms bounded
+    near the per-task averages even on an adversarial corpus, while a
+    lost guard shows one task owning a whole cluster's cross product.
+    Reads the app-status store's task-level rows (the same data the
+    UI's task table shows). Advisory telemetry: any read failure
+    returns the explicit all-minus-one record."""
+    out = {
+        "max_task_ms": -1,
+        "max_task_input_bytes": -1,
+        "max_task_shuffle_read_bytes": -1,
+        "max_task_shuffle_write_bytes": -1,
+        "n_tasks": 0,
+    }
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        stages = _stage_list(store)
+        for i in range(stages.size()):
+            sd = stages.apply(i)
+            if sd.stageId() <= since or not sd.numCompleteTasks():
+                continue
+            tasks = store.taskList(sd.stageId(), sd.attemptId(),
+                                   2_147_483_647)
+            for j in range(tasks.size()):
+                tm = tasks.apply(j).taskMetrics()
+                if not tm.isDefined():
+                    continue
+                m = tm.get()
+                sr = m.shuffleReadMetrics()
+                out["n_tasks"] += 1
+                out["max_task_ms"] = max(
+                    out["max_task_ms"], int(m.executorRunTime()))
+                out["max_task_input_bytes"] = max(
+                    out["max_task_input_bytes"],
+                    int(m.inputMetrics().bytesRead()))
+                out["max_task_shuffle_read_bytes"] = max(
+                    out["max_task_shuffle_read_bytes"],
+                    int(sr.localBytesRead()) + int(sr.remoteBytesRead()))
+                out["max_task_shuffle_write_bytes"] = max(
+                    out["max_task_shuffle_write_bytes"],
+                    int(m.shuffleWriteMetrics().bytesWritten()))
+    except Exception:
+        pass
+    return out

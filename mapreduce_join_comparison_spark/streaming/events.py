@@ -235,7 +235,8 @@ _STATE_SCHEMA = T.StructType([
 
 
 def sessionize_stateful(
-    events: DataFrame, gap_minutes: int = 30
+    events: DataFrame, gap_minutes: int = 30,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming sessionization via ``applyInPandasWithState``: per-user
     state = every session whose (end + gap) the event-time watermark
@@ -351,7 +352,12 @@ def sessionize_stateful(
             )
 
     return (
-        events.withWatermark("ts", f"{gap_minutes} minutes")
+        # late-TOLERANCE is independent of the session gap: a longer
+        # watermark delay only holds sessions in state longer (each is
+        # still emitted exactly when the watermark passes end + gap),
+        # so a replay with bounded disorder can set tolerance ≥ the
+        # disorder and reproduce the batch result exactly
+        events.withWatermark("ts", watermark or f"{gap_minutes} minutes")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

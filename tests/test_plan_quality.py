@@ -130,7 +130,10 @@ EXPECTATIONS = {
     "join_triangle_chain": (3, "BroadcastHashJoin"),
     "agg_grouping_sets": (1, "Expand"),
     "sql_subqueries": (3, None),
-    "dedup_minhash_lsh": (9, None),
+    # round-8 hot-bucket triangle split: +1 bucket-count window and
+    # the salted join key; the grouped subtree repeats statically
+    # under both emissions (runtime exchange reuse collapses it)
+    "dedup_minhash_lsh": (11, None),
     "text_tfidf_topterms": (8, None),
     "filter_predicates": (0, None),
     "scalar_functions": (0, None),
@@ -212,8 +215,12 @@ EXPECTATIONS = {
     "pipeline_sequence_packing": (2, None),
     # batch signatures (1 agg shuffle) + bucket join vs the index +
     # distinct + two sig re-joins; the index side repeats the
-    # signature agg statically (runtime exchange reuse collapses it)
-    "dedup_incremental_minhash": (9, None),
+    # signature agg statically (runtime exchange reuse collapses it).
+    # Round-8 hot-bucket grid split: per-side count windows + the
+    # one-row-per-bucket gdims joins replicate those subtrees again
+    # statically — runtime reuse keeps the real exchange count near
+    # the old shape (PLANS.md "exch (run)" column is the honest one)
+    "dedup_incremental_minhash": (19, None),
     # last-in-bin window + per-bin agg share one (series,bin) exchange;
     # + the tiny bounds/distinct-series grid aggs and the grid join
     "events_resample_locf": (4, None),
@@ -315,7 +322,11 @@ EXPECTATIONS = {
     # the vocabulary-rank SINGLE-PARTITION window is GONE (struct
     # canonical ids) — 17 → 14 exchanges and, more importantly, no
     # serialized vocab sort; the fragment pin asserts it stays gone.
-    "dedup_prefix_filter": (14, None),
+    # Round 8: +the hot-sid salt-split (posting-count window on sid
+    # + the cell groupBy's wider key; the emission union repeats the
+    # window subtree statically) — 14 -> 19 static, runtime reuse
+    # collapses the duplicates
+    "dedup_prefix_filter": (19, None),
     # one shard_id exchange feeds the per-shard rank window — no
     # global-order single-partition window
     "corpus_shuffle_shards": (1, "Window"),
@@ -450,7 +461,9 @@ EXPECTATIONS = {
     # joins' index sides ride the bucketed tables — the ONE exchange
     # is the candidate-pair aggregate (the build job runs at query-
     # construction time and is pinned in test_round6_ops)
-    "dedup_prefix_filter_indexed": (1, None),
+    # (round 8: + the hot-sid cell groupBy — the posting-count window
+    # itself rides the sid bucketing with zero exchange)
+    "dedup_prefix_filter_indexed": (2, None),
     # two bounded top-k runs (lexical shingle broadcast-join + dense
     # query-batch scan) fused on ≤ k rows per query; the shingle
     # subtree repeats statically under both corpus/query branches
@@ -655,3 +668,59 @@ def test_tfidf_docfreq_join_not_force_broadcast(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
     # the single-row corpus count legitimately keeps its broadcast
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# Candidate-volume ceilings for the blocking dedup/similarity family
+# (round-7 verdict directive #5). PLANS.md pins the measured
+# `candidates (peak→out)` column as a committed snapshot; this test
+# promotes it to an ENFORCED bound so a lost blocking predicate (LSH
+# band join degenerating to all-pairs, prefix filter dropped, IVF
+# probing every cell) fails CI instead of waiting for a human to read
+# PLANS.md. Ceilings are measured peak numOutputRows at sf0.01
+# (500-doc deterministic corpus, naive pair space = 124,750) plus
+# ~35 % headroom — far below the ≥2× jump any blocking loss causes.
+# NOTE: for some keys the peak is a LINEAR corpus-side node (the
+# shingle/dimension explode), not the candidate join — the bound still
+# catches every superlinear blow-up (plans/metrics.
+# peak_intermediate_rows documents the caveat).
+# --------------------------------------------------------------------------
+
+PEAK_ROW_CEILINGS = {
+    # key: (ceiling, min expected output rows at sf0.01)
+    "dedup_minhash_lsh": (3_000, 1),
+    "dedup_incremental_minhash": (28_000, 1),
+    "dedup_simhash": (16_000, 1),
+    "dedup_prefix_filter": (35_000, 1),
+    "dedup_prefix_filter_indexed": (20_000, 1),
+    "dedup_prefix_filter_delta": (23_000, 1),
+    "dedup_embedding_cosine": (88_000, 1),
+    "dedup_semdedup_cells": (800, 1),
+    "dedup_ngram_jaccard": (35_000, 1),
+    "similarity_ivf_ann": (3_500, 100),
+    "similarity_lsh_ann": (7_500, 100),
+    "similarity_ivfpq_ann": (3_500, 100),
+}
+
+SF_BLOCKING = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(PEAK_ROW_CEILINGS))
+def test_blocking_family_candidate_ceiling(spark, name):
+    from mapreduce_join_comparison_spark.plans.metrics import (
+        harvest_operator_rows,
+        peak_intermediate_rows,
+    )
+
+    ceiling, min_out = PEAK_ROW_CEILINGS[name]
+    df = qc.QUERIES[name](spark, SF_BLOCKING)
+    out_rows = len(df.collect())
+    op_rows, _ = harvest_operator_rows(df)
+    peak = peak_intermediate_rows(op_rows)
+    assert out_rows >= min_out, (name, out_rows)
+    assert peak is not None and peak <= ceiling, (
+        f"{name}: peak intermediate rows {peak:,} exceeds the pinned "
+        f"ceiling {ceiling:,} — a blocking predicate probably got lost "
+        f"(naive pair space at this corpus is 124,750 and scales "
+        f"quadratically; see PLANS.md candidates column)"
+    )

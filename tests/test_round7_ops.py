@@ -257,17 +257,32 @@ def test_simhash_query_no_distinct_exchange(spark):
 
 def test_prefix_family_has_no_window(spark):
     # round-7 scale fix: the dense-rank shingle dictionary serialized
-    # the whole (corpus-growing) vocabulary through a single-partition
+    # the whole (corpus-growing) vocabulary through a SINGLE-PARTITION
     # window — the struct (docfreq, shingle) canonical id needs no
-    # window at all; pin that none of the three AllPairs plans ever
-    # reintroduces one (WindowExec over the vocab = one task at 100TB)
+    # global window at all; pin that none of the three AllPairs plans
+    # ever reintroduces one (an unpartitioned WindowExec = one task at
+    # 100 TB). Round 8 added a PARTITIONED window (posting counts over
+    # sid, for the hot-shingle salt-split) — that one is distributed
+    # and allowed; the assertion therefore forbids only windows with
+    # an empty partition spec.
+    import re
+
     from mapreduce_join_comparison_spark import queries_catalog as qc
     from mapreduce_join_comparison_spark.plans.explain import simple_plan
 
     for key in ("dedup_prefix_filter", "dedup_prefix_filter_indexed",
                 "dedup_prefix_filter_delta"):
         plan = simple_plan(qc.QUERIES[key](spark, "/root/testdata/sf0.001"))
-        assert "Window" not in plan, key
+        for line in plan.splitlines():
+            m = re.search(r"\bWindow\b", line)
+            if not m:
+                continue
+            # WindowExec explain: "Window [funcs], [partitionExprs],
+            # [orderExprs]" — a global window has no partition group
+            groups = re.findall(r"\[[^\]]*\]", line)
+            assert len(groups) >= 2 and groups[1].strip("[] "), (
+                key, line,
+            )
 
 
 def _bpe_rows(df):

@@ -314,3 +314,125 @@ def test_prefix_filter_handles_identical_and_disjoint(spark):
     # 6 tokens -> 4 shingles; docs 1 and 4 share 3 of 5 distinct: J=0.6
     assert abs(got[(1, 4)] - 0.6) < 1e-12
     assert got[(1, 4)] == got[(2, 4)]
+
+
+def _jaccard_brute(texts: dict, k: int, t: float) -> set:
+    """Exact Jaccard >= t pairs by brute force over k-word shingles."""
+    def sh(text):
+        w = text.strip().lower().split()
+        if len(w) < k:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    shs = {i: sh(t_) for i, t_ in texts.items()}
+    ids = sorted(texts)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            if union and inter / union >= t:
+                out.add((a, b))
+    return out
+
+
+def _hot_cluster_corpus(rng_mod: int = 7):
+    """60 near-copies of one base doc (every pair J >> 0.3) plus 40
+    unrelated docs — the pathological cluster that collapses every
+    prefix shingle's posting list / LSH bucket to the whole cluster."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu").split()
+    texts = {}
+    for i in range(60):
+        words = list(base)
+        words[i % len(words)] = f"mut{i}"  # ~1-word mutation
+        texts[i] = " ".join(words)
+    for i in range(40):
+        texts[100 + i] = " ".join(
+            f"w{(i * 13 + j * (rng_mod + i % 5)) % 997}" for j in range(26)
+        )
+    return texts
+
+
+def test_prefix_filter_hot_sid_guard_exact(spark):
+    """The hot-shingle salt-split must be exact enumeration: with a
+    tiny cap (many triangle cells) the pair set equals brute force AND
+    the effectively-unguarded form (huge cap)."""
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = _hot_cluster_corpus()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    expected = _jaccard_brute(texts, k=3, t=0.3)
+    assert len(expected) > 1500  # the 60-clique alone is 1770 pairs
+
+    def pairs(cap):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_jaccard_pairs(
+                df, k=3, threshold=0.3, sid_cap=cap
+            ).collect()
+        }
+
+    assert pairs(7) == expected      # g = ceil(60/7) = 9 groups, 45 cells
+    assert pairs(10**9) == expected  # unguarded baseline
+
+
+def test_minhash_lsh_hot_bucket_guard_exact(spark):
+    """Triangle-split LSH candidates must equal the unguarded form's
+    pair set exactly (same bands, same signatures — the split only
+    redistributes the bucket self-join)."""
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    texts = _hot_cluster_corpus()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    def pairs(cap):
+        return {
+            (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+            for r in minhash_lsh_pairs(df, bucket_cap=cap).collect()
+        }
+
+    guarded, unguarded = pairs(7), pairs(10**9)
+    assert guarded == unguarded
+    assert len(guarded) >= 1000  # most clique pairs collide on a band
+
+
+def test_incremental_minhash_hot_bucket_guard_exact(spark):
+    """Bipartite grid split: batch-vs-corpus candidates with a hot
+    cluster straddling both sides must match the unguarded join."""
+    from mapreduce_join_comparison_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    texts = _hot_cluster_corpus()
+    new = spark.createDataFrame(
+        [(i, t) for i, t in texts.items() if i % 4 == 0],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in texts.items() if i % 4 != 0],
+        "doc_id long, text string",
+    )
+    idx = minhash_signatures(corpus).withColumnRenamed("id", "doc_id")
+
+    def pairs(cap):
+        return {
+            (r["new_id"], r["corpus_id"], round(r["est_jaccard"], 9))
+            for r in incremental_minhash_dedup(
+                new, idx, bucket_cap=cap
+            ).collect()
+        }
+
+    guarded, unguarded = pairs(5), pairs(10**9)
+    assert guarded == unguarded
+    assert len(guarded) > 300

@@ -148,6 +148,58 @@ def gen_documents_realistic(
     })
 
 
+def gen_documents_adversarial(
+    n_docs: int,
+    rng: np.random.Generator,
+    cluster_size: int = 10_000,
+    vocab_size: int = 50_000,
+    zipf_s: float = 1.07,
+) -> pa.Table:
+    """Round-8 directive #4: the realistic-vocabulary corpus with ONE
+    pathological near-duplicate cluster — ``cluster_size`` independent
+    ~2 %-mutated copies of a single 120-word base document, scattered
+    uniformly through the doc-id space. Every pair within the cluster
+    has Jaccard ≫ 0.3, so the TRUE output is quadratic in the cluster
+    (~cluster²/2 pairs) and every prefix shingle / LSH band bucket of
+    a cluster member contains (almost) the whole cluster: the worst
+    case the hot-group salt-splits exist for. The rest of the corpus
+    is the standard realistic-vocab stream (no injected duplicates, so
+    measured work isolates the cluster)."""
+    base_tbl = gen_documents_realistic(n_docs, rng, vocab_size, zipf_s)
+    texts = base_tbl.column("text").to_pylist()
+    # remove the generator's own duplicate structure: re-randomize the
+    # every-100th/250th copies so the cluster is the only hot spot
+    syls = np.array([c + v for c in "bcdfghjklmnpqrstvwz"
+                     for v in "aeiou"])
+    n_s = len(syls)
+    idx = np.arange(vocab_size)
+    vocab = np.char.add(
+        np.char.add(syls[idx // (n_s * n_s) % n_s], syls[(idx // n_s) % n_s]),
+        syls[idx % n_s],
+    )
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    p = ranks ** -zipf_s
+    p /= p.sum()
+    for i in range(0, n_docs, 50):
+        if i and (i % 100 == 0 or i % 250 == 0):
+            texts[i] = " ".join(vocab[rng.choice(vocab_size, size=80, p=p)])
+    base_words = list(vocab[rng.choice(vocab_size, size=120, p=p)])
+    cluster_slots = rng.choice(n_docs, size=cluster_size, replace=False)
+    for slot in cluster_slots:
+        words = list(base_words)
+        # ~2% independent mutation: 2-3 words resampled
+        for j in rng.integers(0, len(words), size=int(rng.integers(2, 4))):
+            words[int(j)] = str(vocab[int(rng.choice(vocab_size, p=p))])
+        texts[int(slot)] = " ".join(words)
+    return pa.table({
+        "doc_id": base_tbl.column("doc_id"),
+        "text": pa.array(texts, pa.string()),
+        "lang": base_tbl.column("lang"),
+        "source": base_tbl.column("source"),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
 def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
     dim, n_labels = 64, 10
     cents = rng.standard_normal((n_labels, dim))
@@ -218,10 +270,16 @@ def tile_relational(outdir: str, copies: int = 10) -> None:
 
 
 def generate(outdir: str, n_docs: int = 50_000, n_vecs: int = 20_000,
-             full: bool = False, realistic_vocab: bool = False) -> str:
+             full: bool = False, realistic_vocab: bool = False,
+             adversarial_cluster: int = 0) -> str:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
-    docgen = gen_documents_realistic if realistic_vocab else gen_documents
+    if adversarial_cluster:
+        def docgen(n, r):
+            return gen_documents_adversarial(
+                n, r, cluster_size=adversarial_cluster)
+    else:
+        docgen = gen_documents_realistic if realistic_vocab else gen_documents
     pq.write_table(docgen(n_docs, rng),
                    os.path.join(outdir, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs, rng),
@@ -242,9 +300,12 @@ def main() -> None:
                     help="Zipf token frequencies over a 50k-word "
                          "vocabulary (dedup-soak corpus) instead of "
                          "the 31-word sf0.1 lookalike")
+    ap.add_argument("--adversarial-cluster", type=int, default=0,
+                    help="realistic-vocab corpus with ONE N-member "
+                         "near-duplicate cluster (hot-group soak)")
     args = ap.parse_args()
     out = generate(args.outdir, args.docs, args.vecs, args.full,
-                   args.realistic_vocab)
+                   args.realistic_vocab, args.adversarial_cluster)
     print(f"wrote {out}: documents={args.docs} embeddings={args.vecs}"
           + (" + relational tables at 10x sf0.1" if args.full else "")
           + (" [realistic vocab]" if args.realistic_vocab else ""))
