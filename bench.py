@@ -540,9 +540,13 @@ def main() -> None:
         extra = [r for r in args.scaleup_rows if str(r) not in skew_curve]
         if extra:
             _gc_between_phases()
+            # median of 3 for the extra scaleup points: the large-row
+            # cells cost minutes each and the curve SHAPE (flat
+            # repartition, broadcast until its budget cliff, merge
+            # degradation) is the signal, not 2% precision
             c2, g2, s2, a2 = bench_skew_curve(
                 spark, skews=[0.5, 1.2], rows_list=extra,
-                scaleup_skews=[0.5, 1.2],
+                scaleup_skews=[0.5, 1.2], repeats=3,
             )
             skew_curve.update(c2)
             skew_curve_generate.update(g2)

@@ -281,7 +281,7 @@ def incremental_minhash_dedup(
         raise ValueError("num_hashes must be divisible by bands")
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, k, seed
-    ).persist()
+    )
     idx = corpus_index.select(
         F.col(id_col).alias("id"), F.col("signature")
     )
@@ -300,36 +300,60 @@ def incremental_minhash_dedup(
     # replicates across corpus groups 0..g_c-1, a corpus row across
     # new groups 0..gₙ-1, and the join key widens to (band, bucket,
     # _rn, _rc) — every cross pair lands in exactly one (rₙ, r_c)
-    # grid cell of ≤ cap² pairs. Cold buckets are g = 1 on both sides:
-    # the plain equi-join, one code path. Each side learns the OTHER
-    # side's group count from a one-row-per-bucket frame (bounded by
-    # the bucket count, joined on the same (band, bucket) layout —
-    # no broadcast, no size assumption).
-    w_bucket = Window.partitionBy("band", "bucket")
-    gcount = F.ceil(
-        F.count(F.lit(1)).over(w_bucket) / (bucket_cap or _SID_SALT_CAP)
+    # grid cell of ≤ cap² pairs. Each side learns the OTHER side's
+    # group count from a one-row-per-bucket frame (bounded by the
+    # bucket count, joined on the same (band, bucket) layout — no
+    # broadcast, no size assumption).
+    #
+    # Data-adaptive gate (same rationale as minhash_lsh_pairs): one
+    # bounded-output probe over BOTH sides' bucket memberships — if no
+    # COMBINED bucket exceeds the cap, each side is ≤ cap so the plain
+    # join's per-key cross product is ≤ cap²/4; skip the grid. (A
+    # dedup service keeps these stats with its signature index; here
+    # the probe is one combine-heavy aggregate per probe call.)
+    cap = bucket_cap or _SID_SALT_CAP
+    any_hot = not (
+        new_banded.select("band", "bucket")
+        .unionByName(old_banded.select("band", "bucket"))
+        .groupBy("band", "bucket").count()
+        .filter(F.col("count") > cap).isEmpty()
     )
-    new_g = new_banded.select(
-        "new_id", "band", "bucket", gcount.cast("int").alias("_gn")
-    ).withColumn("_rn", F.pmod(F.hash("new_id"), F.col("_gn")))
-    old_g = old_banded.select(
-        "corpus_id", "band", "bucket", gcount.cast("int").alias("_gc")
-    ).withColumn("_rc", F.pmod(F.hash("corpus_id"), F.col("_gc")))
-    new_gdims = new_g.select("band", "bucket", "_gn").distinct()
-    old_gdims = old_g.select("band", "bucket", "_gc").distinct()
-    new_cells = new_g.join(old_gdims, ["band", "bucket"]).select(
-        "new_id", "band", "bucket", "_rn",
-        F.explode(F.sequence(F.lit(0), F.col("_gc") - 1)).alias("_rc"),
+    # persist AFTER the probe ran (see minhash_lsh_pairs: planning
+    # against a materialized cache degrades the candidate join)
+    new_sigs = new_sigs.persist()
+    new_banded = _banded_buckets(new_sigs, num_hashes, bands).select(
+        F.col("id").alias("new_id"), "band", "bucket"
     )
-    old_cells = old_g.join(new_gdims, ["band", "bucket"]).select(
-        "corpus_id", "band", "bucket", "_rc",
-        F.explode(F.sequence(F.lit(0), F.col("_gn") - 1)).alias("_rn"),
-    )
-    cand = (
-        new_cells.join(old_cells, ["band", "bucket", "_rn", "_rc"])
-        .select("new_id", "corpus_id")
-        .distinct()
-    )
+    if not any_hot:
+        cand = (
+            new_banded.join(old_banded, ["band", "bucket"])
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+    else:
+        w_bucket = Window.partitionBy("band", "bucket")
+        gcount = F.ceil(F.count(F.lit(1)).over(w_bucket) / cap)
+        new_g = new_banded.select(
+            "new_id", "band", "bucket", gcount.cast("int").alias("_gn")
+        ).withColumn("_rn", F.pmod(F.hash("new_id"), F.col("_gn")))
+        old_g = old_banded.select(
+            "corpus_id", "band", "bucket", gcount.cast("int").alias("_gc")
+        ).withColumn("_rc", F.pmod(F.hash("corpus_id"), F.col("_gc")))
+        new_gdims = new_g.select("band", "bucket", "_gn").distinct()
+        old_gdims = old_g.select("band", "bucket", "_gc").distinct()
+        new_cells = new_g.join(old_gdims, ["band", "bucket"]).select(
+            "new_id", "band", "bucket", "_rn",
+            F.explode(F.sequence(F.lit(0), F.col("_gc") - 1)).alias("_rc"),
+        )
+        old_cells = old_g.join(new_gdims, ["band", "bucket"]).select(
+            "corpus_id", "band", "bucket", "_rc",
+            F.explode(F.sequence(F.lit(0), F.col("_gn") - 1)).alias("_rn"),
+        )
+        cand = (
+            new_cells.join(old_cells, ["band", "bucket", "_rn", "_rc"])
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
     with_sigs = (
         cand.join(new_sigs.select(F.col("id").alias("new_id"),
                                   F.col("signature").alias("sig_a")), "new_id")
@@ -372,10 +396,7 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    # the plan below references sigs THREE times (banding + the two
-    # pair re-joins); persist so the shingle+hash pipeline runs once.
-    # ContextCleaner drops the blocks when the DataFrame is GC'd.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, seed).persist()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
     # Candidate generation carries ONLY (id, band, bucket) — never the
     # signature arrays. The same-bucket self-join multiplies rows by
     # bucket size; shuffling a 16×bigint payload through that blow-up
@@ -393,37 +414,68 @@ def minhash_lsh_pairs(
     # so each unordered pair lands in exactly one cell. A cold bucket
     # is g = 1 — the plain equi-join, one code path.
     cap = bucket_cap or _SID_SALT_CAP
+    # data-adaptive plan choice (one bounded-output probe job —
+    # map-side combine ships only per-bucket partial counts): when NO
+    # bucket exceeds the cap, the plain equi-join is provably bounded
+    # per task and the triangle's count window + widened join key are
+    # pure overhead. Same move AQE makes, done driver-side because
+    # AQE can split a skewed shuffle partition but never one join
+    # key's cross product. The probe runs on the UNCACHED lineage and
+    # the persist happens only afterwards: a MATERIALIZED cache's
+    # stats re-plan the candidate join (measured 9 -> 16 static
+    # exchanges and ~2.7x wall on the cold path), while an
+    # unmaterialized cache keeps the r7 plan and still collapses the
+    # three signature uses into one computation at execution.
+    any_hot = not (
+        _banded_buckets(sigs, num_hashes, bands)
+        .groupBy("band", "bucket").count()
+        .filter(F.col("count") > cap).isEmpty()
+    )
+    # the plan below references sigs THREE times (banding + the two
+    # pair re-joins); persist so the shingle+hash pipeline runs once.
+    # ContextCleaner drops the blocks when the DataFrame is GC'd.
+    sigs = sigs.persist()
     banded = _banded_buckets(sigs, num_hashes, bands)
-    w_bucket = Window.partitionBy("band", "bucket")
-    grouped = banded.select(
-        "id", "band", "bucket",
-        F.ceil(F.count(F.lit(1)).over(w_bucket) / cap)
-        .cast("int").alias("_g"),
-    ).withColumn("_r", F.pmod(F.hash("id"), F.col("_g")))
-    left = grouped.select(
-        F.col("id").alias("id_a"), "band", "bucket",
-        F.col("_r").alias("_gi"),
-        F.explode(F.sequence(F.col("_r"), F.col("_g") - 1)).alias("_gj"),
-    )
-    right = grouped.select(
-        F.col("id").alias("id_b"), "band", "bucket",
-        F.col("_r").alias("_gj"),
-        F.explode(F.sequence(F.lit(0), F.col("_r"))).alias("_gi"),
-    )
-    cand = (
-        left.join(right, ["band", "bucket", "_gi", "_gj"])
-        # diagonal cells pair a group with itself: orient there; off-
-        # diagonal cells already see each unordered pair exactly once
-        .filter(
-            (F.col("_gi") != F.col("_gj"))
-            | (F.col("id_a") < F.col("id_b"))
+    if not any_hot:
+        left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+        right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+        cand = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+    else:
+        w_bucket = Window.partitionBy("band", "bucket")
+        grouped = banded.select(
+            "id", "band", "bucket",
+            F.ceil(F.count(F.lit(1)).over(w_bucket) / cap)
+            .cast("int").alias("_g"),
+        ).withColumn("_r", F.pmod(F.hash("id"), F.col("_g")))
+        left = grouped.select(
+            F.col("id").alias("id_a"), "band", "bucket",
+            F.col("_r").alias("_gi"),
+            F.explode(F.sequence(F.col("_r"), F.col("_g") - 1)).alias("_gj"),
         )
-        .distinct()
-    )
+        right = grouped.select(
+            F.col("id").alias("id_b"), "band", "bucket",
+            F.col("_r").alias("_gj"),
+            F.explode(F.sequence(F.lit(0), F.col("_r"))).alias("_gi"),
+        )
+        cand = (
+            left.join(right, ["band", "bucket", "_gi", "_gj"])
+            # diagonal cells pair a group with itself: orient there;
+            # off-diagonal cells see each unordered pair exactly once
+            .filter(
+                (F.col("_gi") != F.col("_gj"))
+                | (F.col("id_a") < F.col("id_b"))
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )
     with_sigs = (
         cand.join(sigs.select(F.col("id").alias("id_a"),
                               F.col("signature").alias("sig_a")), "id_a")
@@ -1037,8 +1089,13 @@ def prefix_filter_jaccard_pairs(
     stages map onto directly.
     """
     t_milli = int(round(threshold * 1000))
-    sh_ids, prefix, _ = _prefix_index_frames(df, text_col, id_col, k, t_milli)
-    cand = _prefix_candidates(prefix, t_milli, sid_cap or _SID_SALT_CAP)
+    sh_ids, prefix, _, max_df = _prefix_index_frames(
+        df, text_col, id_col, k, t_milli)
+    cap = sid_cap or _SID_SALT_CAP
+    # data-adaptive plan choice: max_df bounds every posting length,
+    # so max_df <= cap proves no hot sid exists and the plain
+    # one-exchange candidate plan is safe (and cheaper)
+    cand = _prefix_candidates(prefix, t_milli, cap, hot=max_df > cap)
     return _prefix_verify(cand, sh_ids, threshold)
 
 
@@ -1097,7 +1154,9 @@ def _prefix_index_frames(
         # extra scan are the repeated-probe users, and their path is
         # build_prefix_index — which persists build-scope snapshots
         # AND proves the seed on the written dict table instead.
-        seed = _vocab_hash_seed(sdict0)
+        seed, max_df = _vocab_hash_seed(sdict0)
+    else:
+        max_df = None  # caller proves the seed itself (build path)
     sdict = sdict0.withColumn(
         "h", F.xxhash64(F.col("shingle"), F.lit(seed))
     )
@@ -1139,7 +1198,10 @@ def _prefix_index_frames(
     )
     if snapshot:
         return sh_ids, prefix, sdict, (per_doc, sdict0)
-    return sh_ids, prefix, sdict
+    # max_df (from the seed probe's same aggregate) is an upper bound
+    # on every posting length — the hot-gate statistic for
+    # _prefix_candidates' data-adaptive plan choice
+    return sh_ids, prefix, sdict, max_df
 
 
 # seed retry policy shared by _vocab_hash_seed (lazy path) and
@@ -1150,7 +1212,7 @@ _SEED_MAX_TRIES = 5
 
 
 def _vocab_hash_seed(sdict0: DataFrame,
-                     max_tries: int = _SEED_MAX_TRIES) -> int:
+                     max_tries: int = _SEED_MAX_TRIES) -> tuple[int, int]:
     """Pick (and PROVE) a hash seed whose ``xxhash64(shingle, seed)``
     is injective over this corpus's vocabulary: one bounded vocab-dim
     aggregate per try compares the distinct-shingle count to the
@@ -1163,12 +1225,16 @@ def _vocab_hash_seed(sdict0: DataFrame,
     it is one vocab-sized aggregate per index BUILD, amortized over
     every probe."""
     for seed in range(_SEED_BASE, _SEED_BASE + max_tries):
-        n, nd = sdict0.agg(
+        # max(df_sh) rides the same bounded aggregate for free: it is
+        # the hot-gate statistic (an upper bound on posting length)
+        # the caller feeds _prefix_candidates' plan choice
+        n, nd, max_df = sdict0.agg(
             F.count(F.lit(1)),
             F.countDistinct(F.xxhash64(F.col("shingle"), F.lit(seed))),
+            F.max("df_sh"),
         ).first()
         if n == nd:
-            return seed
+            return seed, int(max_df or 0)
     raise RuntimeError(
         f"no collision-free xxhash64 seed in {max_tries} tries — "
         "astronomically unlikely; inspect the shingle column"
@@ -1182,12 +1248,13 @@ _SID_SALT_CAP = 1000
 
 
 def _prefix_candidates(
-    prefix: DataFrame, t_milli: int, sid_cap: int = _SID_SALT_CAP
+    prefix: DataFrame, t_milli: int, sid_cap: int = _SID_SALT_CAP,
+    hot: bool = True,
 ) -> DataFrame:
     """Stage 2: per-shingle posting-list pair expansion + length and
     PPJoin positional filters, all in exact milli ints. When
-    ``prefix`` is a table bucketed by ``sid``, the posting-count
-    window rides the bucketing with zero exchange.
+    ``prefix`` is a table bucketed by ``sid``, the cold-path groupBy
+    (and the hot path's posting-count window) ride the bucketing.
 
     **Hot-shingle salt-split (round-8, adversarial-corpus guard):**
     the per-sid pair expansion is a groupBy — AQE can split a skewed
@@ -1201,14 +1268,49 @@ def _prefix_candidates(
     cell — a member row is the LEFT of cells (r, r..g-1) and the RIGHT
     of cells (0..r-1, r), diagonal cells pair within their own left
     list, off-diagonal cells cross left×right with id-canonical
-    orientation. A cold sid is just g = 1: one (0,0) cell, empty right
-    emission, byte-identical volume to the unguarded form — ONE code
-    path, no hot/cold union, no broadcast of a bucket list, and the
-    pair set is EXACTLY the unguarded one (exhaustive enumeration, not
-    sampling; pinned against brute force on a crafted hot cluster in
-    tests/test_text_dedup.py). Cost on cold corpora: the groupBy key
-    widens to (sid, gᵢ, gⱼ) after a posting-count window on sid —
-    one extra exchange of the prefix postings."""
+    orientation. The pair set is EXACTLY the unguarded one (exhaustive
+    enumeration, not sampling; pinned against brute force on a crafted
+    hot cluster in tests/test_text_dedup.py).
+
+    ``hot`` is the DATA-ADAPTIVE plan choice (callers derive it from
+    max document frequency — an upper bound on every posting length —
+    which the vocabulary seed probe / the persisted dict table already
+    pay for): ``hot=False`` keeps the plain one-exchange groupBy plan
+    (no count window, no cell key), so a corpus with no hot shingle
+    pays ZERO overhead for the guard; ``hot=True`` (the safe default)
+    takes the salt-split. Choosing a physical plan from a bounded
+    statistics probe is the same move AQE makes — done driver-side
+    because AQE cannot split a grouping key."""
+    if not hot:
+        docs_arr = F.array_sort(
+            F.collect_list(F.struct("id", "n_sh", "pos")))
+        cold_pair_expr = F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("docs"), i + 2,
+                            F.greatest(
+                                F.size(F.col("docs")) - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"), x["n_sh"].alias("n_a"),
+                            x["pos"].alias("pos_a"),
+                            y["id"].alias("id_b"), y["n_sh"].alias("n_b"),
+                            y["pos"].alias("pos_b"),
+                        ),
+                    ),
+                )
+            )
+        )
+        return _prefix_pair_filters(
+            prefix.groupBy("sid")
+            .agg(docs_arr.alias("docs"))
+            .filter(F.size("docs") > 1)
+            .select(cold_pair_expr.alias("p")),
+            t_milli,
+        )
     w_sid = Window.partitionBy("sid")
     grouped = prefix.select(
         "sid",
@@ -1262,21 +1364,29 @@ def _prefix_candidates(
         F.when(F.col("_gi") == F.col("_gj"), diag_expr)
         .otherwise(cross_expr)
     )
-    # POSITIONAL filter (PPJoin): the smallest prefix-matched token is
-    # the smallest COMMON token outright (a smaller common token would
-    # sit at smaller positions in both docs, hence inside both
-    # prefixes), so overlap ≤ min(n_a−i+1, n_b−j+1) at its positions
-    # (i, j). Require that bound to reach α = ⌈t(n_a+n_b)/(1+t)⌉ —
-    # X ≥ ⌈Y/Z⌉ ⟺ X·Z ≥ Y in exact ints. Replaces the plain
-    # distinct with a same-key groupBy: no extra shuffle, and most
-    # false candidates never reach the verify join.
-    cand = (
+    return _prefix_pair_filters(
         cells
         .filter(
             F.when(F.col("_gi") == F.col("_gj"), F.size("ls") > 1)
             .otherwise((F.size("ls") > 0) & (F.size("rs") > 0))
         )
-        .select(pair_expr.alias("p"))
+        .select(pair_expr.alias("p")),
+        t_milli,
+    )
+
+
+def _prefix_pair_filters(pairs: DataFrame, t_milli: int) -> DataFrame:
+    """Shared candidate tail of both ``_prefix_candidates`` plans:
+    length filter, then the POSITIONAL filter (PPJoin): the smallest
+    prefix-matched token is the smallest COMMON token outright (a
+    smaller common token would sit at smaller positions in both docs,
+    hence inside both prefixes), so overlap ≤ min(n_a−i+1, n_b−j+1) at
+    its positions (i, j). Require that bound to reach
+    α = ⌈t(n_a+n_b)/(1+t)⌉ — X ≥ ⌈Y/Z⌉ ⟺ X·Z ≥ Y in exact ints.
+    Replaces the plain distinct with a same-key groupBy: no extra
+    shuffle, and most false candidates never reach the verify join."""
+    return (
+        pairs
         .filter(
             (F.col("p.n_b") * 1000 >= F.col("p.n_a") * t_milli)
             & (F.col("p.n_a") * 1000 >= F.col("p.n_b") * t_milli)
@@ -1297,7 +1407,6 @@ def _prefix_candidates(
         )
         .select("id_a", "id_b")
     )
-    return cand
 
 
 def _prefix_verify(
@@ -1482,7 +1591,16 @@ def prefix_filter_jaccard_pairs_indexed(
     _check_probe_params(spark, table_prefix, t_milli)
     docs = spark.table(f"{table_prefix}_docs")
     postings = spark.table(f"{table_prefix}_postings")
-    cand = _prefix_candidates(postings, t_milli)
+    # hot-gate statistic from the persisted dictionary (a bounded
+    # vocab-dim aggregate over the bucketed dict table — the stats a
+    # dedup service keeps WITH its index): max_df bounds every posting
+    # length, so max_df <= cap proves the plain plan safe
+    max_df = spark.table(f"{table_prefix}_dict").agg(
+        F.max("df_sh")
+    ).first()[0]
+    cand = _prefix_candidates(
+        postings, t_milli, hot=int(max_df or 0) > _SID_SALT_CAP
+    )
     return _prefix_verify(cand, docs, threshold)
 
 

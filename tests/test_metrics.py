@@ -84,3 +84,38 @@ def test_executed_exchange_metrics_zero_for_narrow_plan(spark, tables):
     df.collect()
     m = executed_exchange_metrics(df)
     assert m == {"exchanges": 0, "reused": 0, "rows": 0, "bytes": 0}
+
+
+def test_task_time_summary_reads_real_stages(spark):
+    """Regression for the silent-zero bug: AppStatusStore.stageList has
+    four Scala default arguments py4j cannot elide, so the old one-arg
+    call raised inside the try and every summary came back all-zero.
+    After running a real shuffle job the summary must be non-zero."""
+    from mapreduce_join_comparison_spark.plans.metrics import (
+        task_time_summary,
+    )
+
+    spark.range(0, 500_000, 1, 8).selectExpr(
+        "id % 97 AS k", "id"
+    ).groupBy("k").count().collect()
+    s = task_time_summary(spark)
+    assert s["max_task_ms"] > 0 and s["mean_task_ms"] > 0
+
+
+def test_peak_task_metrics_windows_by_stage_checkpoint(spark):
+    from mapreduce_join_comparison_spark.plans.metrics import (
+        max_stage_id,
+        peak_task_metrics,
+    )
+
+    c0 = max_stage_id(spark)
+    spark.range(0, 500_000, 1, 8).selectExpr(
+        "id % 97 AS k", "id"
+    ).groupBy("k").count().collect()
+    m = peak_task_metrics(spark, since=c0)
+    assert m["n_tasks"] > 0
+    assert m["max_task_ms"] >= 0
+    assert m["max_task_shuffle_read_bytes"] > 0
+    # a later checkpoint sees nothing new
+    m2 = peak_task_metrics(spark, since=max_stage_id(spark))
+    assert m2["n_tasks"] == 0

@@ -130,10 +130,11 @@ EXPECTATIONS = {
     "join_triangle_chain": (3, "BroadcastHashJoin"),
     "agg_grouping_sets": (1, "Expand"),
     "sql_subqueries": (3, None),
-    # round-8 hot-bucket triangle split: +1 bucket-count window and
-    # the salted join key; the grouped subtree repeats statically
-    # under both emissions (runtime exchange reuse collapses it)
-    "dedup_minhash_lsh": (11, None),
+    # round-8 hot-bucket triangle split is DATA-GATED (a bounded
+    # probe over bucket counts): this corpus has no hot bucket, so the
+    # plan must stay the plain 9-exchange r7 shape — a regression here
+    # means the gate broke and every corpus pays the triangle tax
+    "dedup_minhash_lsh": (9, None),
     "text_tfidf_topterms": (8, None),
     "filter_predicates": (0, None),
     "scalar_functions": (0, None),
@@ -216,11 +217,9 @@ EXPECTATIONS = {
     # batch signatures (1 agg shuffle) + bucket join vs the index +
     # distinct + two sig re-joins; the index side repeats the
     # signature agg statically (runtime exchange reuse collapses it).
-    # Round-8 hot-bucket grid split: per-side count windows + the
-    # one-row-per-bucket gdims joins replicate those subtrees again
-    # statically — runtime reuse keeps the real exchange count near
-    # the old shape (PLANS.md "exch (run)" column is the honest one)
-    "dedup_incremental_minhash": (19, None),
+    # The round-8 hot-bucket grid split is DATA-GATED: no hot bucket
+    # here, so the plain shape must persist
+    "dedup_incremental_minhash": (9, None),
     # last-in-bin window + per-bin agg share one (series,bin) exchange;
     # + the tiny bounds/distinct-series grid aggs and the grid join
     "events_resample_locf": (4, None),
@@ -322,11 +321,10 @@ EXPECTATIONS = {
     # the vocabulary-rank SINGLE-PARTITION window is GONE (struct
     # canonical ids) — 17 → 14 exchanges and, more importantly, no
     # serialized vocab sort; the fragment pin asserts it stays gone.
-    # Round 8: +the hot-sid salt-split (posting-count window on sid
-    # + the cell groupBy's wider key; the emission union repeats the
-    # window subtree statically) — 14 -> 19 static, runtime reuse
-    # collapses the duplicates
-    "dedup_prefix_filter": (19, None),
+    # Round 8: the hot-sid salt-split is gated on max document
+    # frequency (free from the seed probe's aggregate); this corpus's
+    # max_df <= cap keeps the plain 14-exchange shape
+    "dedup_prefix_filter": (14, None),
     # one shard_id exchange feeds the per-shard rank window — no
     # global-order single-partition window
     "corpus_shuffle_shards": (1, "Window"),
@@ -461,9 +459,9 @@ EXPECTATIONS = {
     # joins' index sides ride the bucketed tables — the ONE exchange
     # is the candidate-pair aggregate (the build job runs at query-
     # construction time and is pinned in test_round6_ops)
-    # (round 8: + the hot-sid cell groupBy — the posting-count window
-    # itself rides the sid bucketing with zero exchange)
-    "dedup_prefix_filter_indexed": (2, None),
+    # (round 8: the hot-sid salt-split gates on the dict table's
+    # max_df — cold here, so the probe keeps its single exchange)
+    "dedup_prefix_filter_indexed": (1, None),
     # two bounded top-k runs (lexical shingle broadcast-join + dense
     # query-batch scan) fused on ≤ k rows per query; the shingle
     # subtree repeats statically under both corpus/query branches

@@ -221,11 +221,10 @@ def test_prefix_index_two_job_matches_single_query(spark):
     )
     indexed = probe.orderBy("id_a", "id_b").collect()
     assert indexed == single and len(single) > 0
-    # round 8: the hot-sid salt-split widens the candidate aggregate's
-    # key to (sid, cell) — the posting-count window still rides the
-    # sid bucketing, so the probe pays exactly TWO exchanges (the cell
-    # aggregate + the pair aggregate), never a corpus-index re-shuffle
-    assert count_shuffles(probe) <= 2, simple_plan(probe)
+    # round 8: the hot-sid salt-split gates on the dict table's
+    # max_df; this corpus is cold, so the probe keeps its single
+    # exchange (the candidate-pair aggregate riding the bucketing)
+    assert count_shuffles(probe) <= 1, simple_plan(probe)
     # bucketed reads: the probe scans tables, not loose parquet
     plan = simple_plan(probe)
     assert "Bucketed: true" in plan, plan
