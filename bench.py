@@ -263,6 +263,40 @@ def bench_skew_curve(
     return curve, gen, spread, advisor
 
 
+def merge_details(old: dict, new: dict) -> dict:
+    """Merge a fresh bench run's detail into the previously-committed
+    BENCH_DETAIL.json instead of overwriting it (round-8 verdict,
+    What's-wrong #1: the driver's default 3-row-point run silently
+    discarded the committed 7-point scaleup curve).
+
+    Semantics per field:
+      * ``skew_curve*`` maps merge by UNION of row points, and within
+        a row point by union of skews — the newest run's median wins
+        per (rows, skew) cell, previously-measured cells survive;
+      * every other field (query timings, totals, repeats) is replaced
+        by the new run when the new run measured it, and kept from the
+        old detail when the new run skipped that phase (empty/None) —
+        so a sweep-only run doesn't blank the per-query tables and a
+        queries-only run doesn't blank the curve.
+
+    Pure function of two dicts — unit-tested in test_report_drift, and
+    the drift test fails if a merge ever LOSES a committed row point.
+    """
+    out = dict(old)
+    for key, val in new.items():
+        if key.startswith("skew_curve"):
+            merged = {
+                rows: dict(per_skew)
+                for rows, per_skew in (out.get(key) or {}).items()
+            }
+            for rows, per_skew in (val or {}).items():
+                merged.setdefault(rows, {}).update(per_skew)
+            out[key] = merged
+        elif val or key not in out:
+            out[key] = val
+    return out
+
+
 HEADLINE = [
     "join_repartition",
     "join_broadcast",
@@ -437,6 +471,13 @@ def main() -> None:
                          "broadcast column records its byte-budget "
                          "refusal at the dim size that crosses it)")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--skip-queries", action="store_true",
+                    help="skip the headline cold/warm query passes "
+                         "entirely (sweep-only runs, e.g. the very-"
+                         "large --scaleup-rows measurements); with "
+                         "--write-detail the sweep cells MERGE into "
+                         "the committed BENCH_DETAIL.json and the "
+                         "query tables survive from the previous run")
     ap.add_argument(
         "--repeats", type=int,
         default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")),
@@ -449,6 +490,9 @@ def main() -> None:
              "BENCH_DETAIL.partial.json and leave the committed "
              "artifacts alone")
     args = ap.parse_args()
+    if args.scaleup_rows and args.no_generated:
+        ap.error("--scaleup-rows needs the generated-data benchmarks; "
+                 "drop --no-generated")
 
     from mapreduce_join_comparison_spark.session import get_spark
 
@@ -473,18 +517,23 @@ def main() -> None:
     # footers, page cache, per-plan codegen) is paid by the COLD pass
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    t0 = time.monotonic()
-    queries_cold, _cold_detail = bench_queries(spark, args.sf_dir, args.queries)
-    total_cold = round(time.monotonic() - t0, 3)
+    if args.skip_queries:
+        queries_cold, total_cold = {}, 0.0
+        queries_warm, warm_detail = {}, {}
+    else:
+        t0 = time.monotonic()
+        queries_cold, _cold_detail = bench_queries(
+            spark, args.sf_dir, args.queries)
+        total_cold = round(time.monotonic() - t0, 3)
 
-    _gc_between_phases()
-    # warm phase: n=repeats per query, contract number = median. The
-    # contract total is the SUM OF MEDIANS (not the phase wall clock,
-    # which would scale with --repeats): comparable across rounds and
-    # robust to any single noisy run.
-    queries_warm, warm_detail = bench_queries(
-        spark, args.sf_dir, args.queries, repeats=max(1, args.repeats)
-    )
+        _gc_between_phases()
+        # warm phase: n=repeats per query, contract number = median.
+        # The contract total is the SUM OF MEDIANS (not the phase wall
+        # clock, which would scale with --repeats): comparable across
+        # rounds and robust to any single noisy run.
+        queries_warm, warm_detail = bench_queries(
+            spark, args.sf_dir, args.queries, repeats=max(1, args.repeats)
+        )
     zipf_detail: dict = {}
     if not args.no_generated:
         zipf_times, zipf_detail = bench_zipf_joins(
@@ -535,23 +584,28 @@ def main() -> None:
             # driver benches keep the 2-skew scale-up spot checks
             scaleup_skews=full_skews if args.full_grid else [0.5, 1.2],
         )
-        # --scaleup-rows: extra geometric row points at the reference's
-        # scaleup skews only, merged into the same curve structures
-        extra = [r for r in args.scaleup_rows if str(r) not in skew_curve]
-        if extra:
-            _gc_between_phases()
-            # median of 3 for the extra scaleup points: the large-row
-            # cells cost minutes each and the curve SHAPE (flat
-            # repartition, broadcast until its budget cliff, merge
-            # degradation) is the signal, not 2% precision
-            c2, g2, s2, a2 = bench_skew_curve(
-                spark, skews=[0.5, 1.2], rows_list=extra,
-                scaleup_skews=[0.5, 1.2], repeats=3,
-            )
-            skew_curve.update(c2)
-            skew_curve_generate.update(g2)
-            skew_curve_spread.update(s2)
-            skew_curve_advisor.update(a2)
+    # --scaleup-rows: extra geometric row points at the reference's
+    # scaleup skews only, merged into the same curve structures.
+    # Independent of --no-sweep (round-8 advice: the flag was silently
+    # ignored with --no-sweep) so a sweep-only very-large run is just
+    # `--skip-queries --no-sweep --scaleup-rows N --write-detail`;
+    # --no-generated still excludes it (no generator, nothing to run;
+    # validated at parse time).
+    extra = [r for r in args.scaleup_rows if str(r) not in skew_curve]
+    if extra:
+        _gc_between_phases()
+        # median of 3 for the extra scaleup points: the large-row
+        # cells cost minutes each and the curve SHAPE (flat
+        # repartition, broadcast until its budget cliff, merge
+        # degradation) is the signal, not 2% precision
+        c2, g2, s2, a2 = bench_skew_curve(
+            spark, skews=[0.5, 1.2], rows_list=extra,
+            scaleup_skews=[0.5, 1.2], repeats=3,
+        )
+        skew_curve.update(c2)
+        skew_curve_generate.update(g2)
+        skew_curve_spread.update(s2)
+        skew_curve_advisor.update(a2)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the driver tail-captures stdout and parses the LAST JSON line; in
@@ -578,11 +632,22 @@ def main() -> None:
     # the committed full-benchmark artifacts (the round-4 trap): it
     # writes a .partial sidecar and leaves BENCH_DETAIL.json/REPORT.md
     # untouched unless --write-detail forces it
-    partial = bool(args.queries) or args.no_sweep or args.no_generated
+    partial = bool(args.queries) or args.no_sweep or args.no_generated \
+        or args.skip_queries
     name = "BENCH_DETAIL.partial.json" if partial and not args.write_detail \
         else "BENCH_DETAIL.json"
     detail_path = os.path.join(repo_dir, name)
     try:
+        if name == "BENCH_DETAIL.json":
+            # MERGE into the committed detail, never overwrite it
+            # (round-8 verdict #1): previously-measured skew/scaleup
+            # cells survive a coarser re-run — union of row points,
+            # newest median wins per cell
+            try:
+                with open(detail_path) as f:
+                    detail = merge_details(json.load(f), detail)
+            except (OSError, ValueError):
+                pass  # no committed detail yet: write this run as-is
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
         # re-render REPORT.md from the detail just written so the

@@ -190,18 +190,36 @@ def _report_rows_from_detail(path: str) -> list[dict]:
     return records
 
 
+def _spreads_overlap(a: dict | None, b: dict | None) -> bool | None:
+    """Whether two per-strategy run spreads ({min, max, ...}) overlap.
+    None when either spread is missing (old detail files / refused
+    strategies) — the caller then falls back to median comparison."""
+    if not a or not b or "min" not in a or "min" not in b:
+        return None
+    return a["min"] <= b["max"] and b["min"] <= a["max"]
+
+
 def _advisor_table_from_detail(path: str) -> list[str]:
     """Markdown scorecard of the Fig-6.11 strategy advisor vs the
     measured grid (round-8 directive #6): for every (rows, skew) cell
     of the skew/scaleup sweep, the advisor's pick on that cell's
     actual staged inputs vs the measured fastest strategy, with regret
-    = pick_sec / fastest_sec. Agreement + max regret summarize."""
+    = pick_sec / fastest_sec.
+
+    Tie-aware (round-8 verdict #5): a cell only scores as agreement or
+    disagreement when the pick's measured [min, max] run spread
+    (``skew_curve_spread``) does NOT overlap the best alternative's —
+    an overlapping spread is run-to-run variance, printed as "tie" and
+    counted separately (the 100 M/0.5 broadcast-vs-repartition cell
+    measured 7.0 vs 8.5 s across standalone re-runs). Detail files
+    without spreads fall back to plain median comparison."""
     import json
 
     with open(path) as f:
         detail = json.load(f)
     curve = detail.get("skew_curve") or {}
     advisor = detail.get("skew_curve_advisor") or {}
+    spreads = detail.get("skew_curve_spread") or {}
     if not advisor or not any(v for v in advisor.values()):
         return []
     lines = ["", "## Strategy advisor vs measured grid", "",
@@ -209,10 +227,12 @@ def _advisor_table_from_detail(path: str) -> list[str]:
              "(`operators/joins.advise_strategy`) run on each grid "
              "cell's actual staged inputs (512 MiB broadcast budget), "
              "scored against the measured fastest strategy. Regret = "
-             "advisor-pick median / fastest median.", "",
+             "advisor-pick median / fastest median; a cell whose pick "
+             "and best alternative have overlapping [min, max] run "
+             "spreads is a statistical tie, not an (dis)agreement.", "",
              "| rows | skew | advisor pick | fastest (sec) | "
              "pick (sec) | regret |", "|---|---|---|---|---|---|"]
-    n_cells = n_agree = 0
+    n_cells = n_agree = n_tie = 0
     worst = 1.0
     for rows in sorted(curve, key=int):
         for skew in sorted(curve[rows], key=float):
@@ -223,7 +243,6 @@ def _advisor_table_from_detail(path: str) -> list[str]:
             fastest = min(timing, key=timing.get)
             pick_sec = timing.get(pick)
             n_cells += 1
-            n_agree += pick == fastest
             if pick_sec is None:
                 # the pick was never measured (e.g. broadcast refused
                 # its byte budget at this size — then the advisor must
@@ -232,18 +251,36 @@ def _advisor_table_from_detail(path: str) -> list[str]:
                     f"| {int(rows):,} | {skew} | {pick} | "
                     f"{fastest} ({timing[fastest]:.2f}) | not run | — |")
                 continue
+            # the pick's closest competitor: the fastest OTHER strategy
+            # (when the pick IS the fastest, that's the runner-up)
+            others = {s: v for s, v in timing.items() if s != pick}
+            cell_spread = (spreads.get(rows) or {}).get(skew) or {}
             regret = pick_sec / timing[fastest] if timing[fastest] else 1.0
-            worst = max(worst, regret)
+            tie = False
+            if others:
+                rival = min(others, key=others.get)
+                tie = _spreads_overlap(
+                    cell_spread.get(pick), cell_spread.get(rival)
+                ) or False
+            if tie:
+                n_tie += 1
+                verdict = "tie"
+            else:
+                n_agree += pick == fastest
+                worst = max(worst, regret)
+                verdict = f"{regret:.2f}×"
             lines.append(
                 f"| {int(rows):,} | {skew} | {pick} | "
                 f"{fastest} ({timing[fastest]:.2f}) | {pick_sec:.2f} | "
-                f"{regret:.2f}× |")
+                f"{verdict} |")
     if not n_cells:
         return []
+    n_scored = n_cells - n_tie
     lines += ["",
-              f"Agreement: {n_agree}/{n_cells} cells "
-              f"({100 * n_agree / n_cells:.0f} %); worst regret "
-              f"{worst:.2f}×."]
+              f"Agreement: {n_agree}/{n_scored} decided cells "
+              f"({100 * n_agree / max(n_scored, 1):.0f} %), "
+              f"{n_tie} tie(s) within run-to-run spread; worst decided "
+              f"regret {worst:.2f}×."]
     return lines
 
 

@@ -266,6 +266,7 @@ def incremental_minhash_dedup(
     seed: int = 42,
     verify_threshold: float | None = None,
     bucket_cap: int | None = None,
+    max_bucket_count: int | None = None,
 ) -> DataFrame:
     """Near-dup check of an arriving batch against a PRECOMPUTED corpus
     signature index — the production shape of MinHash dedup at scale:
@@ -308,16 +309,22 @@ def incremental_minhash_dedup(
     # Data-adaptive gate (same rationale as minhash_lsh_pairs): one
     # bounded-output probe over BOTH sides' bucket memberships — if no
     # COMBINED bucket exceeds the cap, each side is ≤ cap so the plain
-    # join's per-key cross product is ≤ cap²/4; skip the grid. (A
-    # dedup service keeps these stats with its signature index; here
-    # the probe is one combine-heavy aggregate per probe call.)
+    # join's per-key cross product is ≤ cap²/4; skip the grid. A dedup
+    # service keeps these stats WITH its signature index — callers who
+    # do pass ``max_bucket_count`` (the largest combined (band, bucket)
+    # membership they track) and the probe job is skipped entirely;
+    # per-batch cost then signs only the batch (round-8 advice: the
+    # eager isEmpty() probe roughly doubled per-batch signing cost).
     cap = bucket_cap or _SID_SALT_CAP
-    any_hot = not (
-        new_banded.select("band", "bucket")
-        .unionByName(old_banded.select("band", "bucket"))
-        .groupBy("band", "bucket").count()
-        .filter(F.col("count") > cap).isEmpty()
-    )
+    if max_bucket_count is not None:
+        any_hot = max_bucket_count > cap
+    else:
+        any_hot = not (
+            new_banded.select("band", "bucket")
+            .unionByName(old_banded.select("band", "bucket"))
+            .groupBy("band", "bucket").count()
+            .filter(F.col("count") > cap).isEmpty()
+        )
     # persist AFTER the probe ran (see minhash_lsh_pairs: planning
     # against a materialized cache degrades the candidate join)
     new_sigs = new_sigs.persist()
@@ -384,6 +391,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify_threshold: float | None = None,
     bucket_cap: int | None = None,
+    max_bucket_count: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: split each signature into ``bands``
     bands of r = num_hashes/bands rows; docs colliding on any whole
@@ -425,12 +433,19 @@ def minhash_lsh_pairs(
     # stats re-plan the candidate join (measured 9 -> 16 static
     # exchanges and ~2.7x wall on the cold path), while an
     # unmaterialized cache keeps the r7 plan and still collapses the
-    # three signature uses into one computation at execution.
-    any_hot = not (
-        _banded_buckets(sigs, num_hashes, bands)
-        .groupBy("band", "bucket").count()
-        .filter(F.col("count") > cap).isEmpty()
-    )
+    # three signature uses into one computation at execution. Callers
+    # who track bucket stats with their corpus (a dedup service's
+    # index metadata) pass ``max_bucket_count`` and skip the probe job
+    # — and with it the one extra signature-pipeline execution the
+    # probe pays (round-8 advice).
+    if max_bucket_count is not None:
+        any_hot = max_bucket_count > cap
+    else:
+        any_hot = not (
+            _banded_buckets(sigs, num_hashes, bands)
+            .groupBy("band", "bucket").count()
+            .filter(F.col("count") > cap).isEmpty()
+        )
     # the plan below references sigs THREE times (banding + the two
     # pair re-joins); persist so the shingle+hash pipeline runs once.
     # ContextCleaner drops the blocks when the DataFrame is GC'd.
@@ -1494,8 +1509,12 @@ def build_prefix_index(
         # shingles here without touching the corpus
         write_bucketed(sdict, dict_t, ["shingle"], n_buckets,
                        sort_cols=["shingle"])
-        n, nd = spark.table(dict_t).agg(
-            F.count(F.lit(1)), F.countDistinct("h")
+        # max(df_sh) rides the injectivity check for free: it is the
+        # hot-gate statistic every probe needs, persisted below as a
+        # table property so probes read a stored scalar instead of
+        # re-aggregating the dict table per call (round-8 advice)
+        n, nd, max_df = spark.table(dict_t).agg(
+            F.count(F.lit(1)), F.countDistinct("h"), F.max("df_sh")
         ).first()
         if n == nd:
             break
@@ -1517,7 +1536,8 @@ def build_prefix_index(
     spark.sql(
         f"ALTER TABLE {dict_t} SET TBLPROPERTIES ("
         f"'spark_graft.k'='{int(k)}', "
-        f"'spark_graft.threshold_milli'='{int(t_milli)}')"
+        f"'spark_graft.threshold_milli'='{int(t_milli)}', "
+        f"'spark_graft.max_df'='{int(max_df or 0)}')"
     )
     # a REBUILD under the same names within one session must evict any
     # cached relation/file listing of the previous build — observed
@@ -1530,7 +1550,7 @@ def build_prefix_index(
 
 def _check_probe_params(
     spark, table_prefix: str, t_milli: int, k: int | None = None
-) -> None:
+) -> dict[str, str]:
     """Guard every index probe against the build parameters persisted
     by :func:`build_prefix_index` (round-6 advice): the stored
     prefixes have length n − ⌈t_build·n⌉ + 1, so a probe threshold
@@ -1571,6 +1591,7 @@ def _check_probe_params(
             "a different shingle universe — rebuild or probe with the "
             "build k"
         )
+    return props
 
 
 def prefix_filter_jaccard_pairs_indexed(
@@ -1588,16 +1609,21 @@ def prefix_filter_jaccard_pairs_indexed(
     is below the index's build threshold (see
     :func:`_check_probe_params`)."""
     t_milli = int(round(threshold * 1000))
-    _check_probe_params(spark, table_prefix, t_milli)
+    props = _check_probe_params(spark, table_prefix, t_milli)
     docs = spark.table(f"{table_prefix}_docs")
     postings = spark.table(f"{table_prefix}_postings")
-    # hot-gate statistic from the persisted dictionary (a bounded
-    # vocab-dim aggregate over the bucketed dict table — the stats a
-    # dedup service keeps WITH its index): max_df bounds every posting
-    # length, so max_df <= cap proves the plain plan safe
-    max_df = spark.table(f"{table_prefix}_dict").agg(
-        F.max("df_sh")
-    ).first()[0]
+    # hot-gate statistic: max_df bounds every posting length, so
+    # max_df <= cap proves the plain plan safe. build_prefix_index
+    # persists it as a table property at build time (its stats are
+    # fixed once written), so a probe reads a stored scalar — no eager
+    # per-probe aggregate (round-8 advice). Indexes built before the
+    # property existed fall back to the bounded vocab-dim aggregate.
+    if "spark_graft.max_df" in props:
+        max_df = int(props["spark_graft.max_df"])
+    else:
+        max_df = spark.table(f"{table_prefix}_dict").agg(
+            F.max("df_sh")
+        ).first()[0]
     cand = _prefix_candidates(
         postings, t_milli, hot=int(max_df or 0) > _SID_SALT_CAP
     )

@@ -304,25 +304,26 @@ def compute_fingerprints(
 MANIFEST_NAME = "FINGERPRINTS.json"
 
 # Keys to LEAD the next driver window regardless of green-age — the
-# per-round "front-load changed keys" directive (VERDICT r7 item 2
-# named the four keys the round-7 final commit touched after their
-# last driver check; the rest changed semantics in round 8: NULL-key
-# sentinel in the samplers, half-up thresholds, drift VALUES-freeze).
-# A pinned key jumps the queue only while it is STALE — once re-proven
-# green with unchanged source it sorts normally, so a stale pin list
-# never wastes future windows.
+# per-round "front-load changed keys" directive: the keys whose
+# SEMANTICS (not just shared imports) the current round's edits
+# touched, so the very next driver window re-proves them first.
+#
+# Two expiry mechanisms (round-8 advice: an unmaintained pin list must
+# not silently bias future rounds' windows):
+#   * a pinned key jumps the queue only while it is STALE — once
+#     re-proven green with unchanged source it sorts normally;
+#   * the whole list is tagged with the round that wrote it
+#     (FRONTLOAD_ROUND) and is dropped MECHANICALLY once the manifest
+#     contains a green from that round or later — i.e. the driver
+#     window the pins were aimed at has already run.
+FRONTLOAD_ROUND = 9
 FRONTLOAD: tuple[str, ...] = (
-    "sort_skyline_frontier",
-    "join_triangle_hypercube",
-    "similarity_ivf_ann",
-    "similarity_lsh_ann",
-    "sample_temperature",
-    "sample_mix_rebalance",
-    "sample_stratified",
-    "sample_hash_split",
-    "corpus_shuffle_shards",
-    "stats_drift_psi",
-    "events_stream_drift",
+    # round-9 semantic changes: the prefix family's candidate stage
+    # moved the PPJoin positional+length filters inside pair
+    # generation (output proven identical, plans changed)
+    "dedup_prefix_filter",
+    "dedup_prefix_filter_indexed",
+    "dedup_prefix_filter_delta",
 )
 
 
@@ -392,8 +393,18 @@ def derive_priority(
     stale_direct.sort(key=by_age)
     stale_trans.sort(key=by_age)
     fresh.sort(key=by_age)
-    # stale-gated pins lead the stale block (see FRONTLOAD)
+    # stale-gated pins lead the stale block (see FRONTLOAD) — but only
+    # while the manifest's newest green predates FRONTLOAD_ROUND: once
+    # a round-(FRONTLOAD_ROUND) green exists, the window the pins were
+    # aimed at has run and the list is expired, whoever forgot to
+    # update it (round-8 advice: mechanical expiry over maintenance)
     stale_all = stale_direct + stale_trans
-    pinned = [k for k in FRONTLOAD if k in set(stale_all)]
+    newest_green = max(
+        (rec.get("round", 0) for rec in manifest.values()), default=0
+    )
+    pinned = (
+        [k for k in FRONTLOAD if k in set(stale_all)]
+        if newest_green < FRONTLOAD_ROUND else []
+    )
     rest = [k for k in stale_all if k not in set(pinned)]
     return never + pinned + rest + fresh

@@ -119,7 +119,15 @@ def test_registry_order_matches_staleness_policy():
     manifest, never, stale_direct, stale_trans, fresh = _classify()
     order = list(qc.QUERIES)
     stale = set(stale_direct) | set(stale_trans)
-    pinned = [k for k in fp.FRONTLOAD if k in stale]
+    # pins expire mechanically once the manifest holds a green from
+    # FRONTLOAD_ROUND or later (round-8 advice) — mirror that gate
+    newest_green = max(
+        (rec.get("round", 0) for rec in manifest.values()), default=0
+    )
+    pinned = (
+        [k for k in fp.FRONTLOAD if k in stale]
+        if newest_green < fp.FRONTLOAD_ROUND else []
+    )
     n_never, n_pin, n_stale = len(never), len(pinned), len(stale)
     assert set(order[:n_never]) == set(never), (
         f"never-green keys must lead: {order[:n_never]} vs {never}"

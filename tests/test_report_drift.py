@@ -32,6 +32,144 @@ def test_report_matches_detail(tmp_path):
     )
 
 
+def test_merge_details_semantics():
+    """bench.merge_details (round-8 verdict #1): union of row points,
+    union of skews per row, newest median per cell; non-curve fields
+    replaced only when the new run measured them."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import merge_details
+
+    old = {
+        "skew_curve": {
+            "1000000": {"0.5": {"merge": 1.0}, "1.2": {"merge": 2.0}},
+            "100000000": {"0.5": {"merge": 40.0}},
+        },
+        "skew_curve_spread": {"100000000": {"0.5": {"merge": {"min": 39}}}},
+        "queries_warm": {"q1": 1.5},
+        "total_warm_sec": 1.5,
+        "zipf_total_sec": 3.0,
+    }
+    new = {
+        "skew_curve": {
+            "1000000": {"0.5": {"merge": 0.9}},  # re-measured cell
+            "10000000": {"0.5": {"merge": 5.0}},  # new row point
+        },
+        "skew_curve_spread": {},
+        "queries_warm": {},  # --skip-queries run
+        "total_warm_sec": 0.0,
+        "zipf_total_sec": None,
+    }
+    m = merge_details(old, new)
+    # union of row points — the committed 100M point SURVIVES
+    assert set(m["skew_curve"]) == {"1000000", "10000000", "100000000"}
+    # union of skews within a row point
+    assert set(m["skew_curve"]["1000000"]) == {"0.5", "1.2"}
+    # newest median wins per cell
+    assert m["skew_curve"]["1000000"]["0.5"] == {"merge": 0.9}
+    assert m["skew_curve"]["1000000"]["1.2"] == {"merge": 2.0}
+    # sibling curve maps keep committed cells when the new run is empty
+    assert m["skew_curve_spread"]["100000000"]["0.5"]["merge"]["min"] == 39
+    # skipped phases keep the committed values
+    assert m["queries_warm"] == {"q1": 1.5}
+    assert m["total_warm_sec"] == 1.5
+    assert m["zipf_total_sec"] == 3.0
+    # inputs untouched (pure function)
+    assert old["skew_curve"]["1000000"]["0.5"] == {"merge": 1.0}
+
+
+def test_regeneration_cannot_lose_committed_curve_points():
+    """The round-8 failure mode, pinned RED: the driver's default
+    3-row-point bench re-run must MERGE into — never replace — the
+    committed multi-point scaleup curve. Simulates that exact re-run
+    shape against the real committed artifact and fails if any
+    committed (rows, skew) cell disappears."""
+    import json
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import merge_details
+
+    if not os.path.exists(DETAIL):
+        pytest.skip("no committed bench artifacts")
+    with open(DETAIL) as f:
+        committed = json.load(f)
+    coarse = {
+        "skew_curve": {
+            "1000000": {"0.5": {"merge": 0.1}},
+            "10000000": {"0.5": {"merge": 1.0}},
+            "20000000": {"0.5": {"merge": 2.0}},
+        },
+        "queries_warm": {"q1": 0.5},
+    }
+    merged = merge_details(committed, coarse)
+    for rows, per_skew in (committed.get("skew_curve") or {}).items():
+        assert rows in merged["skew_curve"], (
+            f"regeneration lost committed row point {rows}"
+        )
+        lost = set(per_skew) - set(merged["skew_curve"][rows])
+        assert not lost, (
+            f"regeneration lost committed skew cells {lost} at {rows} rows"
+        )
+    # and the committed curve itself still resolves the scaleup shape
+    assert len(committed.get("skew_curve") or {}) >= 7, (
+        "committed BENCH_DETAIL.json lost its multi-point scaleup curve"
+    )
+
+
+def test_advisor_scorecard_tie_awareness(tmp_path):
+    """Round-8 verdict #5: a cell whose advisor pick and best
+    alternative have OVERLAPPING [min, max] run spreads must print
+    "tie" and stay out of the agreement denominator; disjoint spreads
+    score normally. Crafted three-cell detail: distinct-agree,
+    overlapping-tie, distinct-disagree."""
+    import json
+
+    from mapreduce_join_comparison_spark.cli import (
+        _advisor_table_from_detail,
+        _spreads_overlap,
+    )
+
+    assert _spreads_overlap({"min": 7.0, "max": 8.8},
+                            {"min": 8.5, "max": 9.0}) is True
+    assert _spreads_overlap({"min": 1.0, "max": 2.0},
+                            {"min": 2.1, "max": 3.0}) is False
+    assert _spreads_overlap(None, {"min": 1, "max": 2}) is None
+
+    detail = {
+        "skew_curve": {
+            "1000": {"0.5": {"repartition": 2.0, "broadcast": 1.0}},
+            "2000": {"0.5": {"repartition": 8.5, "broadcast": 7.0}},
+            "3000": {"0.5": {"repartition": 2.0, "broadcast": 1.0}},
+        },
+        "skew_curve_advisor": {
+            "1000": {"0.5": {"pick": "broadcast", "reason": "small dim"}},
+            "2000": {"0.5": {"pick": "repartition", "reason": "skew"}},
+            "3000": {"0.5": {"pick": "repartition", "reason": "skew"}},
+        },
+        "skew_curve_spread": {
+            # distinct: broadcast clearly fastest, pick agrees
+            "1000": {"0.5": {"repartition": {"min": 1.9, "max": 2.1},
+                             "broadcast": {"min": 0.9, "max": 1.1}}},
+            # overlapping: the known 100M/0.5-style variance cell
+            "2000": {"0.5": {"repartition": {"min": 7.2, "max": 9.0},
+                             "broadcast": {"min": 6.8, "max": 8.0}}},
+            # distinct: pick is clearly SLOWER — a real disagreement
+            "3000": {"0.5": {"repartition": {"min": 1.9, "max": 2.1},
+                             "broadcast": {"min": 0.9, "max": 1.1}}},
+        },
+    }
+    p = tmp_path / "detail.json"
+    p.write_text(json.dumps(detail))
+    lines = "\n".join(_advisor_table_from_detail(str(p)))
+    assert "| tie |" in lines, lines
+    # 1 agree + 1 disagree = 2 decided cells, 1 tie
+    assert "Agreement: 1/2 decided cells (50 %), 1 tie(s)" in lines, lines
+    # the disagreement's regret (2.0/1.0) is the worst decided regret
+    assert "worst decided regret 2.00×" in lines, lines
+
+
 def test_readme_headline_count_matches_bench():
     """Round-5 verdict: README cited a bench headline count that
     disagreed with the committed artifact. The README's 'N-query
