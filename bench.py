@@ -273,15 +273,21 @@ def merge_details(old: dict, new: dict) -> dict:
       * ``skew_curve*`` maps merge by UNION of row points, and within
         a row point by union of skews — the newest run's median wins
         per (rows, skew) cell, previously-measured cells survive;
-      * every other field (query timings, totals, repeats) is replaced
-        by the new run when the new run measured it, and kept from the
-        old detail when the new run skipped that phase (empty/None) —
-        so a sweep-only run doesn't blank the per-query tables and a
-        queries-only run doesn't blank the curve.
+      * the per-query maps (``queries_cold`` / ``queries_warm`` /
+        ``queries_warm_detail``) merge per KEY — a sweep-only or
+        subset run updates only what it measured (a partial run's
+        zipf-only warm map must not wipe the committed 101-query
+        table); ``total_warm_sec`` and ``zipf_total_sec`` are then
+        RECOMPUTED from the merged maps so the "sum of medians"
+        invariant holds over the union;
+      * every other field (repeats, total_cold_sec) is replaced by the
+        new run when it measured one, kept from the old detail when
+        the new run skipped that phase (empty/None).
 
     Pure function of two dicts — unit-tested in test_report_drift, and
     the drift test fails if a merge ever LOSES a committed row point.
     """
+    per_key_maps = ("queries_cold", "queries_warm", "queries_warm_detail")
     out = dict(old)
     for key, val in new.items():
         if key.startswith("skew_curve"):
@@ -292,8 +298,20 @@ def merge_details(old: dict, new: dict) -> dict:
             for rows, per_skew in (val or {}).items():
                 merged.setdefault(rows, {}).update(per_skew)
             out[key] = merged
+        elif key in per_key_maps:
+            merged = dict(out.get(key) or {})
+            merged.update(val or {})
+            out[key] = merged
         elif val or key not in out:
             out[key] = val
+    if out.get("queries_warm_detail"):
+        out["total_warm_sec"] = round(
+            sum(v["median"] for k, v in out["queries_warm_detail"].items()
+                if not k.startswith("_")), 3)
+    zipf = [v for k, v in (out.get("queries_warm") or {}).items()
+            if k.startswith("zipf_join_")]
+    if zipf:
+        out["zipf_total_sec"] = round(sum(zipf), 3)
     return out
 
 
@@ -355,6 +373,7 @@ HEADLINE = [
     "join_interval_multitier",
     "join_interval_overlap",
     "join_dominance_count",
+    "join_theta_iejoin",
     "text_bm25_search",
     "stats_join_cardinality",
     "pipeline_bpe_vocab",

@@ -652,6 +652,108 @@ def dominance_count(
     )
 
 
+def iejoin_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_x: str,
+    right_x: str,
+    left_y: str,
+    right_y: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Exact inequality-PAIR join — the IEJoin query class (two strict
+    inequalities in opposite directions: ``left.x < right.x AND
+    left.y > right.y``; Khayyat et al., "Lightning Fast and Space
+    Efficient Inequality Joins", VLDB'15). The last thesis-discussed-
+    but-unimplemented item (thesis ch. 5.4 theta joins, "Further Work"
+    ch. 7; SURVEY.md §2.3 "Absent"): where :func:`dominance_count`
+    returns per-row COUNTS without materializing pairs, this returns
+    the qualifying PAIRS themselves — the join form.
+
+    Spark-native decomposition (the single-node IEJoin's sorted-array
+    + permutation + bitmap walk doesn't distribute): a 2-D integer
+    grid over both inequality columns, exact-int bucket math shared by
+    both sides (two bounded 4-scalar aggregates fix the domain).
+    Bucketing is monotone, so a qualifying pair's cells satisfy
+    ``cx_l ≤ cx_r`` and ``cy_l ≥ cy_r``; each LEFT row replicates to
+    exactly those candidate cells (two sequence-explodes: x-cells
+    bx..B-1, y-cells 0..by) and each RIGHT row keeps its ONE home
+    cell, so the candidate stage is a plain EQUI-join on (cx, cy) —
+    never a BroadcastNestedLoopJoin/CartesianProduct — and every pair
+    meets exactly once (the right side's home cell is unique; no
+    DISTINCT needed). The exact predicate filters the boundary cells
+    (same-bucket ties); interior cells pass it trivially.
+
+    Cost model: left shuffle volume = |L| × (B−bx)(by+1) ≈ |L|·B²/4
+    replicas; false candidates are confined to the ~2/B boundary
+    strips, so candidate volume ≈ output + O(N²/B). Pick ``n_buckets``
+    ≈ N^(1/2) / output-density for big inputs; the default 8 suits
+    catalog-scale slices. Skew note: one hot (cx, cy) cell's cross
+    product sits on a single join key (AQE splits shuffle partitions,
+    not keys) — for heavily clustered domains, quantile-based bucket
+    edges (computed in the same bounded probe) are the upgrade path,
+    same move as the dedup salt-splits.
+
+    Columns must be INTEGER-typed (exact bucket math — quantize
+    timestamps to epoch days / prices to cents first) and disjoint
+    between the two sides. NULLs in either column cannot satisfy a
+    strict inequality and are dropped up front on both sides.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    _require_integral(
+        "iejoin_pairs",
+        (left, left_x), (left, left_y), (right, right_x), (right, right_y),
+    )
+    b = int(n_buckets)
+    lx, ly = F.col(left_x), F.col(left_y)
+    rx, ry = F.col(right_x), F.col(right_y)
+    lt = left.filter(lx.isNotNull() & ly.isNotNull())
+    rt = right.filter(rx.isNotNull() & ry.isNotNull())
+    # bounded: 4 scalars per side fix the shared bucket domain
+    lb = lt.agg(F.min(lx), F.max(lx), F.min(ly), F.max(ly)).first()
+    rb = rt.agg(F.min(rx), F.max(rx), F.min(ry), F.max(ry)).first()
+    if lb[0] is None or rb[0] is None:
+        # one side empty: empty result via a never-matching EQUI join
+        # (a lit(False) join condition would plan as a nested loop)
+        return (
+            lt.withColumn("_ie_z", F.lit(0))
+            .join(rt.withColumn("_ie_z", F.lit(1)), "_ie_z")
+            .drop("_ie_z")
+        )
+    xmin = min(int(lb[0]), int(rb[0]))
+    xspan = max(max(int(lb[1]), int(rb[1])) - xmin + 1, 1)
+    ymin = min(int(lb[2]), int(rb[2]))
+    yspan = max(max(int(lb[3]), int(rb[3])) - ymin + 1, 1)
+
+    def _bucket(col: str, lo: int, span: int):
+        # exact integer bucket index in [0, b) — engine-exact, no
+        # double division (same math as dominance_count)
+        return F.expr(f"(({col} - {lo}) * {b}) DIV {span}").cast("int")
+
+    l2 = (
+        lt.withColumn(
+            "_ie_cx",
+            F.explode(
+                F.sequence(_bucket(left_x, xmin, xspan), F.lit(b - 1))
+            ),
+        ).withColumn(
+            "_ie_cy",
+            F.explode(
+                F.sequence(F.lit(0), _bucket(left_y, ymin, yspan))
+            ),
+        )
+    )
+    r2 = rt.withColumn("_ie_cx", _bucket(right_x, xmin, xspan)).withColumn(
+        "_ie_cy", _bucket(right_y, ymin, yspan)
+    )
+    return (
+        l2.join(r2, ["_ie_cx", "_ie_cy"])
+        .filter((lx < rx) & (ly > ry))
+        .drop("_ie_cx", "_ie_cy")
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,

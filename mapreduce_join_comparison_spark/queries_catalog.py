@@ -4038,6 +4038,57 @@ def join_dominance_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_theta_iejoin",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey % 15 = 0
+    )
+    SELECT a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           CAST(b.day - a.day AS BIGINT) AS day_gap
+    FROM t a JOIN t b ON a.day < b.day AND a.cents > b.cents
+    """,
+)
+def join_theta_iejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEJoin-style theta PAIR join (round-8 verdict directive #6 —
+    the last thesis-discussed-but-unimplemented item, ch. 5.4 /
+    "Further Work" ch. 7): every pair of urgent orders from the
+    sampled customer slice where the EARLIER order carries the HIGHER
+    total price — ``a.day < b.day AND a.cents > b.cents``, two strict
+    inequalities in opposite directions, the canonical IEJoin shape.
+    The pair form of ``join_dominance_count``'s aggregate. Plan =
+    operators/joins.iejoin_pairs: shared 2-D integer grid, left
+    replicated to its candidate cells, ONE (cx, cy) equi-join — no
+    BroadcastNestedLoopJoin/CartesianProduct (pinned in
+    test_plan_quality) — exact predicate on the boundary cells. The
+    DuckDB oracle plans its native IEJoin over the same predicate."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import iejoin_pairs
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    t = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_custkey") % 15 == 0)
+    )
+    day = F.expr("unix_micros(o_orderdate) DIV 86400000000")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = t.select(F.col("o_orderkey").alias("okey_a"),
+                 day.alias("day_a"), cents.alias("cents_a"))
+    b = t.select(F.col("o_orderkey").alias("okey_b"),
+                 day.alias("day_b"), cents.alias("cents_b"))
+    return iejoin_pairs(
+        a, b, "day_a", "day_b", "cents_a", "cents_b"
+    ).select(
+        "okey_a", "okey_b",
+        (F.col("day_b") - F.col("day_a")).cast("bigint").alias("day_gap"),
+    )
+
+
+@register(
     "join_fuzzy_names",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part),

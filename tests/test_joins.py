@@ -144,6 +144,67 @@ def test_band_join_matches_naive_and_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in simple_plan(got)
 
 
+def test_iejoin_pairs_matches_naive_and_avoids_nested_loop(spark):
+    """iejoin_pairs (the IEJoin pair class: l.x < r.x AND l.y > r.y)
+    must equal the naive cross-filter on edge cases — bucket-boundary
+    ties, equal x/y values (strict predicates), negatives, a
+    single-value y domain — at several bucket counts including
+    n_buckets larger than the domain, and plan as an EQUI join."""
+    from mapreduce_join_comparison_spark.operators.joins import iejoin_pairs
+    from mapreduce_join_comparison_spark.plans.explain import simple_plan
+
+    rows = [(1, 0, 50), (2, 0, 10), (3, 3, 50), (4, 3, 10),
+            (5, -7, -2), (6, 10, 50), (7, 10, 10), (8, 5, 5),
+            (9, 5, 5), (10, 2, -2)]
+    left = spark.createDataFrame(
+        [(i, x, y) for i, x, y in rows], "lid long, lx long, ly long")
+    right = spark.createDataFrame(
+        [(i, x, y) for i, x, y in rows], "rid long, rx long, ry long")
+    naive = rows_set(
+        left.crossJoin(right).filter("lx < rx AND ly > ry")
+    )
+    for b in (1, 2, 8, 64):
+        got = iejoin_pairs(left, right, "lx", "rx", "ly", "ry",
+                           n_buckets=b)
+        assert rows_set(got) == naive, f"n_buckets={b}"
+    plan = simple_plan(
+        iejoin_pairs(left, right, "lx", "rx", "ly", "ry"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_iejoin_pairs_nulls_empty_and_type_guard(spark):
+    """NULL coordinates can never satisfy a strict inequality and are
+    dropped; an empty side yields an empty (still equi-join) plan; a
+    non-integer column is rejected up front (exact bucket math)."""
+    import pytest as _pytest
+
+    from mapreduce_join_comparison_spark.operators.joins import iejoin_pairs
+    from mapreduce_join_comparison_spark.plans.explain import simple_plan
+
+    left = spark.createDataFrame(
+        [(1, 0, 9), (2, None, 9), (3, 1, None)],
+        "lid long, lx long, ly long")
+    right = spark.createDataFrame(
+        [(10, 5, 1), (11, None, 1)], "rid long, rx long, ry long")
+    got = rows_set(iejoin_pairs(left, right, "lx", "rx", "ly", "ry"))
+    assert got == rows_set(
+        spark.createDataFrame(
+            [(1, 0, 9, 10, 5, 1)],
+            "lid long, lx long, ly long, rid long, rx long, ry long",
+        )
+    )
+    empty = right.filter("rid < 0")
+    out = iejoin_pairs(left, empty, "lx", "rx", "ly", "ry")
+    assert out.count() == 0
+    plan = simple_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    dbl = spark.createDataFrame([(1, 0.5, 1.0)], "rid long, rx double, ry double")
+    with _pytest.raises(TypeError):
+        iejoin_pairs(left, dbl, "lx", "rx", "ly", "ry")
+
+
 def test_advise_strategy_follows_thesis_decision_tree(spark, tables, tmp_path):
     """The codified Fig-6.11 tree: small dim → broadcast; huge-vs-huge
     (budget 0) → repartition; co-bucketed → merge."""

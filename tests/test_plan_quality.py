@@ -360,6 +360,10 @@ EXPECTATIONS = {
     # frames sharing the grid exchanges) + the same-bucket strip join
     # + the per-row grid fetch — all O(N·sqrt(M)), no pair blowup
     "join_dominance_count": (7, "Window"),
+    # IEJoin pair form (round-9): 2-D grid cells, left replicated to
+    # its candidate cells, ONE (cx, cy) equi-join — broadcast at smoke
+    # scale, ≤2 side exchanges at size; never BNLJ/CartesianProduct
+    "join_theta_iejoin": (2, "HashJoin"),
     # bitset build (dim distinct + position distinct) + probe-key
     # distinct + per-key pass agg + the 1-row final agg; bitset and
     # membership re-attach by broadcast — the fact is never reshuffled
