@@ -158,6 +158,12 @@ def bench_zipf_joins(
         fact.write.parquet(os.path.join(stage, "fact"))
         dim.write.parquet(os.path.join(stage, "dim"))
         detail["generate_stage_sec"] = round(time.monotonic() - tg, 3)
+        if n_rows >= 30_000_000:
+            # release the generator's own shuffle files before the
+            # joins start filling spark.local.dir (see the per-wave
+            # GC note below)
+            spark._jvm.System.gc()
+            time.sleep(2.0)
         fact = spark.read.parquet(os.path.join(stage, "fact"))
         dim = spark.read.parquet(os.path.join(stage, "dim"))
         # round-8 directive #6: record the Fig-6.11 advisor's pick for
@@ -209,6 +215,17 @@ def bench_zipf_joins(
                         continue
                     runs_by_strategy[strategy].append(
                         round(time.monotonic() - t0, 3))
+                if n_rows >= 30_000_000:
+                    # very-large cells: each shuffle-join run leaves
+                    # ~|fact| of dead shuffle files on spark.local.dir
+                    # (ContextCleaner only releases them after the
+                    # plan's JVM objects are GC'd). Left alone, the
+                    # 200M point accumulates >40 GB/wave and ENOSPCs
+                    # the run (observed round 9). Force the GC between
+                    # waves — OUTSIDE every timed span, so no join
+                    # number is billed for it.
+                    spark._jvm.System.gc()
+                    time.sleep(2.0)
         for strategy, runs in runs_by_strategy.items():
             if strategy in refused:
                 detail["join"][strategy] = {"refused": refused[strategy]}
@@ -308,6 +325,14 @@ def merge_details(old: dict, new: dict) -> dict:
         out["total_warm_sec"] = round(
             sum(v["median"] for k, v in out["queries_warm_detail"].items()
                 if not k.startswith("_")), 3)
+    if new.get("queries_cold") is not None and out.get("queries_cold"):
+        # a subset run's cold-phase wall covers only the subset; after
+        # the per-key merge the honest total is the sum over the
+        # MERGED map (slightly under the historical phase wall, which
+        # included inter-query overhead — consistently derived beats
+        # a total that silently describes a different key set)
+        out["total_cold_sec"] = round(
+            sum(out["queries_cold"].values()), 3)
     zipf = [v for k, v in (out.get("queries_warm") or {}).items()
             if k.startswith("zipf_join_")]
     if zipf:

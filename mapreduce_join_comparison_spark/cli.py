@@ -284,6 +284,76 @@ def _advisor_table_from_detail(path: str) -> list[str]:
     return lines
 
 
+def _callouts_from_detail(path: str) -> list[str]:
+    """Reference-comparison callouts (round-8 verdict directives #3-4)
+    — the two BASELINE.md rows whose claims need an explicit measured
+    answer rather than a table the reader must interpolate:
+
+    * the very-large no-broadcast sweep (``data/results 2018-09-22
+      23:50:03_large_0,5.csv:2``: repartition 71.8 s, merge 59.6 s at
+      200 M rows / skew 0.5 on the 17-node cluster) — rendered once
+      the 200 M skew-curve cell exists;
+    * the merge-join failure bound (``results_speedup_1.2.csv:13-15``:
+      merge t=0 at >=36 M rows / skew 1.2; thesis ch. 6.3-6.4) —
+      rendered from the ``merge_survival`` evidence block written by
+      tools/merge_survival.py (measured wall + executed-plan
+      skew-split marker at the exact failure-bound cell).
+
+    Derived purely from the detail file so test_report_drift's
+    re-render stays byte-identical."""
+    import json
+
+    with open(path) as f:
+        detail = json.load(f)
+    curve = detail.get("skew_curve") or {}
+    lines: list[str] = []
+
+    very_large = (curve.get("200000000") or {}).get("0.5") or {}
+    if "repartition" in very_large or "merge" in very_large:
+        lines += ["", "## Very large (reference's no-broadcast sweep)",
+                  "",
+                  "The one BASELINE.md row previously without a "
+                  "measured analog: the reference's 200 M-row / skew "
+                  "0.5 cell (`data/results 2018-09-22 23:50:03_large_"
+                  "0,5.csv:2`) ran repartition in **71.8 s** and the "
+                  "merge stage in **59.6 s** on the 17-node / 3 TB-RAM "
+                  "cluster. Same cell, this engine, one local[32] "
+                  "node:", ""]
+        for strategy in ("repartition", "merge", "broadcast"):
+            if strategy in very_large:
+                ref = {"repartition": " (reference: 71.8 s)",
+                       "merge": " (reference: 59.6 s)"}.get(strategy, "")
+                lines.append(f"* {strategy}: "
+                             f"**{very_large[strategy]:.1f} s**{ref}")
+
+    survival = detail.get("merge_survival") or {}
+    if survival.get("merge"):
+        med = survival["merge"]["median"]
+        rows = survival["rows"]
+        skew = survival["skew"]
+        marker = ("the executed adaptive plan contains the skew-split "
+                  "shuffle read (`" + str(survival.get("plan_marker"))
+                  + "`)") if survival.get("skew_split_in_plan") else (
+                  "NO skew-split marker was captured")
+        lines += ["", "## Merge-join survival at the reference's "
+                  "failure bound", "",
+                  f"The reference's merge join stops completing at "
+                  f"skew 1.2 past ~36 M rows and fails consistently at "
+                  f"skew 1.1 / 40 M ({survival.get('reference')}; "
+                  f"thesis ch. 6.3-6.4) — the hot Zipf key overflows "
+                  f"one reducer. The same cell here completes: merge "
+                  f"at {rows:,} rows / skew {skew} finished in "
+                  f"**{med:.1f} s** (median of "
+                  f"{survival.get('repeats')} runs, min "
+                  f"{survival['merge']['min']:.1f} / max "
+                  f"{survival['merge']['max']:.1f}), and {marker} — "
+                  f"AQE split the hot key's partition at runtime "
+                  f"instead of dying on it (tools/merge_survival.py; "
+                  f"the same plan assertion tests/test_skew_aqe.py "
+                  f"pins in CI at 3 M rows)."]
+    return lines
+
+
 def _query_table_from_detail(path: str) -> list[str]:
     """Markdown cold/warm per-query table from BENCH_DETAIL.json —
     the per-query analog of the skew/scaleup pivots (warm column
@@ -505,7 +575,8 @@ def render_report(
     query_table: list[str] = []
     if detail:
         records += _report_rows_from_detail(detail)
-        query_table = _advisor_table_from_detail(detail) \
+        query_table = _callouts_from_detail(detail) \
+            + _advisor_table_from_detail(detail) \
             + _query_table_from_detail(detail)
     if not records and not query_table:
         raise SystemExit("no simulate records found (see --detail / CSV args)")

@@ -660,6 +660,7 @@ def iejoin_pairs(
     left_y: str,
     right_y: str,
     n_buckets: int = 8,
+    edges: str = "uniform",
 ) -> DataFrame:
     """Exact inequality-PAIR join — the IEJoin query class (two strict
     inequalities in opposite directions: ``left.x < right.x AND
@@ -690,9 +691,17 @@ def iejoin_pairs(
     ≈ N^(1/2) / output-density for big inputs; the default 8 suits
     catalog-scale slices. Skew note: one hot (cx, cy) cell's cross
     product sits on a single join key (AQE splits shuffle partitions,
-    not keys) — for heavily clustered domains, quantile-based bucket
-    edges (computed in the same bounded probe) are the upgrade path,
-    same move as the dedup salt-splits.
+    not keys) — for heavily clustered domains pass
+    ``edges="quantile"``: bucket boundaries come from approximate
+    quantiles of the UNION of both sides per dimension (one bounded
+    b−1-scalar probe per axis, Greenwald-Khanna — the same move as
+    the dedup salt-splits' stats probe), so each bucket strip holds
+    ~1/b of the data regardless of value clustering. Any monotone
+    non-decreasing bucketing preserves the candidate-cell containment
+    and the exactly-once guarantee, so the two modes are
+    output-identical (pinned by test) and differ only in candidate
+    volume / cell balance. Default stays "uniform": zero extra probe
+    cost, and exact integer math with no quantile-sketch dependence.
 
     Columns must be INTEGER-typed (exact bucket math — quantize
     timestamps to epoch days / prices to cents first) and disjoint
@@ -701,6 +710,10 @@ def iejoin_pairs(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if edges not in ("uniform", "quantile"):
+        raise ValueError(
+            f"edges must be 'uniform' or 'quantile', got {edges!r}"
+        )
     _require_integral(
         "iejoin_pairs",
         (left, left_x), (left, left_y), (right, right_x), (right, right_y),
@@ -731,22 +744,44 @@ def iejoin_pairs(
         # double division (same math as dominance_count)
         return F.expr(f"(({col} - {lo}) * {b}) DIV {span}").cast("int")
 
+    def _edge_bucket(col: str, cuts: list[float]):
+        # index = count of interior edges <= value: monotone
+        # non-decreasing into [0, b-1] for ANY sorted cut list
+        # (duplicate cuts from heavy-hitter values just leave empty
+        # buckets); O(b) per row over a literal array
+        arr = ", ".join(f"CAST({float(e)!r} AS DOUBLE)" for e in cuts)
+        return F.expr(
+            f"aggregate(array({arr}), 0, "
+            f"(acc, e) -> acc + IF({col} >= e, 1, 0))"
+        ).cast("int")
+
+    if edges == "quantile" and b > 1:
+        probs = [i / b for i in range(1, b)]
+        err = 1.0 / (4 * b)
+        xcuts = (
+            lt.select(lx.cast("double").alias("v"))
+            .union(rt.select(rx.cast("double").alias("v")))
+            .approxQuantile("v", probs, err)
+        )
+        ycuts = (
+            lt.select(ly.cast("double").alias("v"))
+            .union(rt.select(ry.cast("double").alias("v")))
+            .approxQuantile("v", probs, err)
+        )
+        bx_l, by_l = _edge_bucket(left_x, xcuts), _edge_bucket(left_y, ycuts)
+        bx_r, by_r = _edge_bucket(right_x, xcuts), _edge_bucket(right_y, ycuts)
+    else:
+        bx_l, by_l = _bucket(left_x, xmin, xspan), _bucket(left_y, ymin, yspan)
+        bx_r, by_r = _bucket(right_x, xmin, xspan), _bucket(right_y, ymin, yspan)
+
     l2 = (
         lt.withColumn(
-            "_ie_cx",
-            F.explode(
-                F.sequence(_bucket(left_x, xmin, xspan), F.lit(b - 1))
-            ),
+            "_ie_cx", F.explode(F.sequence(bx_l, F.lit(b - 1)))
         ).withColumn(
-            "_ie_cy",
-            F.explode(
-                F.sequence(F.lit(0), _bucket(left_y, ymin, yspan))
-            ),
+            "_ie_cy", F.explode(F.sequence(F.lit(0), by_l))
         )
     )
-    r2 = rt.withColumn("_ie_cx", _bucket(right_x, xmin, xspan)).withColumn(
-        "_ie_cy", _bucket(right_y, ymin, yspan)
-    )
+    r2 = rt.withColumn("_ie_cx", bx_r).withColumn("_ie_cy", by_r)
     return (
         l2.join(r2, ["_ie_cx", "_ie_cy"])
         .filter((lx < rx) & (ly > ry))

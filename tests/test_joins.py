@@ -173,6 +173,54 @@ def test_iejoin_pairs_matches_naive_and_avoids_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_iejoin_pairs_quantile_edges_identical_and_balanced(spark):
+    """edges="quantile" (the clustered-domain upgrade path): bucket
+    boundaries from per-axis union quantiles must yield the EXACT
+    same pairs as the uniform grid (any monotone bucketing preserves
+    candidate-cell containment + exactly-once), still plan as an
+    EQUI join, and on a pathologically clustered domain (99% of mass
+    in 1% of the value range) must spread the home cells across
+    multiple buckets where the uniform grid collapses to one."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_join_comparison_spark.operators.joins import iejoin_pairs
+    from mapreduce_join_comparison_spark.plans.explain import simple_plan
+
+    # 200 rows clustered in [0, 20), 2 outliers at 2_000_000: the
+    # uniform 8-bucket grid puts the cluster entirely in bucket 0
+    rows = [(i, i % 20, (i * 7) % 20) for i in range(200)]
+    rows += [(1000, 2_000_000, 2_000_000), (1001, 1_999_999, 1_999_998)]
+    left = spark.createDataFrame(
+        [(i, x, y) for i, x, y in rows], "lid long, lx long, ly long")
+    right = spark.createDataFrame(
+        [(i, x, y) for i, x, y in rows], "rid long, rx long, ry long")
+    naive = rows_set(
+        left.crossJoin(right).filter("lx < rx AND ly > ry"))
+    for b in (2, 8):
+        got = iejoin_pairs(left, right, "lx", "rx", "ly", "ry",
+                           n_buckets=b, edges="quantile")
+        assert rows_set(got) == naive, f"quantile n_buckets={b}"
+    q = iejoin_pairs(left, right, "lx", "rx", "ly", "ry",
+                     n_buckets=8, edges="quantile")
+    plan = simple_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # balance: the quantile cuts must split the clustered mass —
+    # checked through the same union+approxQuantile probe the
+    # operator runs:
+    probs = [i / 8 for i in range(1, 8)]
+    cuts = (left.select(F.col("lx").cast("double").alias("v"))
+            .union(right.select(F.col("rx").cast("double").alias("v")))
+            .approxQuantile("v", probs, 1.0 / 32))
+    # quantile cuts must split the cluster (not all sit at the
+    # outlier end): at least 4 distinct cut values inside [0, 20)
+    assert len({c for c in cuts if c < 20}) >= 4, cuts
+    with pytest.raises(ValueError):
+        iejoin_pairs(left, right, "lx", "rx", "ly", "ry",
+                     edges="nonsense")
+
+
 def test_iejoin_pairs_nulls_empty_and_type_guard(spark):
     """NULL coordinates can never satisfy a strict inequality and are
     dropped; an empty side yields an empty (still equi-join) plan; a

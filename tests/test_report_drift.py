@@ -170,6 +170,53 @@ def test_advisor_scorecard_tie_awareness(tmp_path):
     assert "worst decided regret 2.00×" in lines, lines
 
 
+def test_reference_callouts_render_from_detail(tmp_path):
+    """Round-8 verdict #3/#4: the very-large (200M/0.5) cell and the
+    merge_survival evidence block must render as explicit REPORT.md
+    callouts citing the reference CSV rows — and stay absent when the
+    detail lacks the cells (so small driver runs don't fabricate
+    claims)."""
+    import json
+
+    from mapreduce_join_comparison_spark.cli import _callouts_from_detail
+
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps({
+        "skew_curve": {"1000000": {"0.5": {"merge": 1.0}}},
+    }))
+    assert _callouts_from_detail(str(bare)) == []
+
+    full = tmp_path / "full.json"
+    full.write_text(json.dumps({
+        "skew_curve": {
+            "200000000": {"0.5": {"repartition": 25.0, "merge": 90.0}},
+        },
+        "merge_survival": {
+            "rows": 40000000, "skew": 1.2, "repeats": 3,
+            "reference": "data/results_speedup_1.2.csv:13-15",
+            "merge": {"median": 8.0, "min": 7.5, "max": 9.0},
+            "skew_split_in_plan": True,
+            "plan_marker": "AQEShuffleRead coalesced skewed",
+        },
+    }))
+    text = "\n".join(_callouts_from_detail(str(full)))
+    assert "71.8 s" in text and "59.6 s" in text
+    assert "repartition: **25.0 s**" in text
+    assert "merge: **90.0 s**" in text
+    assert "results_speedup_1.2.csv:13-15" in text
+    assert "40,000,000 rows / skew 1.2" in text
+    assert "**8.0 s**" in text
+    assert "skew-split shuffle read" in text
+
+    # survival evidence WITHOUT the marker must say so, not claim it
+    no_marker = json.loads(full.read_text())
+    no_marker["merge_survival"]["skew_split_in_plan"] = False
+    nm = tmp_path / "nomarker.json"
+    nm.write_text(json.dumps(no_marker))
+    text = "\n".join(_callouts_from_detail(str(nm)))
+    assert "NO skew-split marker" in text
+
+
 def test_readme_headline_count_matches_bench():
     """Round-5 verdict: README cited a bench headline count that
     disagreed with the committed artifact. The README's 'N-query

@@ -265,9 +265,26 @@ def main() -> int:
         "providers": {},
     }
 
+    # one section per sf tier (round-8 verdict #8: the sf1 run must
+    # ADD a section, not clobber the committed sf0.1 evidence); a
+    # pre-sections file (bare {replay, providers}) migrates to its
+    # sf0.1 slot on first write
+    sf_label = os.path.basename(os.path.normpath(args.sf_dir)) \
+        .replace("spark_graft_", "")
+    existing: dict = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as fh:
+                existing = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            existing = {}
+    if "providers" in existing:  # legacy single-run layout
+        existing = {"sf0.1": existing}
+
     def flush():
+        existing[sf_label] = record
         with open(args.out, "w") as fh:
-            json.dump(record, fh, indent=1)
+            json.dump(existing, fh, indent=1)
 
     for label, conf in (
         ("hdfs", {}),
