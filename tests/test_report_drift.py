@@ -170,6 +170,37 @@ def test_advisor_scorecard_tie_awareness(tmp_path):
     assert "worst decided regret 2.00×" in lines, lines
 
 
+def test_restrict_to_headline_guards_committed_tables():
+    """A --queries spot-bench of a NON-headline catalog key must not
+    inject that key into the committed headline tables (round 9: two
+    prefix-family keys slipped in and broke the 102-key contract)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import HEADLINE, restrict_to_headline
+
+    some_headline = HEADLINE[0]
+    detail = {
+        "queries_cold": {some_headline: 1.0, "dedup_ngram_jaccard": 2.0},
+        "queries_warm": {some_headline: 0.9, "zipf_join_merge": 0.5},
+        "queries_warm_detail": {
+            some_headline: {"median": 0.9},
+            "_anchor": {"median": 0.1},
+            "not_a_headline_key": {"median": 9.9},
+        },
+        "skew_curve": {"1": {"0.5": {"merge": 1.0}}},
+    }
+    out = restrict_to_headline(detail)
+    assert "dedup_ngram_jaccard" not in out["queries_cold"]
+    assert "not_a_headline_key" not in out["queries_warm_detail"]
+    assert out["queries_warm"] == {some_headline: 0.9,
+                                   "zipf_join_merge": 0.5}
+    assert "_anchor" in out["queries_warm_detail"]
+    # non-query fields untouched, input not mutated
+    assert out["skew_curve"] == detail["skew_curve"]
+    assert "not_a_headline_key" in detail["queries_warm_detail"]
+
+
 def test_reference_callouts_render_from_detail(tmp_path):
     """Round-8 verdict #3/#4: the very-large (200M/0.5) cell and the
     merge_survival evidence block must render as explicit REPORT.md
