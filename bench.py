@@ -215,6 +215,15 @@ def bench_zipf_joins(
                         continue
                     runs_by_strategy[strategy].append(
                         round(time.monotonic() - t0, 3))
+                    if n_rows >= 100_000_000:
+                        # at >=100M a SINGLE run's shuffle is tens of
+                        # GB; holding a whole wave (repartition +
+                        # merge) before cleanup would exceed local
+                        # disk at the 400M point — release after
+                        # every run instead (still outside the timed
+                        # span)
+                        spark._jvm.System.gc()
+                        time.sleep(2.0)
                 if n_rows >= 30_000_000:
                     # very-large cells: each shuffle-join run leaves
                     # ~|fact| of dead shuffle files on spark.local.dir
