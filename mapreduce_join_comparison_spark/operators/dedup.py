@@ -1657,9 +1657,36 @@ def prefix_filter_jaccard_pairs_indexed(
         max_df = spark.table(f"{table_prefix}_dict").agg(
             F.max("df_sh")
         ).first()[0]
-    cand = _prefix_candidates(
-        postings, t_milli, hot=int(max_df or 0) > _SID_SALT_CAP
-    )
+    hot = int(max_df or 0) > _SID_SALT_CAP
+    if hot:
+        # Bucketing rides are for LINEAR stages (the verify joins);
+        # the candidate stage on a hot corpus is the QUADRATIC wall,
+        # and riding the fixed build-time bucket count pins it to
+        # n_buckets tasks with no AQE re-split — a fixed-parallelism
+        # quadratic stage is exactly what dies at 1000x (measured at
+        # the 50k-doc sf1 corpus: 219 s riding the 16-bucket layout
+        # vs 57 s for the same pair generation behind a fresh
+        # exchange). One linear exchange of the postings buys the
+        # cell stage spark.sql.shuffle.partitions-way parallelism;
+        # the cold path keeps the zero-exchange ride (plan-pinned in
+        # tests/test_round6_ops.py).
+        # explicit partition count: a column-only repartition is an
+        # AQE coalescing target (byte-based), and the hot stages'
+        # cost is per-CANDIDATE, not per-byte — AQE would shrink
+        # them right back to the bucket count
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        postings = postings.repartition(n_part, F.col("sid"))
+        # the verify joins are the other per-candidate stage: on a hot
+        # corpus the candidates concentrate on the near-duplicate
+        # cluster's doc ids, and the bucketed ride pins the join to
+        # n_buckets tasks with NO AQE skew-split (bucketed SMJ has no
+        # exchange to re-plan). Measured at the 50k-doc sf1 corpus:
+        # verify rode 16 buckets for 144 s of the probe's wall while
+        # the single-query form's exchanged+AQE verify finished inside
+        # a 57 s total. One linear exchange of the (linear-sized) doc
+        # index re-enables AQE for the quadratic side.
+        docs = docs.repartition(n_part, F.col("id"))
+    cand = _prefix_candidates(postings, t_milli, hot=hot)
     return _prefix_verify(cand, docs, threshold)
 
 

@@ -39,10 +39,13 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# pair-scale outputs (~18M rows at sf1): collect() for a value compare
-# blows spark.driver.maxResultSize, so these compare COUNT(*) engine-
-# side (full value-hash parity holds at the three driver scales)
-LARGE_OUTPUT = {"join_interval_multitier", "join_interval_overlap"}
+# pair-scale outputs (~18M rows at sf1; ~90M for the IEJoin pair set —
+# its urgent-order slice tiles 10x and pairs grow quadratically):
+# collect() for a value compare blows spark.driver.maxResultSize, so
+# these compare COUNT(*) engine-side (full value-hash parity holds at
+# the three driver scales)
+LARGE_OUTPUT = {"join_interval_multitier", "join_interval_overlap",
+                "join_theta_iejoin"}
 
 # key -> reason the DuckDB oracle is skipped AT SF1 ONLY (the Spark
 # query still runs; tri-scale oracle parity at sf0.001/0.01/0.1 is the
@@ -113,10 +116,19 @@ def main() -> int:
         if os.path.exists(f):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{f}'")
 
+    # ALWAYS merge into the committed artifact (the bench.py lesson,
+    # round-8 verdict #1, re-learned here in round 9: a --keys subset
+    # run clobbered the 201-key record down to 4 entries): previously
+    # recorded keys survive, re-run keys take the newest result, and
+    # the totals are recomputed over the union. --resume additionally
+    # SKIPS keys already recorded.
     record: dict[str, dict] = {}
-    if args.resume and os.path.exists(args.out):
-        with open(args.out) as fh:
-            record = json.load(fh).get("queries", {})
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as fh:
+                record = json.load(fh).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            record = {}
 
     def flush() -> None:
         done = [k for k, v in record.items()
