@@ -166,9 +166,20 @@ def main() -> int:
         "runs": {},
         f"parity_{args.exact_docs}": {},
     }
-    if args.resume and os.path.exists(args.out):
-        with open(args.out) as fh:
-            record = json.load(fh)
+    # ALWAYS merge into the committed artifact (same lesson as
+    # bench.py / sf1_soak.py: a --keys subset run must re-record only
+    # what it ran, never clobber the rest); --resume additionally
+    # SKIPS keys already recorded in this corpus bucket
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as fh:
+                prev = json.load(fh)
+            prev.setdefault("runs", {})
+            prev.setdefault(f"parity_{args.exact_docs}", {})
+            prev["corpus"] = record["corpus"]
+            record = prev
+        except (OSError, json.JSONDecodeError):
+            pass
 
     def flush() -> None:
         with open(args.out, "w") as fh:
