@@ -160,9 +160,19 @@ def main() -> int:
                   "s=1.07, boilerplate headers, dup injection as sf1)",
         "sizes": {}, "parity_2000": {},
     }
-    if args.resume and os.path.exists(args.out):
-        with open(args.out) as fh:
-            record = json.load(fh)
+    # ALWAYS merge into the committed artifact (same lesson as
+    # bench.py / sf1_soak / adversarial_soak: a --keys subset run
+    # re-records only what it ran); --resume additionally SKIPS keys
+    # already recorded per size bucket
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as fh:
+                prev = json.load(fh)
+            prev.setdefault("sizes", {})
+            prev.setdefault("parity_2000", {})
+            record = prev
+        except (OSError, json.JSONDecodeError):
+            pass
 
     def flush() -> None:
         with open(args.out, "w") as fh:
