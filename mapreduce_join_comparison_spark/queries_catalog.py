@@ -4089,6 +4089,55 @@ def join_theta_iejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_theta_iejoin_quantile",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey % 15 = 0
+    )
+    SELECT a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           CAST(b.day - a.day AS BIGINT) AS day_gap
+    FROM t a JOIN t b ON a.day < b.day AND a.cents > b.cents
+    """,
+)
+def join_theta_iejoin_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IEJoin pair query through the QUANTILE-edge grid
+    (round 9): bucket boundaries from per-axis union approxQuantile
+    instead of the uniform [min, max] split — the clustered-domain
+    upgrade path (operators/joins.iejoin_pairs, edges="quantile").
+    Any monotone non-decreasing bucketing preserves the candidate-cell
+    containment and exactly-once guarantees, so this key must produce
+    the IDENTICAL pair set under the same DuckDB oracle as
+    ``join_theta_iejoin`` — the driver's hash check proves the mode
+    equivalence end-to-end, complementing the unit parity test
+    (tests/test_joins.py::test_iejoin_pairs_quantile_edges...)."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import iejoin_pairs
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    t = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_custkey") % 15 == 0)
+    )
+    day = F.expr("unix_micros(o_orderdate) DIV 86400000000")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = t.select(F.col("o_orderkey").alias("okey_a"),
+                 day.alias("day_a"), cents.alias("cents_a"))
+    b = t.select(F.col("o_orderkey").alias("okey_b"),
+                 day.alias("day_b"), cents.alias("cents_b"))
+    return iejoin_pairs(
+        a, b, "day_a", "day_b", "cents_a", "cents_b", edges="quantile"
+    ).select(
+        "okey_a", "okey_b",
+        (F.col("day_b") - F.col("day_a")).cast("bigint").alias("day_gap"),
+    )
+
+
+@register(
     "join_fuzzy_names",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part),

@@ -364,6 +364,10 @@ EXPECTATIONS = {
     # its candidate cells, ONE (cx, cy) equi-join — broadcast at smoke
     # scale, ≤2 side exchanges at size; never BNLJ/CartesianProduct
     "join_theta_iejoin": (2, "HashJoin"),
+    # same query through the quantile-edge grid (round 9): identical
+    # join shape; the per-axis union approxQuantile probes run at
+    # construction time, not in the plan
+    "join_theta_iejoin_quantile": (2, "HashJoin"),
     # bitset build (dim distinct + position distinct) + probe-key
     # distinct + per-key pass agg + the 1-row final agg; bitset and
     # membership re-attach by broadcast — the fact is never reshuffled

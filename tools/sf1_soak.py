@@ -45,7 +45,7 @@ TABLES = (
 # these compare COUNT(*) engine-side (full value-hash parity holds at
 # the three driver scales)
 LARGE_OUTPUT = {"join_interval_multitier", "join_interval_overlap",
-                "join_theta_iejoin"}
+                "join_theta_iejoin", "join_theta_iejoin_quantile"}
 
 # key -> reason the DuckDB oracle is skipped AT SF1 ONLY (the Spark
 # query still runs; tri-scale oracle parity at sf0.001/0.01/0.1 is the
