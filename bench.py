@@ -224,7 +224,7 @@ def bench_zipf_joins(
                         # span)
                         spark._jvm.System.gc()
                         time.sleep(2.0)
-                if n_rows >= 30_000_000:
+                if 30_000_000 <= n_rows < 100_000_000:
                     # very-large cells: each shuffle-join run leaves
                     # ~|fact| of dead shuffle files on spark.local.dir
                     # (ContextCleaner only releases them after the
@@ -232,7 +232,9 @@ def bench_zipf_joins(
                     # 200M point accumulates >40 GB/wave and ENOSPCs
                     # the run (observed round 9). Force the GC between
                     # waves — OUTSIDE every timed span, so no join
-                    # number is billed for it.
+                    # number is billed for it. (>=100M cells already
+                    # GC after EVERY run above — skip the redundant
+                    # wave-end duplicate.)
                     spark._jvm.System.gc()
                     time.sleep(2.0)
         for strategy, runs in runs_by_strategy.items():
@@ -301,11 +303,26 @@ def restrict_to_headline(detail: dict) -> dict:
     (_anchor) and the zipf_* line items always pass through."""
     headline = set(HEADLINE)
     out = dict(detail)
+    dropped = False
     for qmap in ("queries_cold", "queries_warm", "queries_warm_detail"):
-        out[qmap] = {
+        kept = {
             k: v for k, v in (out.get(qmap) or {}).items()
             if k.startswith(("_", "zipf_")) or k in headline
         }
+        dropped = dropped or len(kept) != len(out.get(qmap) or {})
+        out[qmap] = kept
+    if dropped:
+        # re-derive the sum-of-medians totals so a dropped phantom
+        # key can't survive inside them (restriction may run AFTER
+        # merge_details already recomputed totals over the union)
+        if out.get("queries_warm_detail"):
+            out["total_warm_sec"] = round(
+                sum(v["median"]
+                    for k, v in out["queries_warm_detail"].items()
+                    if not k.startswith("_")), 3)
+        if out.get("queries_cold"):
+            out["total_cold_sec"] = round(
+                sum(out["queries_cold"].values()), 3)
     return out
 
 
@@ -354,12 +371,15 @@ def merge_details(old: dict, new: dict) -> dict:
         out["total_warm_sec"] = round(
             sum(v["median"] for k, v in out["queries_warm_detail"].items()
                 if not k.startswith("_")), 3)
-    if new.get("queries_cold") is not None and out.get("queries_cold"):
+    if new.get("queries_cold") and out.get("queries_cold"):
         # a subset run's cold-phase wall covers only the subset; after
         # the per-key merge the honest total is the sum over the
         # MERGED map (slightly under the historical phase wall, which
         # included inter-query overhead — consistently derived beats
-        # a total that silently describes a different key set)
+        # a total that silently describes a different key set).
+        # Truthiness gate, not `is not None`: a --skip-queries run
+        # carries an EMPTY cold map and must not touch the committed
+        # cold total at all.
         out["total_cold_sec"] = round(
             sum(out["queries_cold"].values()), 3)
     zipf = [v for k, v in (out.get("queries_warm") or {}).items()
@@ -690,7 +710,10 @@ def main() -> None:
         "queries_cold": queries_cold,
         "queries_warm": queries_warm,
         "queries_warm_detail": warm_detail,
-        "repeats": max(1, args.repeats),
+        # None when no query phase ran: merge_details keeps the
+        # committed value, so a sweep-only --repeats 3 run can't
+        # relabel warm tables that were measured at 5 repeats
+        "repeats": None if args.skip_queries else max(1, args.repeats),
         "total_cold_sec": total_cold,
         "total_warm_sec": total_warm,
         "zipf_total_sec": zipf_total,
@@ -728,6 +751,10 @@ def main() -> None:
                     detail = merge_details(json.load(f), detail)
             except (OSError, ValueError):
                 pass  # no committed detail yet: write this run as-is
+            # restrict the MERGED result too, so pollution already in
+            # the committed file self-heals on the next write instead
+            # of surviving every merge
+            detail = restrict_to_headline(detail)
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
         # re-render REPORT.md from the detail just written so the

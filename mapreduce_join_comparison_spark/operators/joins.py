@@ -758,15 +758,15 @@ def iejoin_pairs(
     if edges == "quantile" and b > 1:
         probs = [i / b for i in range(1, b)]
         err = 1.0 / (4 * b)
-        xcuts = (
-            lt.select(lx.cast("double").alias("v"))
-            .union(rt.select(rx.cast("double").alias("v")))
-            .approxQuantile("v", probs, err)
-        )
-        ycuts = (
-            lt.select(ly.cast("double").alias("v"))
-            .union(rt.select(ry.cast("double").alias("v")))
-            .approxQuantile("v", probs, err)
+        # ONE union scan probing both axes (multi-column
+        # approxQuantile) — two per-axis unions would recompute the
+        # full upstream twice for identical cuts
+        xcuts, ycuts = (
+            lt.select(lx.cast("double").alias("vx"),
+                      ly.cast("double").alias("vy"))
+            .union(rt.select(rx.cast("double").alias("vx"),
+                             ry.cast("double").alias("vy")))
+            .approxQuantile(["vx", "vy"], probs, err)
         )
         bx_l, by_l = _edge_bucket(left_x, xcuts), _edge_bucket(left_y, ycuts)
         bx_r, by_r = _edge_bucket(right_x, xcuts), _edge_bucket(right_y, ycuts)

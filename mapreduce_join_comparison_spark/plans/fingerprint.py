@@ -393,18 +393,21 @@ def derive_priority(
     stale_direct.sort(key=by_age)
     stale_trans.sort(key=by_age)
     fresh.sort(key=by_age)
-    # stale-gated pins lead the stale block (see FRONTLOAD) — but only
-    # while the manifest's newest green predates FRONTLOAD_ROUND: once
-    # a round-(FRONTLOAD_ROUND) green exists, the window the pins were
-    # aimed at has run and the list is expired, whoever forgot to
-    # update it (round-8 advice: mechanical expiry over maintenance)
+    # stale-gated pins lead the stale block (see FRONTLOAD). Expiry is
+    # PER KEY (round-9 review: an any-key round-N green expired the
+    # whole list, so a partial driver window — e.g. one that only
+    # reached the never-green keys before its budget — permanently
+    # demoted pins that were never re-proven): a pin holds while THAT
+    # key's last green predates FRONTLOAD_ROUND; once the key has a
+    # round-(FRONTLOAD_ROUND)+ green, the window the pin was aimed at
+    # has covered it and the pin expires mechanically (round-8 advice:
+    # mechanical expiry over maintenance). A pinned key that is not
+    # stale sorts normally anyway (the `in stale_all` gate).
     stale_all = stale_direct + stale_trans
-    newest_green = max(
-        (rec.get("round", 0) for rec in manifest.values()), default=0
-    )
-    pinned = (
-        [k for k in FRONTLOAD if k in set(stale_all)]
-        if newest_green < FRONTLOAD_ROUND else []
-    )
+    pinned = [
+        k for k in FRONTLOAD
+        if k in set(stale_all)
+        and manifest.get(k, {}).get("round", 0) < FRONTLOAD_ROUND
+    ]
     rest = [k for k in stale_all if k not in set(pinned)]
     return never + pinned + rest + fresh

@@ -119,15 +119,14 @@ def test_registry_order_matches_staleness_policy():
     manifest, never, stale_direct, stale_trans, fresh = _classify()
     order = list(qc.QUERIES)
     stale = set(stale_direct) | set(stale_trans)
-    # pins expire mechanically once the manifest holds a green from
-    # FRONTLOAD_ROUND or later (round-8 advice) — mirror that gate
-    newest_green = max(
-        (rec.get("round", 0) for rec in manifest.values()), default=0
-    )
-    pinned = (
-        [k for k in fp.FRONTLOAD if k in stale]
-        if newest_green < fp.FRONTLOAD_ROUND else []
-    )
+    # pins expire mechanically PER KEY once THAT key has a green from
+    # FRONTLOAD_ROUND or later (round-9 review: an any-key gate let a
+    # partial driver window expire unproven pins) — mirror that gate
+    pinned = [
+        k for k in fp.FRONTLOAD
+        if k in stale
+        and manifest.get(k, {}).get("round", 0) < fp.FRONTLOAD_ROUND
+    ]
     n_never, n_pin, n_stale = len(never), len(pinned), len(stale)
     assert set(order[:n_never]) == set(never), (
         f"never-green keys must lead: {order[:n_never]} vs {never}"
@@ -150,6 +149,50 @@ def test_registry_order_matches_staleness_policy():
     ):
         rounds = [manifest[k]["round"] for k in block]
         assert rounds == sorted(rounds), f"non-monotone rounds: {block}"
+
+
+def test_frontload_pin_expiry_is_per_key(monkeypatch):
+    """Crafted-manifest pin of the expiry semantics, independent of
+    the production classification path (round-9 review: the previous
+    test mirrored derive_priority's own gate verbatim, so a wrong gate
+    could never fail it). Three facts must hold:
+      * a stale pinned key whose last green predates FRONTLOAD_ROUND
+        leads the stale block;
+      * an UNRELATED key's round-(FRONTLOAD_ROUND) green does NOT
+        expire other pins (the partial-window failure mode);
+      * a pinned key re-proven green at FRONTLOAD_ROUND sorts
+        normally once stale again (its own pin has expired)."""
+    queries = {"q_pin_old": 1, "q_pin_proven": 1, "q_other": 1,
+               "q_fresh": 1}
+    manifest = {
+        # stale (fp moved), last green round 6 -> pin holds
+        "q_pin_old": {"fp": "OLD", "nfp": "OLD", "round": 6},
+        # stale again AFTER being re-proven at FRONTLOAD_ROUND ->
+        # its pin has expired; sorts by age with the rest
+        "q_pin_proven": {"fp": "OLD", "nfp": "OLD",
+                         "round": fp.FRONTLOAD_ROUND},
+        # unrelated key green at FRONTLOAD_ROUND — must not expire
+        # q_pin_old's pin
+        "q_other": {"fp": "OLD", "nfp": "OLD",
+                    "round": fp.FRONTLOAD_ROUND},
+        "q_fresh": {"fp": "CUR", "nfp": "CUR", "round": 5},
+    }
+    current = {k: "CUR" for k in queries}
+    monkeypatch.setattr(fp, "load_manifest", lambda: manifest)
+    monkeypatch.setattr(
+        fp, "compute_fingerprints",
+        lambda q, o, narrow=False: dict(current),
+    )
+    monkeypatch.setattr(
+        fp, "FRONTLOAD", ("q_pin_old", "q_pin_proven"), raising=True
+    )
+    order = fp.derive_priority(queries, {})
+    assert order[0] == "q_pin_old", order
+    # the expired pin sorts by last-green age among the stale rest:
+    # q_other (round FRONTLOAD_ROUND) ties q_pin_proven; q_pin_old
+    # already led, q_fresh (unchanged fp) is last
+    assert order[-1] == "q_fresh", order
+    assert set(order[1:3]) == {"q_pin_proven", "q_other"}, order
 
 
 def test_unverified_queries_lead_the_registry():

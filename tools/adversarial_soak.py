@@ -176,10 +176,27 @@ def main() -> int:
                 prev = json.load(fh)
             prev.setdefault("runs", {})
             prev.setdefault(f"parity_{args.exact_docs}", {})
-            prev["corpus"] = record["corpus"]
+            # per-bucket corpus descriptions: the top-level "corpus"
+            # must not be rewritten to THIS run's params while other
+            # runs-buckets measured under different ones survive the
+            # merge (round-9 review) — each bucket records its own.
+            # Legacy single-"corpus" files migrate it to every bucket
+            # that already exists (they were all written under it).
+            legacy = prev.pop("corpus", None)
+            prev.setdefault("corpora", {})
+            if legacy:
+                for bkey in prev["runs"]:
+                    prev["corpora"].setdefault(bkey, legacy)
             record = prev
         except (OSError, json.JSONDecodeError):
             pass
+    this_desc = record.pop("corpus", None) or (
+        f"gen_sf1 adversarial: {args.docs} docs with ONE "
+        f"{args.cluster}-member ~2%-mutated near-duplicate cluster "
+        "(realistic 50k-word Zipf background, no other dups)"
+    )
+    record.setdefault("corpora", {})[
+        f"{args.docs}_{args.cluster}"] = this_desc
 
     def flush() -> None:
         with open(args.out, "w") as fh:
