@@ -77,3 +77,50 @@ def test_join_types_match_duckdb(spark, how, left, right):
     assert run_spark_join(spark, left, right, how, "merge") == duck_join(
         left, right, how
     )
+
+
+# --------------------------------------------------------------------------
+# IEJoin pair join (round 9): random integer frames with heavy ties,
+# NULLs, negatives, and clustered values — both bucket-edge modes must
+# equal the naive cross-filter at several grid sizes including
+# n_buckets larger than the domain. Catches boundary-cell mistakes no
+# crafted case anticipates (the crafted edge cases live in
+# test_joins.py; this is the random sweep).
+# --------------------------------------------------------------------------
+
+IE_COORD = st.one_of(
+    st.integers(min_value=-5, max_value=5),          # dense ties
+    st.integers(min_value=990, max_value=1000),      # far cluster
+    st.none(),
+)
+IE_TABLE = st.lists(
+    st.tuples(IE_COORD, IE_COORD), min_size=0, max_size=18
+)
+
+
+@pytest.mark.parametrize("edges", ["uniform", "quantile"])
+@given(left=IE_TABLE, right=IE_TABLE, b=st.sampled_from([1, 3, 8]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_iejoin_pairs_matches_naive_property(spark, edges, left, right, b):
+    from mapreduce_join_comparison_spark.operators.joins import iejoin_pairs
+
+    ldf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(left)],
+        schema="lid: bigint, lx: bigint, ly: bigint",
+    )
+    rdf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(right)],
+        schema="rid: bigint, rx: bigint, ry: bigint",
+    )
+    got = rows_set(
+        iejoin_pairs(ldf, rdf, "lx", "rx", "ly", "ry",
+                     n_buckets=b, edges=edges)
+    )
+    naive = rows_set(
+        ldf.crossJoin(rdf).filter("lx < rx AND ly > ry")
+    )
+    assert got == naive
