@@ -312,17 +312,31 @@ def restrict_to_headline(detail: dict) -> dict:
         dropped = dropped or len(kept) != len(out.get(qmap) or {})
         out[qmap] = kept
     if dropped:
-        # re-derive the sum-of-medians totals so a dropped phantom
-        # key can't survive inside them (restriction may run AFTER
-        # merge_details already recomputed totals over the union)
-        if out.get("queries_warm_detail"):
-            out["total_warm_sec"] = round(
-                sum(v["median"]
-                    for k, v in out["queries_warm_detail"].items()
-                    if not k.startswith("_")), 3)
-        if out.get("queries_cold"):
-            out["total_cold_sec"] = round(
-                sum(out["queries_cold"].values()), 3)
+        # re-derive the sum-of-medians totals UNCONDITIONALLY so a
+        # dropped phantom key can't survive inside them (restriction
+        # may run AFTER merge_details already recomputed totals over
+        # the union). When a run measured ONLY dropped keys the maps
+        # are now empty and the totals become 0.0 — falsy, so
+        # merge_details keeps the committed totals instead of letting
+        # the subset run's phase wall overwrite them (round-10 advice:
+        # committed 154.9 s was relabeled 2.5 s by a 2-key spot run).
+        out["total_warm_sec"] = round(
+            sum(v["median"]
+                for k, v in out["queries_warm_detail"].items()
+                if not k.startswith("_")), 3)
+        out["total_cold_sec"] = round(
+            sum(out["queries_cold"].values()), 3)
+        # if no catalog key survived in ANY query map, this run has
+        # nothing to say about the committed tables' repeat count
+        # either — None lets merge_details keep the committed repeats
+        # (a 3-repeat spot run must not relabel 5-repeat tables)
+        if not any(
+            k for qmap in ("queries_cold", "queries_warm",
+                           "queries_warm_detail")
+            for k in out[qmap]
+            if not k.startswith(("_", "zipf_"))
+        ):
+            out["repeats"] = None
     return out
 
 

@@ -368,7 +368,7 @@ def _query_table_from_detail(path: str) -> list[str]:
     if not cold:
         return []
     if spread:
-        rep = detail.get("repeats", "?")
+        rep = detail.get("repeats") or "?"
         lines = ["", f"## Per-query wall time (sec; warm = median of "
                      f"{rep} runs)", "",
                  "| query | cold | warm median | min | max |",

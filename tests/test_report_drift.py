@@ -201,6 +201,61 @@ def test_restrict_to_headline_guards_committed_tables():
     assert "not_a_headline_key" in detail["queries_warm_detail"]
 
 
+def test_restrict_to_headline_all_dropped_run(tmp_path):
+    """Round-10 advice (medium): a --queries run that measured ONLY
+    non-headline keys must not carry its subset-wall totals or repeat
+    count into the merge — after restriction the totals must be the
+    (falsy) sum over the now-empty maps and repeats must be None, so
+    merge_details keeps the committed 154.9 s / 5-repeat labels
+    instead of relabeling them 2.5 s / 3."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import merge_details, restrict_to_headline
+
+    subset = {
+        "queries_cold": {"dedup_ngram_jaccard": 1.2,
+                         "dedup_prefix_filter": 1.3},
+        "queries_warm": {"dedup_ngram_jaccard": 1.0},
+        "queries_warm_detail": {
+            "dedup_ngram_jaccard": {"median": 1.0},
+            "_anchor": {"median": 0.15},
+        },
+        "repeats": 3,
+        "total_cold_sec": 2.5,
+        "total_warm_sec": 1.0,
+    }
+    out = restrict_to_headline(subset)
+    assert out["queries_cold"] == {}
+    assert out["total_cold_sec"] == 0.0
+    assert out["total_warm_sec"] == 0.0
+    assert out["repeats"] is None
+
+    committed = {
+        "queries_cold": {"join_repartition": 154.9},
+        "queries_warm": {"join_repartition": 100.0},
+        "queries_warm_detail": {"join_repartition": {"median": 100.0}},
+        "repeats": 5,
+        "total_cold_sec": 154.9,
+        "total_warm_sec": 100.0,
+    }
+    merged = merge_details(committed, out)
+    assert merged["total_cold_sec"] == 154.9
+    assert merged["total_warm_sec"] == 100.0
+    assert merged["repeats"] == 5
+    # a headline key measured alongside still merges normally
+    partial = dict(subset)
+    partial["queries_warm_detail"] = {
+        "join_repartition": {"median": 90.0},
+        "dedup_ngram_jaccard": {"median": 1.0},
+    }
+    out2 = restrict_to_headline(partial)
+    assert out2["repeats"] == 3  # run DID measure a headline key
+    merged2 = merge_details(committed, out2)
+    assert merged2["queries_warm_detail"]["join_repartition"][
+        "median"] == 90.0
+
+
 def test_reference_callouts_render_from_detail(tmp_path):
     """Round-8 verdict #3/#4: the very-large (200M/0.5) cell and the
     merge_survival evidence block must render as explicit REPORT.md

@@ -3,7 +3,7 @@
 
 The reference's sort-merge join stops completing at skew 1.2 once the
 input passes ~36M rows: ``data/results_speedup_1.2.csv:13-15`` records
-t=0 rows for merge at 36M/40M/44M while repartition keeps finishing
+t=0 rows for merge at 36M/39M/42M while repartition keeps finishing
 (thesis figs. 6.3-6.4 — the hot Zipf key overflows one reducer's
 merge buffer and the job dies). Our posture is that the same plan
 SURVIVES on Spark: AQE's skew-split shuffle read breaks the hot key's
@@ -58,9 +58,9 @@ from mapreduce_join_comparison_spark.session import (
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 # the reference rows this measurement answers: merge t=0 (failed) at
-# 36M/40M/44M rows, skew 1.2, while repartition completed
+# 36M/39M/42M rows, skew 1.2, while repartition completed
 REFERENCE_CITATION = (
-    "data/results_speedup_1.2.csv:13-15 (merge t=0 at 36M/40M/44M rows)"
+    "data/results_speedup_1.2.csv:13-15 (merge t=0 at 36M/39M/42M rows)"
 )
 
 
