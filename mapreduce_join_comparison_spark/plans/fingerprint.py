@@ -316,14 +316,42 @@ MANIFEST_NAME = "FINGERPRINTS.json"
 #     (FRONTLOAD_ROUND) and is dropped MECHANICALLY once the manifest
 #     contains a green from that round or later — i.e. the driver
 #     window the pins were aimed at has already run.
-FRONTLOAD_ROUND = 9
+FRONTLOAD_ROUND = 10
 FRONTLOAD: tuple[str, ...] = (
-    # round-9 semantic changes: the prefix family's candidate stage
-    # moved the PPJoin positional+length filters inside pair
-    # generation (output proven identical, plans changed)
+    # round-10 semantic change: the prefix family's cold candidate
+    # path moved the PPJoin occurrence filters from the in-lambda
+    # form to a post-explode columnar WHERE (output proven identical,
+    # plans changed)
     "dedup_prefix_filter",
     "dedup_prefix_filter_indexed",
     "dedup_prefix_filter_delta",
+    # round-10 verdict directive #6: the keys whose most recent
+    # driver check predates round 6 — five rounds of refactors since;
+    # parity_check covers them locally every round, but the driver's
+    # CORRECTNESS_r10 entry is the hard signal. Oldest first.
+    "generator_uniform",           # last driver-green r2
+    "agg_cube",                    # r4 …
+    "agg_groupby",
+    "agg_heavy_hitters",
+    "agg_pivot",
+    "agg_promo_revenue",
+    "agg_statistics",
+    "agg_summary_stats",
+    "array_functions",
+    "date_functions",
+    "filter_predicates",
+    "join_cross",
+    "join_range_bands",
+    "layout_compaction",
+    "scalar_functions",
+    "set_except_union",
+    "set_ops",
+    "source_schema_evolution",
+    "top_k_per_group",
+    "window_functions",
+    "events_variant_extract",      # r5 …
+    "join_null_safe",
+    "set_ops_multiset",
 )
 
 
@@ -393,21 +421,28 @@ def derive_priority(
     stale_direct.sort(key=by_age)
     stale_trans.sort(key=by_age)
     fresh.sort(key=by_age)
-    # stale-gated pins lead the stale block (see FRONTLOAD). Expiry is
-    # PER KEY (round-9 review: an any-key round-N green expired the
-    # whole list, so a partial driver window — e.g. one that only
-    # reached the never-green keys before its budget — permanently
-    # demoted pins that were never re-proven): a pin holds while THAT
-    # key's last green predates FRONTLOAD_ROUND; once the key has a
+    # pins lead the checked block (see FRONTLOAD). Expiry is PER KEY
+    # (round-9 review: an any-key round-N green expired the whole
+    # list, so a partial driver window — e.g. one that only reached
+    # the never-green keys before its budget — permanently demoted
+    # pins that were never re-proven): a pin holds while THAT key's
+    # last green predates FRONTLOAD_ROUND; once the key has a
     # round-(FRONTLOAD_ROUND)+ green, the window the pin was aimed at
     # has covered it and the pin expires mechanically (round-8 advice:
-    # mechanical expiry over maintenance). A pinned key that is not
-    # stale sorts normally anyway (the `in stale_all` gate).
+    # mechanical expiry over maintenance). Round 10 dropped the
+    # stale-only gate: a pin may also target a FRESH key whose last
+    # green is simply old (verdict directive #6 — generator_uniform's
+    # fingerprint hadn't moved since round 2, so the stale gate kept
+    # a five-round-old check from ever re-entering a window that ~119
+    # shared-module-stale keys saturate); the per-key round expiry
+    # still retires it after its aimed window runs.
     stale_all = stale_direct + stale_trans
     pinned = [
         k for k in FRONTLOAD
-        if k in set(stale_all)
+        if k in reg_pos and k not in set(never)
         and manifest.get(k, {}).get("round", 0) < FRONTLOAD_ROUND
     ]
-    rest = [k for k in stale_all if k not in set(pinned)]
+    pinset = set(pinned)
+    rest = [k for k in stale_all if k not in pinset]
+    fresh = [k for k in fresh if k not in pinset]
     return never + pinned + rest + fresh

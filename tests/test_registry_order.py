@@ -121,31 +121,34 @@ def test_registry_order_matches_staleness_policy():
     stale = set(stale_direct) | set(stale_trans)
     # pins expire mechanically PER KEY once THAT key has a green from
     # FRONTLOAD_ROUND or later (round-9 review: an any-key gate let a
-    # partial driver window expire unproven pins) — mirror that gate
+    # partial driver window expire unproven pins). Round 10: a pin may
+    # also target a FRESH key whose last green is simply old (verdict
+    # directive #6) — mirror both gates
     pinned = [
         k for k in fp.FRONTLOAD
-        if k in stale
+        if k in qc.QUERIES and k not in set(never)
         and manifest.get(k, {}).get("round", 0) < fp.FRONTLOAD_ROUND
     ]
-    n_never, n_pin, n_stale = len(never), len(pinned), len(stale)
+    pinset = set(pinned)
+    n_never, n_pin = len(never), len(pinned)
+    n_stale_rest = len(stale - pinset)
     assert set(order[:n_never]) == set(never), (
         f"never-green keys must lead: {order[:n_never]} vs {never}"
     )
     assert order[n_never:n_never + n_pin] == pinned, (
-        "stale FRONTLOAD pins must lead the stale block in pin order"
+        "FRONTLOAD pins must lead the checked block in pin order"
     )
-    assert set(order[n_never:n_never + n_stale]) == stale, (
-        "stale keys must precede fresh greens"
-    )
+    assert set(order[n_never + n_pin:n_never + n_pin + n_stale_rest]) \
+        == stale - pinset, "unpinned stale keys must precede fresh greens"
     # after the pins: direct-stale precede transitive-stale
-    tail = [k for k in order[n_never + n_pin:n_never + n_stale]]
-    n_dir = len([k for k in stale_direct if k not in pinned])
-    assert set(tail[:n_dir]) == {k for k in stale_direct if k not in pinned}
+    tail = order[n_never + n_pin:n_never + n_pin + n_stale_rest]
+    n_dir = len([k for k in stale_direct if k not in pinset])
+    assert set(tail[:n_dir]) == {k for k in stale_direct if k not in pinset}
     # within each age-sorted block, last-green rounds never decrease
     for block in (
         tail[:n_dir],
         tail[n_dir:],
-        order[n_never + n_stale:],
+        order[n_never + n_pin + n_stale_rest:],
     ):
         rounds = [manifest[k]["round"] for k in block]
         assert rounds == sorted(rounds), f"non-monotone rounds: {block}"
@@ -193,6 +196,18 @@ def test_frontload_pin_expiry_is_per_key(monkeypatch):
     # already led, q_fresh (unchanged fp) is last
     assert order[-1] == "q_fresh", order
     assert set(order[1:3]) == {"q_pin_proven", "q_other"}, order
+    # round 10: a pin on a FRESH key with an old last green fronts it
+    # too (generator_uniform's fingerprint hadn't moved since r2, so
+    # the old stale-only gate could never re-window it) — and the
+    # same per-key round expiry still applies to fresh pins
+    monkeypatch.setattr(
+        fp, "FRONTLOAD", ("q_fresh", "q_pin_old"), raising=True
+    )
+    order = fp.derive_priority(queries, {})
+    assert order[:2] == ["q_fresh", "q_pin_old"], order
+    manifest["q_fresh"]["round"] = fp.FRONTLOAD_ROUND
+    order = fp.derive_priority(queries, {})
+    assert order[0] == "q_pin_old" and order[-1] == "q_fresh", order
 
 
 def test_unverified_queries_lead_the_registry():
