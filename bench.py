@@ -775,12 +775,19 @@ def main() -> None:
         # committed report can never drift from its source (round-3
         # verdict: the two disagreed); test_report_drift pins this
         if name == "BENCH_DETAIL.json":
-            from mapreduce_join_comparison_spark.cli import render_report
+            from mapreduce_join_comparison_spark.cli import (
+                generate_figures,
+                render_report,
+            )
 
             render_report(
                 csv=[], detail=detail_path,
                 out=os.path.join(repo_dir, "REPORT.md"), svg=None,
             )
+            # figures/ regenerates in the same lockstep (round-10,
+            # reference R-scripts analog — test_report_drift pins it)
+            generate_figures(detail_path,
+                             os.path.join(repo_dir, "figures"))
     except OSError:
         pass  # read-only checkout: the preceding stdout line still has it
     print(json.dumps({"detail": detail}))

@@ -322,9 +322,56 @@ def _callouts_from_detail(path: str) -> list[str]:
         for strategy in ("repartition", "merge", "broadcast"):
             if strategy in very_large:
                 ref = {"repartition": " (reference: 71.8 s)",
-                       "merge": " (reference: 59.6 s)"}.get(strategy, "")
+                       "merge": " (reference: 59.6 s merge STAGE only"
+                                " — see below)"}.get(strategy, "")
                 lines.append(f"* {strategy}: "
                              f"**{very_large[strategy]:.1f} s**{ref}")
+        if "merge" in very_large:
+            # fair-comparison framing (round-10 verdict directive #3):
+            # the reference's 59.6 s is its merge STAGE alone — its
+            # inputs were already key-extracted and totally sorted by
+            # the pipeline's earlier jobs. Our SortMergeJoin number
+            # includes the shuffle AND the sort. The reference's own
+            # row records the pipeline stages (`t_merge_1_2` 17.7 s
+            # key-extract, `t_merge_2_1` 25.6 s + `t_merge_2_2`
+            # 32.7 s sorts, `t_merge_3` 59.6 s merge; `t_merge_1_1`
+            # missing), so its sort-included total is ≥ 135.6 s.
+            lines += [
+                "",
+                f"The merge rows are not like-for-like: the "
+                f"reference's 59.6 s covers its merge STAGE alone — "
+                f"inputs pre-sorted by the pipeline's earlier jobs, "
+                f"whose same-row stage walls sum to **≥ 135.6 s** "
+                f"(17.7 key-extract + 25.6 + 32.7 sort + 59.6 merge; "
+                f"first key-extract not recorded). Our "
+                f"**{very_large['merge']:.1f} s** includes the "
+                f"shuffle and the sort, so against the sort-included "
+                f"comparator this engine is "
+                f"**{135.6 / very_large['merge']:.2f}× faster**.",
+            ]
+        presorted = detail.get("merge_presorted") or {}
+        if presorted.get("merge"):
+            med = presorted["merge"]["median"]
+            marker = ("zero Exchange/Sort above the scan in the "
+                      "executed plan"
+                      if presorted.get("no_exchange_no_sort")
+                      else "WARNING: plan shows exchange/sort — not a "
+                           "pre-sorted ride")
+            lines += [
+                "",
+                f"Like-for-like with the 59.6 s merge-stage row: "
+                f"staged as co-bucketed, per-bucket-sorted tables "
+                f"(`sources/io.py` S4 composite scan — the sort paid "
+                f"at write time, exactly like the reference's "
+                f"pre-sorting jobs), the same "
+                f"{presorted.get('rows', 0):,}-row join's merge "
+                f"stage runs in **{med:.1f} s** (median of "
+                f"{presorted.get('repeats')} runs, min "
+                f"{presorted['merge']['min']:.1f} / max "
+                f"{presorted['merge']['max']:.1f}; {marker}; "
+                f"staging {presorted.get('stage_sec', 0):.0f} s — "
+                f"tools/merge_staged.py).",
+            ]
 
     survival = detail.get("merge_survival") or {}
     if survival.get("merge"):
@@ -351,6 +398,88 @@ def _callouts_from_detail(path: str) -> list[str]:
                   f"instead of dying on it (tools/merge_survival.py; "
                   f"the same plan assertion tests/test_skew_aqe.py "
                   f"pins in CI at 3 M rows)."]
+    return lines
+
+
+# the reference's double-skew experiment walls (ns -> s), for the
+# side-by-side columns in _double_skew_table_from_detail:
+# data/broadcast_vs_repartition_single_input.csv:2-11
+# (= speedup_double_skew_0.5.csv) — rows: (repartition, broadcast,
+# merge). tools/double_skew_bench.py imports this as its point list.
+DOUBLE_SKEW_REFERENCE_WALLS = {
+    3_000_000: (56.6, 36.6, 236.0),
+    6_000_000: (91.1, 49.9, 364.9),
+    9_000_000: (122.9, 72.6, 532.5),
+    12_000_000: (149.9, 99.8, 696.8),
+    15_000_000: (176.9, 114.6, 869.2),
+    18_000_000: (230.0, 117.0, 1003.3),
+    21_000_000: (233.4, 126.2, 1247.4),
+    24_000_000: (287.8, 157.7, 1352.9),
+    27_000_000: (335.4, 186.3, 1402.3),
+    30_000_000: (381.3, 206.5, 1664.5),
+}
+
+
+def _double_skew_table_from_detail(path: str) -> list[str]:
+    """Markdown section for the ``double_skew`` evidence block written
+    by tools/double_skew_bench.py — the reference's both-inputs-skewed
+    experiment (``writeZipfBoth``: the identical Zipf row stream is
+    both join inputs, so output is quadratic in hot-key multiplicity).
+    Renders one row per measured cell with the reference's walls
+    alongside; absent when the detail lacks the block, so small driver
+    runs don't fabricate claims."""
+    import json
+
+    with open(path) as f:
+        detail = json.load(f)
+    block = detail.get("double_skew") or {}
+    cells = block.get("cells") or {}
+    if not cells:
+        return []
+
+    def fmt(cell: dict, strategy: str) -> str:
+        rec = cell.get(strategy) or {}
+        if "median" in rec:
+            return f"{rec['median']:.1f}"
+        if "refused" in rec:
+            return "refused (budget)"
+        if "failed" in rec:
+            return "failed"
+        return ""
+
+    lines = [
+        "", "## Double-skew (both inputs skewed — reference's "
+        "single-input experiment)", "",
+        f"The reference's last experiment without a measured analog "
+        f"({block.get('reference')}): the SAME Zipf"
+        f"({block.get('skew')}) row stream is written to both join "
+        f"inputs, so the join output is quadratic in the hot-key "
+        f"multiplicity (Σ cₖ² — the `out rows` column) and its merge "
+        f"wall reaches 1664 s at 30 M rows on the 17-node cluster. "
+        f"Walls are medians of {block.get('repeats') or '?'} runs "
+        f"(sec, noop-sink materialization, staged parquet inputs); "
+        f"`broadcast` enforces the production 512 MiB build-side "
+        f"budget (a refusal is the designed fail-fast — the reference "
+        f"met the same wall as a GC death at ~3.8 GB, thesis ch. "
+        f"6.3); `broadcast forced` waives it for parity with the "
+        f"reference cluster's ~187 GB-per-node headroom.", "",
+        "| rows | out rows | repartition | broadcast | broadcast "
+        "forced | merge | ref repart | ref bcast | ref merge |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for rows_s in sorted(cells, key=int):
+        cell = cells[rows_s]
+        ref = DOUBLE_SKEW_REFERENCE_WALLS.get(int(rows_s))
+        ref_cols = (f"{ref[0]:.1f} | {ref[1]:.1f} | {ref[2]:.1f}"
+                    if ref else " | | ")
+        out_rows = cell.get("out_rows")
+        out_col = f"{out_rows:,}" if out_rows is not None else ""
+        lines.append(
+            f"| {int(rows_s):,} | {out_col} | "
+            f"{fmt(cell, 'repartition')} | {fmt(cell, 'broadcast')} | "
+            f"{fmt(cell, 'broadcast_forced')} | {fmt(cell, 'merge')} | "
+            f"{ref_cols} |"
+        )
     return lines
 
 
@@ -564,6 +693,75 @@ def _render_line_svg(records: list[dict], row_key: str, title: str) -> str:
     return "\n".join(out)
 
 
+def _double_skew_records(detail: dict) -> list[dict]:
+    """Flatten the double_skew block into the SVG renderer's record
+    shape (refused/failed strategies simply have no point at that x)."""
+    records = []
+    for rows_s, cell in ((detail.get("double_skew") or {})
+                         .get("cells") or {}).items():
+        for strategy in ("repartition", "broadcast", "broadcast_forced",
+                         "merge"):
+            rec = cell.get(strategy) or {}
+            if "median" in rec:
+                records.append({
+                    "rows": int(rows_s),
+                    "strategy": strategy,
+                    "seconds": float(rec["median"]),
+                })
+    return records
+
+
+def generate_figures(detail_path: str, out_dir: str) -> list[str]:
+    """Write the committed figure set from BENCH_DETAIL.json — the
+    reference R scripts' analog (skew.R / speedup.R /
+    broadcast_vs_repartition_single_input.R), all through the one
+    committed SVG renderer so the figures and the ``report --svg``
+    output share a chart system:
+
+    * ``skew_<rows>.svg`` — seconds vs skew per multi-skew row point;
+    * ``scaleup_<skew>.svg`` — seconds vs rows per multi-point skew;
+    * ``double_skew.svg`` — the both-inputs-skewed cells, only once
+      tools/double_skew_bench.py has written the block.
+
+    bench.py calls this after every full run (same lockstep contract
+    as REPORT.md); tools/plot_bench.py is the standalone CLI. Returns
+    the figure names written. Pure function of the detail file —
+    test_report_drift pins byte-identical regeneration."""
+    import json
+
+    with open(detail_path) as f:
+        detail = json.load(f)
+    records = _report_rows_from_detail(detail_path)
+    os.makedirs(out_dir, exist_ok=True)
+    written: list[str] = []
+
+    def emit(name: str, svg: str) -> None:
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write(svg + "\n")
+        written.append(name)
+
+    for rows in sorted({r["rows"] for r in records}):
+        sub = [r for r in records if r["rows"] == rows]
+        if len({r["skew"] for r in sub}) > 1:
+            emit(f"skew_{rows}.svg",
+                 _render_line_svg(sub, "skew",
+                                  f"Skew curve at {rows:,} rows"))
+    for skew in sorted({r["skew"] for r in records}):
+        sub = [r for r in records if r["skew"] == skew]
+        if len({r["rows"] for r in sub}) > 1:
+            emit(f"scaleup_{skew}.svg",
+                 _render_line_svg(sub, "rows",
+                                  f"Scaleup at skew {skew}"))
+    ds = _double_skew_records(detail)
+    if len({r["rows"] for r in ds}) > 1:
+        skew = (detail.get("double_skew") or {}).get("skew")
+        emit("double_skew.svg",
+             _render_line_svg(
+                 ds, "rows",
+                 f"Double-skew (both inputs Zipf {skew}) scaleup"))
+    return written
+
+
 def render_report(
     csv: list[str], detail: str | None,
     out: str | None, svg: str | None,
@@ -576,6 +774,7 @@ def render_report(
     if detail:
         records += _report_rows_from_detail(detail)
         query_table = _callouts_from_detail(detail) \
+            + _double_skew_table_from_detail(detail) \
             + _advisor_table_from_detail(detail) \
             + _query_table_from_detail(detail)
     if not records and not query_table:

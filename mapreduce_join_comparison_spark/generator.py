@@ -173,9 +173,16 @@ def generate_zipf_fact(
     seed: int = 42,
     attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS,
     num_partitions: int | None = None,
+    id_lo: int = 0,
+    id_hi: int | None = None,
 ) -> DataFrame:
     """Fact side of G2/G4: k = zipf_inverse_cdf(i/nRows, s, N) —
-    deterministic equi-spaced grid (DataGenerator.java:150)."""
+    deterministic equi-spaced grid (DataGenerator.java:150).
+
+    ``id_lo``/``id_hi`` select a slice of the id grid while keeping
+    the GLOBAL ``n_rows`` denominator — the building block of
+    :func:`stage_zipf_fact_chunked` (slices union to the full
+    table bit-for-bit)."""
     from pyspark.sql.functions import pandas_udf
 
     if s == 1.0:
@@ -192,10 +199,54 @@ def generate_zipf_fact(
     def zipf_key(i: pd.Series) -> pd.Series:
         return pd.Series(zipf_inverse_cdf(i.to_numpy() / nr, s, n))
 
-    base = spark.range(0, n_rows, numPartitions=num_partitions)
+    base = spark.range(id_lo, id_hi if id_hi is not None else n_rows,
+                       numPartitions=num_partitions)
     return base.select(
         zipf_key(F.col("id")).alias("k"), *_attr_columns(seed, attr_lengths)
     )
+
+
+def stage_zipf_fact_chunked(
+    spark: SparkSession,
+    n_rows: int,
+    unique_values: int,
+    s: float,
+    path: str,
+    seed: int = 42,
+    attr_lengths: tuple[int, ...] = DEFAULT_ATTR_LENGTHS,
+    chunks: int = 8,
+    partitions_per_chunk: int | None = None,
+) -> None:
+    """Stage the G2 Zipf fact to parquet in ``chunks`` INDEPENDENT
+    narrow jobs (round-9 verdict directive #2 — the ≥400 M scaleup
+    tail).
+
+    The fact key is a pure narrow function of ``id`` (the
+    deterministic inverse CDF ``p = i/nRows``, ``DataGenerator.
+    java:150``) and the attributes are pure functions of ``id`` too,
+    so the id range splits into ``chunks`` slices whose UNION is
+    bit-identical to ``generate_zipf_fact(n_rows)`` — each slice keeps
+    the GLOBAL ``nRows`` denominator. Each chunk is one
+    range→project→write job: zero Exchange, so peak scratch is the
+    in-flight parquet writer buffers, not shuffle map outputs. A
+    chunk's files land before the next job starts (append mode), so
+    a crash loses at most one chunk of work and — unlike one huge
+    write job — no two full-data stages ever coexist on
+    ``spark.local.dir`` (the exact failure that killed the 400 M
+    point on a single node, ROUND9.md: ~2×|data| of coexisting map
+    outputs vs ~80 GB free disk). On a real cluster the same
+    chunking bounds per-executor scratch while every chunk still
+    fans out across all executors."""
+    if chunks < 1:
+        raise ValueError(f"chunks must be >= 1, got {chunks}")
+    step = (n_rows + chunks - 1) // chunks
+    for lo in range(0, n_rows, step):
+        hi = min(lo + step, n_rows)
+        generate_zipf_fact(
+            spark, n_rows, unique_values, s, seed, attr_lengths,
+            num_partitions=partitions_per_chunk,
+            id_lo=lo, id_hi=hi,
+        ).write.mode("append").parquet(path)
 
 
 def generate_dim(

@@ -100,3 +100,21 @@ def test_zipf_pole_fails_fast_on_driver(spark):
     # a worker mid-job
     with _pytest.raises(ValueError, match="pole"):
         generate_zipf_fact(spark, 100, 10, s=1.0)
+
+
+def test_chunked_staging_equals_monolithic(spark, tmp_path):
+    """stage_zipf_fact_chunked (round-10, the >=400M scaleup tail's
+    zero-shuffle staging) must write EXACTLY generate_zipf_fact's
+    table: each chunk keeps the global n_rows denominator, so the
+    slices union bit-for-bit — including an uneven last chunk."""
+    from mapreduce_join_comparison_spark.generator import (
+        stage_zipf_fact_chunked,
+    )
+
+    n, u, s = 10_001, 1_000, 0.7  # uneven: 3 chunks of 3334/3334/3333
+    path = str(tmp_path / "fact_chunks")
+    stage_zipf_fact_chunked(spark, n, u, s, path, seed=7, chunks=3)
+    staged = rows_set(spark.read.parquet(path))
+    mono = rows_set(generate_zipf_fact(spark, n, u, s, seed=7))
+    assert staged == mono
+    assert len(spark.read.parquet(path).collect()) == n

@@ -302,6 +302,32 @@ def test_reference_callouts_render_from_detail(tmp_path):
     text = "\n".join(_callouts_from_detail(str(nm)))
     assert "NO skew-split marker" in text
 
+    # round-10 directive #3: the very-large merge row must carry the
+    # fair-comparator framing (the reference's 59.6 s is merge-stage
+    # only; its sort-included pipeline stages sum to >= 135.6 s)
+    text = "\n".join(_callouts_from_detail(str(full)))
+    assert "135.6" in text and "merge STAGE" in text
+    assert f"{135.6 / 90.0:.2f}× faster" in text
+
+    # and the presorted like-for-like cell renders once measured,
+    # honest about its plan marker
+    with_ps = json.loads(full.read_text())
+    with_ps["merge_presorted"] = {
+        "rows": 200000000, "skew": 0.5, "repeats": 3, "n_buckets": 32,
+        "stage_sec": 400.0,
+        "merge": {"median": 55.0, "min": 54.0, "max": 58.0},
+        "no_exchange_no_sort": True,
+    }
+    ps = tmp_path / "presorted.json"
+    ps.write_text(json.dumps(with_ps))
+    text = "\n".join(_callouts_from_detail(str(ps)))
+    assert "**55.0 s**" in text
+    assert "zero Exchange/Sort" in text
+    with_ps["merge_presorted"]["no_exchange_no_sort"] = False
+    ps.write_text(json.dumps(with_ps))
+    text = "\n".join(_callouts_from_detail(str(ps)))
+    assert "WARNING: plan shows exchange/sort" in text
+
 
 def test_readme_headline_count_matches_bench():
     """Round-5 verdict: README cited a bench headline count that
@@ -332,3 +358,109 @@ def test_readme_headline_count_matches_bench():
             f"committed BENCH_DETAIL.json has {len(artifact)} headline "
             f"keys; README cites {cited}"
         )
+
+
+def test_double_skew_table_renders_from_detail(tmp_path):
+    """Round-10 verdict directive #1: the double_skew evidence block
+    (tools/double_skew_bench.py) must render as a REPORT.md table with
+    the reference walls alongside, budget refusals spelled out — and
+    stay absent when the detail lacks the block."""
+    import json
+
+    from mapreduce_join_comparison_spark.cli import (
+        _double_skew_table_from_detail,
+    )
+
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps({"skew_curve": {}}))
+    assert _double_skew_table_from_detail(str(bare)) == []
+
+    full = tmp_path / "full.json"
+    full.write_text(json.dumps({
+        "double_skew": {
+            "skew": 0.5, "repeats": 3, "unique_frac": 0.1,
+            "reference": "data/broadcast_vs_repartition_single_input"
+                         ".csv:2-11",
+            "cells": {
+                "3000000": {
+                    "out_rows": 99000000,
+                    "repartition": {"median": 9.5, "min": 9.0,
+                                    "max": 10.0},
+                    "broadcast": {"median": 4.2, "min": 4.0,
+                                  "max": 4.4},
+                    "broadcast_forced": {"median": 4.3, "min": 4.1,
+                                         "max": 4.5},
+                    "merge": {"median": 12.0, "min": 11.0,
+                              "max": 13.0},
+                },
+                "30000000": {
+                    "out_rows": 1160000000,
+                    "repartition": {"median": 80.0, "min": 79.0,
+                                    "max": 81.0},
+                    "broadcast": {"refused": "ValueError: over budget"},
+                    "broadcast_forced": {"median": 60.0, "min": 59.0,
+                                         "max": 61.0},
+                    "merge": {"median": 130.0, "min": 129.0,
+                              "max": 131.0},
+                },
+            },
+        },
+    }))
+    text = "\n".join(_double_skew_table_from_detail(str(full)))
+    # both measured rows, sorted numerically, with reference columns
+    assert "| 3,000,000 | 99,000,000 | 9.5 | 4.2 | 4.3 | 12.0 | " \
+           "56.6 | 36.6 | 236.0 |" in text
+    assert "| 30,000,000 | 1,160,000,000 | 80.0 | refused (budget) " \
+           "| 60.0 | 130.0 | 381.3 | 206.5 | 1664.5 |" in text
+    assert "512 MiB" in text and "medians of 3 runs" in text
+
+
+def test_figures_match_detail(tmp_path):
+    """figures/ must regenerate byte-identically from the committed
+    BENCH_DETAIL.json (the REPORT.md lockstep contract, extended to
+    the round-10 figure set — bench.py regenerates both after every
+    full run; tools/plot_bench.py is the standalone path)."""
+    import filecmp
+
+    from mapreduce_join_comparison_spark.cli import generate_figures
+
+    fig_dir = os.path.join(REPO, "figures")
+    if not (os.path.exists(DETAIL) and os.path.isdir(fig_dir)):
+        pytest.skip("no committed figure artifacts")
+    out = tmp_path / "figures"
+    written = generate_figures(DETAIL, str(out))
+    committed = sorted(
+        f for f in os.listdir(fig_dir) if f.endswith(".svg")
+    )
+    assert sorted(written) == committed, (
+        "figure set drifted — regenerate with `python "
+        "tools/plot_bench.py`"
+    )
+    stale = [
+        f for f in written
+        if not filecmp.cmp(os.path.join(fig_dir, f), str(out / f),
+                           shallow=False)
+    ]
+    assert not stale, (
+        f"stale figures {stale} — regenerate with `python "
+        f"tools/plot_bench.py`"
+    )
+
+
+def test_double_skew_figure_records():
+    """The double-skew figure flattener must skip refused/failed
+    strategies (no fabricated points) and carry measured medians."""
+    from mapreduce_join_comparison_spark.cli import _double_skew_records
+
+    detail = {"double_skew": {"skew": 0.5, "cells": {
+        "3000000": {
+            "repartition": {"median": 9.5},
+            "broadcast": {"refused": "over budget"},
+            "broadcast_forced": {"median": 4.3},
+        },
+    }}}
+    recs = _double_skew_records(detail)
+    assert {(r["strategy"], r["seconds"]) for r in recs} == {
+        ("repartition", 9.5), ("broadcast_forced", 4.3),
+    }
+    assert all(r["rows"] == 3000000 for r in recs)
