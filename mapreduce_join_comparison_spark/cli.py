@@ -459,10 +459,22 @@ def _double_skew_table_from_detail(path: str) -> list[str]:
         f"Walls are medians of {block.get('repeats') or '?'} runs "
         f"(sec, noop-sink materialization, staged parquet inputs); "
         f"`broadcast` enforces the production 512 MiB build-side "
-        f"budget (a refusal is the designed fail-fast — the reference "
-        f"met the same wall as a GC death at ~3.8 GB, thesis ch. "
-        f"6.3); `broadcast forced` waives it for parity with the "
-        f"reference cluster's ~187 GB-per-node headroom.", "",
+        f"budget with the known-row-count schema-width floor "
+        f"(Catalyst's parquet estimate alone under-reads these "
+        f"dictionary-heavy columns ~25×; a refusal is the designed "
+        f"fail-fast — the reference met the same wall as a GC death "
+        f"at ~3.8 GB, thesis ch. 6.3); "
+        f"`broadcast forced` waives it for parity with the "
+        f"reference cluster's ~187 GB-per-node headroom. Note the "
+        f"ORDERING inversion vs the reference: on Hadoop MR the "
+        f"repartition join pays a full DFS-materialized shuffle, so "
+        f"broadcasting the second input won at every size; here the "
+        f"in-memory shuffle costs less than building a "
+        f"multi-million-entry duplicate-key hash relation, so "
+        f"repartition/merge win and broadcast is the one paying for "
+        f"the hot keys — same experiment, engine-dependent winner, "
+        f"and the absolute walls are 1-2 orders faster per row "
+        f"either way.", "",
         "| rows | out rows | repartition | broadcast | broadcast "
         "forced | merge | ref repart | ref bcast | ref merge |",
         "|---|---|---|---|---|---|---|---|---|",

@@ -146,15 +146,36 @@ def join_reference_style(
 
 
 def broadcast_budget_check(
-    df: DataFrame, budget_bytes: int = 512 * 1024 * 1024
+    df: DataFrame, budget_bytes: int = 512 * 1024 * 1024,
+    rows: int | None = None,
 ) -> int:
     """Fail fast if a to-be-broadcast side exceeds the byte budget.
 
     The reference discovers this limit by GC death at ~3.8 GB cached
     table (thesis ch. 6.3); we check Catalyst's size estimate up front.
-    Returns the estimated size in bytes.
+
+    Caveat the round-10 double-skew sweep measured: Catalyst's
+    estimate for a parquet scan is the (pruned) FILE bytes, and
+    dictionary-heavy columns (e.g. the generator's 100-string pools)
+    compress ~25× below their in-memory UnsafeRow width — a 30 M-row
+    (long, string20) projection estimates ~55 MB on disk but builds a
+    multi-GB hash relation. When the caller KNOWS the row count, pass
+    ``rows`` and the check also enforces a schema-width floor
+    (8 B row header + 8 B/field word + ``defaultSize`` per
+    variable-width field, ×1.5 hash-relation overhead) — the floor
+    can't be fooled by columnar compression. Returns the effective
+    estimate in bytes.
     """
     est = _size_estimate(df)
+    if rows is not None:
+        # 20 B = Scala StringType.defaultSize (pyspark doesn't expose
+        # defaultSize; the Scala constant is the stable public one)
+        per_row = 8 + sum(
+            8 + (20 if f.dataType.typeName() in ("string", "binary")
+                 else 0)
+            for f in df.schema.fields
+        )
+        est = max(est, int(rows * per_row * 1.5))
     if est > budget_bytes:
         raise ValueError(
             f"broadcast side estimated at {est} bytes exceeds budget "

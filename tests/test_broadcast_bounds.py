@@ -59,3 +59,30 @@ def test_no_forced_broadcast_on_known_scaling_tables():
             if f"F.broadcast({name})" in call_line:
                 bad.append(f"{rel}:{lineno} broadcasts {name}")
     assert not bad, bad
+
+
+def test_budget_check_row_floor(spark):
+    """broadcast_budget_check(rows=...): the schema-width floor can't
+    be fooled by columnar compression (round-10 double-skew finding —
+    a 30M-row (long, string) projection ESTIMATES ~55 MB of parquet
+    but builds a multi-GB hash relation). Estimate-only keeps the old
+    behavior; the floor refuses at known-large row counts."""
+    import pytest
+
+    from mapreduce_join_comparison_spark.operators.joins import (
+        broadcast_budget_check,
+    )
+
+    df = spark.range(10).selectExpr("id AS dk", "CAST(id AS STRING) AS d1")
+    # tiny table passes with or without the floor
+    assert broadcast_budget_check(df) >= 0
+    assert broadcast_budget_check(df, rows=10) >= 0
+    # (8 header + 8+0 long + 8+20 string) * 1.5 = 66 B/row
+    # -> 30M rows = 1.98 GB, over the 512 MiB default budget
+    with pytest.raises(ValueError, match="exceeds budget"):
+        broadcast_budget_check(df, rows=30_000_000)
+    # and the floor honors a caller-raised budget
+    # floor dominates the tiny estimate: (8 + 8 + 8+20) * 1.5 = 66 B/row
+    assert broadcast_budget_check(
+        df, budget_bytes=4 * 1024**3, rows=30_000_000
+    ) == 1_980_000_000

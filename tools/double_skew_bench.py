@@ -119,11 +119,16 @@ def measure_point(spark, n_rows: int, skew: float, repeats: int) -> dict:
         runs: dict[str, list[float]] = {s: [] for s in strategies}
         refused: dict[str, str] = {}
         # production-budget broadcast: check once up front; a refusal
-        # is the designed data point, not a crash
+        # is the designed data point, not a crash. rows= engages the
+        # schema-width floor (round-10: Catalyst's parquet estimate
+        # sits ~25x under the real hash relation for dictionary-heavy
+        # columns, so the estimate alone never trips at these sizes)
+        # — and when the budget refuses, only broadcast_forced pays
+        # for the actual measurement
         try:
-            broadcast_budget_check(probe)
+            broadcast_budget_check(probe, rows=n_rows)
         except ValueError as e:
-            refused["broadcast"] = f"ValueError: {str(e)[:200]}"
+            refused["broadcast"] = f"ValueError (row floor): {str(e)[:200]}"
 
         with scoped_conf(spark, **LOCAL_SKEW_CONF):
             for _wave in range(repeats):

@@ -56,8 +56,11 @@ REFERENCE_CITATION = (
 )
 
 # raw row ≈ 8B key + 200B pooled strings; shuffle files are lz4 of
-# that, measured ~0.2 |raw| at the 200M point (pool strings recur).
-# Conservative projection uses 0.35 to keep headroom.
+# serialized rows and the 100-string pools recur heavily, so the
+# on-disk footprint is well under raw. 75 B/row is a conservative
+# projection (≈0.35 of raw) chosen to refuse BEFORE any plausible
+# ENOSPC; the tool prints measured scratch so the constant can be
+# tightened from real telemetry.
 SHUFFLE_BYTES_PER_ROW = 75
 
 
