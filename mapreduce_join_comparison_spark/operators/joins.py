@@ -882,6 +882,23 @@ def advise_strategy(
     reported in the reason string for observability; it never changes
     the choice away from 'repartition' — matching the figure, where
     skew only steers *away* from merge/broadcast.
+
+    Budget posture (round-10): ``broadcast_budget_bytes`` models what
+    one executor can afford to hold; the default 512 MiB is tuned for
+    the single-node bench, where the measured scorecard agrees with
+    every decided pick. On a many-executor cluster the SAME relation
+    is also replicated executor-count times over the network, so
+    callers should pass a tighter budget there. Note also the
+    estimate's known blind spots, both measured this round: (a)
+    Catalyst reports pruned parquet FILE bytes, which dictionary-heavy
+    columns undercut ~25× vs their in-memory width — when the caller
+    knows the row count, ``broadcast_budget_check(df, rows=...)``
+    enforces a schema-width floor the compression can't fool; (b) a
+    build side with heavy duplicate keys (the double-skew experiment)
+    makes BroadcastHashJoin pay per-match list iteration that the
+    size estimate never sees — at equal bytes a dup-key build measured
+    ~5× slower than the shuffle it was meant to avoid (REPORT.md
+    double-skew table).
     """
     right_on = right_on or left_on
 
