@@ -1583,8 +1583,25 @@ def build_prefix_index(
             f"no collision-free xxhash64 seed in {_SEED_MAX_TRIES} "
             "tries — astronomically unlikely; inspect the shingle column"
         )
-    write_bucketed(sh_ids, docs_t, ["id"], n_buckets, sort_cols=["id"])
-    write_bucketed(prefix, post_t, ["sid"], n_buckets, sort_cols=["sid"])
+    # the docs and postings writes are INDEPENDENT jobs over the same
+    # persisted per-doc snapshot — submit them from two driver threads
+    # so the second write's tasks back-fill the executor slots the
+    # first write's tail frees (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially; Spark's
+    # cache block locks serialize any concurrent materialization of a
+    # shared snapshot partition). Job descriptions are thread-local,
+    # so each write stays correctly labeled.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_docs = pool.submit(
+            write_bucketed, sh_ids, docs_t, ["id"], n_buckets,
+            sort_cols=["id"])
+        f_post = pool.submit(
+            write_bucketed, prefix, post_t, ["sid"], n_buckets,
+            sort_cols=["sid"])
+        f_docs.result()
+        f_post.result()
     for snap in snaps:
         snap.unpersist()
     # the build parameters ARE part of the index: probes below the

@@ -426,6 +426,16 @@ def write_bucketed(
     # saveAsTable, but the data lands at an explicit location instead
     # of the session warehouse).
     drop_table_and_stale_dir(spark, table_name, path)
+    # v1 bucketed writes emit one file per (map task × bucket).
+    # Pre-partitioning by the bucket expression uses the SAME
+    # Murmur3-pmod placement as the bucket-id computation, so each
+    # task holds exactly one bucket and every bucket lands in ONE
+    # file — measured 512 → 16 files on the sf0.1 postings index
+    # (32 map partitions × 16 buckets before). At cluster scale the
+    # unaligned form writes (map tasks × buckets) tiny files —
+    # millions at 100 TB — the small-files trap of guide §6; one
+    # linear exchange of the written rows buys the aligned layout.
+    df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     if path is not None:
