@@ -445,8 +445,14 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokenizing independently — re-ran split/transform ~10× per row
     (Catalyst inlines shared subtrees unless duplicating them is
     expensive, and per-feature expressions hide the sharing); measured
-    ~10× slower at sf0.1. Still zero shuffles and one scan.
+    ~10× slower at sf0.1. Still zero shuffles and one scan — modulo
+    ``fan_out``'s local-mode spread (round 10: this was the one
+    narrow text pass WITHOUT it, so the interpreted HOF folds ran on
+    the single scan core; a no-op on any multi-split source at scale).
     """
+    from ..sources.io import fan_out
+
+    df = fan_out(df)
     c = F.col(text_col)
     toks_l = df.select(
         "*",

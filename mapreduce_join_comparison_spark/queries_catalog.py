@@ -2783,7 +2783,14 @@ def events_variant_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query JSON string re-parsing."""
     from pyspark.sql import functions as F
 
+    from .sources.io import fan_out
+
+    # VARIANT build+parse+extract is heavy per-row work on a fully
+    # narrow plan — without fan_out the single-file local scan ran it
+    # all on one core (measured 1.94 → 0.42 s warm at sf0.1); no-op at
+    # scale where the scan already has splits (round 10, guide §2)
     (events,) = _load(spark, sf_dir, "events")
+    events = fan_out(events)
     doc = F.to_json(
         F.struct(
             F.col("user_id").alias("uid"),

@@ -158,8 +158,14 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) + d2("l_tax"))
     )
     cnt = F.count(F.lit(1))
+    # the 8-aggregate decimal partial aggregation is the heavy per-row
+    # work here; fan_out spreads it across cores when the local scan is
+    # a single split (filters still push down — Catalyst moves them
+    # below the repartition), and no-ops at scale (round 10, guide §2)
+    from .sources.io import fan_out
+
     agged = (
-        lineitem.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
+        fan_out(lineitem.filter(F.col("l_shipdate") <= _ts("2001-09-01")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             qty_sum.cast("double").alias("sum_qty"),
