@@ -108,7 +108,10 @@ EXPECTATIONS = {
     # identical count aggregates REUSE (measured 4 run + 2 reused),
     # and the sampled branch's key filter pushes below its aggs
     "stats_join_cardinality": (6, None),
-    "text_features": (0, None),      # narrow: scan + projects only
+    # narrow scan + projects, plus fan_out's round-robin spread of the
+    # single-split local scan (round 10 — interpreted HOF folds ran on
+    # one core without it; no-op on multi-split sources at scale)
+    "text_features": (1, None),
     "text_lang_id": (0, None),
     "text_token_stats": (0, None),
     "text_rolling_fingerprint": (0, None),
@@ -142,7 +145,9 @@ EXPECTATIONS = {
     # Adapted TPC-H suite (at SF_SMOKE the scaled dims auto-broadcast,
     # so one shuffle = the final aggregate; q13/q17/q22 legitimately
     # need a second for their two-level / decorrelated aggregates).
-    "tpch_q1_pricing_summary": (1, None),
+    # +1: fan_out spreads the single-split lineitem scan before the
+    # 8-aggregate decimal partial aggregation (round 10; no-op at scale)
+    "tpch_q1_pricing_summary": (2, None),
     # static plan repeats the revenue agg (max side + join side);
     # runtime exchange reuse collapses it
     "tpch_q15_top_supplier": (3, None),
@@ -170,7 +175,8 @@ EXPECTATIONS = {
     "tpch_q22_sleeping_customers": (2, None),
     # Composed pipelines: featurize is narrow; dedup window + final
     # aggregate are the only wide stages.
-    "pipeline_training_data": (2, None),
+    # +1 (round 10): featurize now fan_outs the single-split scan
+    "pipeline_training_data": (3, None),
     "pipeline_embedding_prep": (1, None),
     # CDC: full-outer merge shuffles both sides once; compaction is
     # one window shuffle.
@@ -291,9 +297,12 @@ EXPECTATIONS = {
     # the only exchange is the DELTA-sized key distinct; view retraction
     # and the re-join are broadcast — neither big side shuffles
     "cdc_join_view_maintain": (1, "BroadcastHashJoin"),
-    # pure narrow projection: JSON build → VARIANT parse → typed
-    # path extraction, all in one codegen stage, zero exchanges
-    "events_variant_extract": (0, None),
+    # narrow projection (JSON build → VARIANT parse → typed path
+    # extraction) plus fan_out's round-robin spread of the
+    # single-split local scan (round 10: the per-row VARIANT work ran
+    # on one core without it — 1.94 → 0.42 s warm at sf0.1; the
+    # repartition is a no-op on multi-split sources at scale)
+    "events_variant_extract": (1, None),
     # probe-query broadcast onto the cell-assigned corpus; one
     # query_id exchange feeds BOTH windows (ADC shortlist + re-rank),
     # plus fan_out's round-robin on the corpus scan
