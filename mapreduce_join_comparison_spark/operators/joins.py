@@ -603,8 +603,14 @@ def dominance_count(
     t = df.select(F.col(id_col), x.alias("_dx"), y.alias("_dy")).filter(
         x.isNotNull() & y.isNotNull()
     )
-    # bounded: 4 scalars (row count, distinct-x count, y bounds)
-    n_rows, m_x = t.count(), t.select("_dx").distinct().count()
+    # bounded: 4 scalars (row count, distinct-x count, y bounds) — ONE
+    # aggregate job (round 10: the former count / distinct-count / agg
+    # trio ran three full input scans at construction; a single
+    # partial-aggregated pass returns the same four scalars)
+    n_rows, m_x, ymin, ymax = t.agg(
+        F.count(F.lit(1)), F.countDistinct("_dx"),
+        F.min("_dy"), F.max("_dy"),
+    ).first()
     if n_rows == 0:
         # empty input: the binning scalars below would be None —
         # return the (empty) result instead of a TypeError
@@ -615,7 +621,6 @@ def dominance_count(
         )
     if k_buckets is None:
         k_buckets = max(64, math.ceil(n_rows / math.sqrt(max(m_x, 1))))
-    (ymin, ymax) = t.agg(F.min("_dy"), F.max("_dy")).collect()[0]
     span = max(int(ymax) - int(ymin) + 1, 1)
     # integer bucket index — exact in any engine (no double division)
     yc = F.expr(f"((_dy - {int(ymin)}) * {int(k_buckets)}) DIV {span}")
