@@ -1545,9 +1545,11 @@ def build_prefix_index(
     enforces it (round-6 advice: probing below the build threshold
     silently returned an unsound, incomplete pair set because the
     stored prefixes are too short). The hash-seed injectivity proof
-    runs against the WRITTEN dict table (a small bucketed read — no
-    extra corpus scan); the astronomically-unlikely collision drops
-    the tables and rebuilds under the next seed. Returns the two
+    runs against the PERSISTED vocabulary snapshot BEFORE anything is
+    written (round 11 — the proof job doubles as the snapshot's
+    materialization, so no write is ever wasted on a collision seed
+    and no post-write table re-read is needed; the written dict is a
+    deterministic projection of the proven snapshot). Returns the two
     table names."""
     from ..sources.io import write_bucketed
 
@@ -1561,17 +1563,11 @@ def build_prefix_index(
         # each re-run the corpus scan; unpersisted before returning
         sh_ids, prefix, sdict, snaps = _prefix_index_frames(
             df, text_col, id_col, k, t_milli, snapshot=True, seed=seed)
-        # the shingle -> canonical-id dictionary, bucketed by shingle:
-        # the DELTA probe (prefix_filter_probe_delta) encodes new
-        # documents under the STORED canonical order by joining their
-        # shingles here without touching the corpus
-        write_bucketed(sdict, dict_t, ["shingle"], n_buckets,
-                       sort_cols=["shingle"])
-        # max(df_sh) rides the injectivity check for free: it is the
-        # hot-gate statistic every probe needs, persisted below as a
-        # table property so probes read a stored scalar instead of
-        # re-aggregating the dict table per call (round-8 advice)
-        n, nd, max_df = spark.table(dict_t).agg(
+        # injectivity proof + max(df_sh) hot-gate statistic in ONE
+        # aggregate over the snapshot (this job also materializes the
+        # sdict0 persist, so the dict write below rides the cache): a
+        # collision seed costs one bounded aggregate, never a write
+        n, nd, max_df = sdict.agg(
             F.count(F.lit(1)), F.countDistinct("h"), F.max("df_sh")
         ).first()
         if n == nd:
@@ -1583,25 +1579,31 @@ def build_prefix_index(
             f"no collision-free xxhash64 seed in {_SEED_MAX_TRIES} "
             "tries — astronomically unlikely; inspect the shingle column"
         )
-    # the docs and postings writes are INDEPENDENT jobs over the same
-    # persisted per-doc snapshot — submit them from two driver threads
-    # so the second write's tasks back-fill the executor slots the
-    # first write's tail frees (guide §2.6: actions are only
-    # sequential because driver code calls them sequentially; Spark's
-    # cache block locks serialize any concurrent materialization of a
-    # shared snapshot partition). Job descriptions are thread-local,
-    # so each write stays correctly labeled.
+    # all three table writes are INDEPENDENT jobs over the persisted
+    # snapshots — the dict (shingle-bucketed, straight off the proven
+    # sdict0 cache), the docs and the postings (two projections of the
+    # per_doc persist; Spark's cache block locks serialize its one
+    # materialization between them). Submitting them from three driver
+    # threads lets each write's tasks back-fill the executor slots the
+    # others' tails free (guide §2.6: actions are only sequential
+    # because driver code calls them sequentially). Job descriptions
+    # are set INSIDE each callable — thread-locals are not inherited
+    # by plain pool threads (round-10 advice).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_docs = pool.submit(
-            write_bucketed, sh_ids, docs_t, ["id"], n_buckets,
-            sort_cols=["id"])
-        f_post = pool.submit(
-            write_bucketed, prefix, post_t, ["sid"], n_buckets,
-            sort_cols=["sid"])
-        f_docs.result()
-        f_post.result()
+    def _write(frame, name, cols):
+        spark.sparkContext.setJobDescription(
+            f"build_prefix_index: write {name}")
+        write_bucketed(frame, name, cols, n_buckets, sort_cols=cols)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(_write, sdict, dict_t, ["shingle"]),
+            pool.submit(_write, sh_ids, docs_t, ["id"]),
+            pool.submit(_write, prefix, post_t, ["sid"]),
+        ]
+        for f in futures:
+            f.result()
     for snap in snaps:
         snap.unpersist()
     # the build parameters ARE part of the index: probes below the

@@ -79,9 +79,20 @@ def pagerank(
             ).alias("rank"),
         )
         if persist_every and (i + 1) % persist_every == 0 and i + 1 < iterations:
-            nxt = ranks.persist()
-            nxt.count()  # materialize before dropping the old snapshot
+            # localCheckpoint (eager), not persist: persist caches the
+            # DATA but the logical plan — and the recovery lineage —
+            # still grows by ~3 operators per iteration, so a
+            # 100-iteration run carries a 300-operator tree into every
+            # later analysis pass and any recomputation replays the
+            # whole history (guide §5: localCheckpoint is the cheap
+            # lineage cut when fault tolerance of the intermediate is
+            # not critical). The checkpoint truncates the plan to a
+            # scan of the materialized partitions — plan depth stays
+            # CONSTANT across iterations (pinned in tests/test_graph).
+            nxt = ranks.localCheckpoint()  # eager: materializes now
             if persisted is not None:
+                # previous snapshot's blocks are no longer referenced
+                # by any live plan (nxt is fully materialized)
                 persisted.unpersist()
             persisted = nxt
             ranks = nxt

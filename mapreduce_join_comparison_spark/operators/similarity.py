@@ -24,6 +24,21 @@ def _as_col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _dot_cols_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_col_sql(a: str) -> str:
+    return (
+        f"SQRT(aggregate(`{a}`, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
 def dot_expr(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product (deterministic order, matches any
     engine that folds left-to-right in double). The float→double casts
@@ -32,7 +47,16 @@ def dot_expr(a: Column | str, b: Column | str) -> Column:
     identical (cast-then-multiply), so results stay bit-equal to the
     staged form and to the SQL oracles. Interpreted higher-order
     functions pay per PASS, and these folds are the hot path of every
-    cosine-family query."""
+    cosine-family query.
+
+    When both sides are column NAMES the fold is built as ONE parsed
+    (and session-cached) SQL string — the Column-lambda form pays ~30
+    Py4J round-trips per higher-order function, which made these folds
+    a measurable slice of every cosine-family query's construction.
+    The SQL text parses to the identical operator tree, so values are
+    unchanged."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _expr(_dot_cols_sql(a, b))
     return F.aggregate(
         F.zip_with(_as_col(a), _as_col(b),
                    lambda x, y: x.cast("double") * y.cast("double")),
@@ -44,7 +68,10 @@ def dot_expr(a: Column | str, b: Column | str) -> Column:
 def norm_expr(a: Column | str) -> Column:
     """Euclidean norm as ONE fused fold over the raw array (cast and
     square inside the aggregate lambda) — same left-to-right double
-    arithmetic as the staged cast→square→fold form, bit-equal."""
+    arithmetic as the staged cast→square→fold form, bit-equal. Column
+    NAMES take the parsed-SQL path (see ``dot_expr``)."""
+    if isinstance(a, str):
+        return _expr(_norm_col_sql(a))
     return F.sqrt(
         F.aggregate(
             _as_col(a),
@@ -55,6 +82,11 @@ def norm_expr(a: Column | str) -> Column:
 
 
 def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return _expr(
+            f"CAST(({_dot_cols_sql(a, b)}) / "
+            f"(({_norm_col_sql(a)}) * ({_norm_col_sql(b)})) AS DOUBLE)"
+        )
     return (dot_expr(a, b) / (norm_expr(a) * norm_expr(b))).cast("double")
 
 
@@ -93,6 +125,23 @@ def brute_force_topk(
     )
 
 
+# SQL text -> parsed Column. The thousand-literal expressions below
+# (LSH planes, JL matrices, IVF centroids, PQ codebooks) are identical
+# strings on every construction of the same query — parsing them once
+# per session removes the Catalyst parse from every warm rebuild
+# (driver-side plan-construction cache ONLY: a Column is an immutable
+# unresolved expression tree, bound per-plan at analysis, so reuse is
+# semantics-free; no data, no results, nothing keyed on inputs).
+_EXPR_CACHE: dict[str, Column] = {}
+
+
+def _expr(sql: str) -> Column:
+    col = _EXPR_CACHE.get(sql)
+    if col is None:
+        col = _EXPR_CACHE[sql] = F.expr(sql)
+    return col
+
+
 def dlit(values: list[float]) -> Column:
     """array<double> literal built in ONE Py4J call.
 
@@ -103,7 +152,7 @@ def dlit(values: list[float]) -> Column:
     similarity query (measured 7-9 s per build at sf0.1, ~6x the
     execution). Parsing one SQL string is one round-trip; the
     CAST('repr' AS DOUBLE) round-trips every float exactly."""
-    return F.expr(_arr_sql(values))
+    return _expr(_arr_sql(values))
 
 
 def _arr_sql(values: list[float]) -> str:
@@ -143,7 +192,7 @@ def lsh_bucket_expr(vec: str, planes: list[list[float]]) -> Column:
     signatures are bit-identical to the unrolled form and the SQL
     oracles."""
     arr = "array(" + ", ".join(_arr_sql(p) for p in planes) + ")"
-    return F.expr(
+    return _expr(
         f"aggregate(transform({arr}, (p, i) -> IF("
         f"aggregate(zip_with(transform(`{vec}`, x -> CAST(x AS DOUBLE)), "
         "p, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) "
@@ -186,7 +235,7 @@ def random_projection(
     """
     mat = projection_matrix(in_dim, out_dim, seed)
     comps = [
-        F.expr(f"round({_dot_sql(vec_col, row)}, 6)").alias(f"rp{j}")
+        _expr(f"round({_dot_sql(vec_col, row)}, 6)").alias(f"rp{j}")
         for j, row in enumerate(mat)
     ]
     return df.select(F.col(id_col), *comps)
@@ -235,12 +284,9 @@ def pq_assign(
     ships UNROUNDED."""
     cb = pq_codebook(dim, m, k, seed)
     sub = dim // m
-    emb = F.transform(
-        F.col(vec_col), lambda x: x.cast("double")
-    )
     cols: list[Column] = [F.col(id_col)]
     mins: list[Column] = []
-    for j, darr in enumerate(_pq_dist_arrays(emb, cb, sub)):
+    for j, darr in enumerate(_pq_dist_arrays(vec_col, cb, sub)):
         dmin = F.array_min(darr)
         cols.append(
             (F.array_position(darr, dmin) - 1).cast("int").alias(f"code{j}")
@@ -253,26 +299,33 @@ def pq_assign(
     return df.select(*cols)
 
 
-def _pq_dist_arrays(vec: Column, cb, sub: int) -> list[Column]:
+def _pq_dist_arrays(vec: str, cb, sub: int) -> list[Column]:
     """Per-subspace arrays of exact-L2² fold expressions against the
     literal codebook — shared by code assignment (argmin over the
     array) and the query-side ADC distance tables (``element_at`` by
     code). One left-fold per codeword, the order ``list_sum`` replays
-    in SQL engines."""
+    in SQL engines.
+
+    ``vec`` is a raw float-array column NAME; each subspace is ONE
+    parsed (and session-cached) SQL expression. The previous
+    Column-lambda form paid ~30 Py4J round-trips per higher-order
+    function — m·kc·3 of them made the PQ codebook the dominant
+    construction cost of every ivfpq query (measured 2.8 s of a 3.6 s
+    build at m=4, kc=4, two call sites). The SQL text parses to the
+    identical operator tree (slice of the cast transform, zip_with
+    squared-difference, left fold from double 0.0), so every distance
+    is bit-equal to the lambda form and to the SQL oracles."""
+    cast_arr = f"transform(`{vec}`, x -> CAST(x AS DOUBLE))"
     out = []
     for j, words in enumerate(cb):
-        sl = F.slice(vec, j * sub + 1, sub)
-        ds = []
-        for cw in words:
-            lit = F.array(*[F.lit(v) for v in cw])
-            ds.append(
-                F.aggregate(
-                    F.zip_with(sl, lit, lambda x, c: (x - c) * (x - c)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        out.append(F.array(*ds))
+        sl = f"slice({cast_arr}, {j * sub + 1}, {sub})"
+        ds = ", ".join(
+            f"aggregate(zip_with({sl}, {_arr_sql(cw)}, "
+            "(x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+            for cw in words
+        )
+        out.append(_expr(f"array({ds})"))
     return out
 
 
@@ -316,7 +369,7 @@ def projected_rerank_topk(
     mat = projection_matrix(in_dim, out_dim, seed)
 
     def proj(col: str) -> Column:
-        return F.expr(
+        return _expr(
             "array(" + ", ".join(_dot_sql(col, row) for row in mat) + ")"
         )
 
@@ -465,7 +518,7 @@ def _nearest_cells_expr(vec: str, cents: list[list[float]],
     serialized literal stops being cheap); at catalog scale the
     literal is the optimum."""
     arr = "array(" + ", ".join(_arr_sql(c) for c in cents) + ")"
-    return F.expr(
+    return _expr(
         f"slice(transform(array_sort(transform({arr}, (c, i) -> "
         f"named_struct('neg', -aggregate(zip_with(transform(`{vec}`, "
         "x -> CAST(x AS DOUBLE)), c, (x, y) -> x * y), "
@@ -493,7 +546,7 @@ def _nearest_cell_argmin_expr(vec: str,
     FOUND under autoBroadcastJoinThreshold=-1). ``vec`` is the raw
     float-array column name."""
     arr = "array(" + ", ".join(_arr_sql(c) for c in cents) + ")"
-    return F.expr(
+    return _expr(
         f"aggregate(transform({arr}, (c, i) -> named_struct("
         f"'neg', -aggregate(zip_with(c, `{vec}`, "
         "(y, x) -> y * CAST(x AS DOUBLE)), "
@@ -685,10 +738,9 @@ def ivfpq_topk(
     )
     cb = pq_codebook(dim, m, kc, pq_seed)
     sub = dim // m
-    c_emb = F.transform(F.col("c_vec"), lambda x: x.cast("double"))
     code_cols = [
         (F.array_position(d, F.array_min(d)) - 1).cast("int").alias(f"code{j}")
-        for j, d in enumerate(_pq_dist_arrays(c_emb, cb, sub))
+        for j, d in enumerate(_pq_dist_arrays("c_vec", cb, sub))
     ]
     c = (
         fan_out(
@@ -705,9 +757,8 @@ def ivfpq_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("cell", F.explode(_nearest_cells_expr("q_vec", cents, nprobe)))
-    q_emb = F.transform(F.col("q_vec"), lambda x: x.cast("double"))
     adc = None
-    for j, dt in enumerate(_pq_dist_arrays(q_emb, cb, sub)):
+    for j, dt in enumerate(_pq_dist_arrays("q_vec", cb, sub)):
         term = F.element_at(dt, F.col(f"code{j}") + 1)
         adc = term if adc is None else adc + term
     cand = (
@@ -936,7 +987,7 @@ def _kmeans_assign_expr(
         f"named_struct('cid', {int(cid)}, 'cv', {_int_arr_sql(cv)})"
         for cid, cv in cents
     ) + ")"
-    return F.expr(
+    return _expr(
         f"aggregate(transform({arr}, e -> named_struct("
         f"'dist', aggregate(zip_with(e.cv, `{vec}`, "
         "(y, x) -> (y - x) * (y - x)), "

@@ -36,6 +36,38 @@ TABLES = (
 )
 
 
+def _footer_schema(path: str):
+    """pyarrow schema of a parquet table path, or None when no footer
+    can be read — a single .parquet file, or a DIRECTORY of part-files
+    (every real 100 TB table; the reference explicitly supports
+    directory-as-table, ``BroadcastJoin.java:76-105``), probed via its
+    first part-file. Matching Spark's own default inference
+    (``mergeSchema`` off reads ONE footer, not all), so declaring the
+    schema from one part is the same contract Spark applies.
+
+    Never raises: any failure — remote URI (hdfs://, s3://), corrupt
+    footer, empty directory — returns None and the caller falls back
+    to Spark-side schema inference, which either succeeds or fails
+    with Spark's own (better) error."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_schema(path)
+    except Exception:
+        pass
+    try:
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if parts:
+                return pq.read_schema(os.path.join(path, parts[0]))
+    except Exception:
+        pass
+    return None
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (Spark 4 reads them as
     long only, under spark.sql.legacy.parquet.nanosAsLong).
@@ -48,17 +80,10 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     (Spark can't even produce nanos), so skipping the probe there is
     correct, and a genuinely nanos-typed remote file would still fail
     loudly at spark.read with the nanosAsLong hint in its message."""
-    import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    try:
-        schema = pq.read_schema(path)
-    # ValueError covers pyarrow.lib.ArrowInvalid (its base class),
-    # which pyarrow raises for unrecognized URI schemes like hdfs://
-    # — without it the "graceful on remote paths" promise above fails
-    except (OSError, FileNotFoundError, ValueError):
-        if os.path.exists(path):
-            raise  # local file, real footer problem: surface it
+    schema = _footer_schema(path)
+    if schema is None:
         return []
     return [
         f.name
@@ -67,12 +92,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
-def _arrow_to_spark_type(t) -> T.DataType | None:
+def _arrow_to_spark_type(t, nested: bool = False) -> T.DataType | None:
     """Map a pyarrow type to the Spark type ``spark.read.parquet``
     would infer for it under this engine's session settings
     (``nanosAsLong`` on, NTZ inference on). Returns None for anything
     outside the mapped space — the caller falls back to Spark's own
-    inference rather than guessing."""
+    inference rather than guessing. A NESTED nanosecond timestamp also
+    returns None: ``load_table``'s nanos→µs projection only rewrites
+    top-level columns, so mapping a nested ns field to LongType would
+    silently hand raw nano longs downstream — inference fails loudly
+    there instead."""
     import pyarrow.types as pat
 
     if pat.is_int64(t):
@@ -99,6 +128,8 @@ def _arrow_to_spark_type(t) -> T.DataType | None:
         return T.DecimalType(t.precision, t.scale)
     if pat.is_timestamp(t):
         if t.unit == "ns":
+            if nested:
+                return None  # no nanos→µs projection below top level
             return T.LongType()  # nanosAsLong read path
         # µs/ms columns — instant-adjusted or naive — are DECLARED
         # TimestampType (LTZ): for isAdjustedToUTC=0 data the parquet
@@ -109,16 +140,16 @@ def _arrow_to_spark_type(t) -> T.DataType | None:
         # timestamp predicates PUSHED DOWN to the scan (a filter on a
         # to_utc_timestamp-derived column never reaches PushedFilters;
         # guide §6). Equality of the two paths is pinned in
-        # tests/test_io_sources.py.
+        # tests/test_io_probe.py.
         return T.TimestampType()
     if pat.is_list(t) or pat.is_large_list(t):
-        inner = _arrow_to_spark_type(t.value_type)
+        inner = _arrow_to_spark_type(t.value_type, nested=True)
         return T.ArrayType(inner) if inner is not None else None
     if pat.is_struct(t):
         fields = []
         for i in range(t.num_fields):
             f = t.field(i)
-            ft = _arrow_to_spark_type(f.type)
+            ft = _arrow_to_spark_type(f.type, nested=True)
             if ft is None:
                 return None
             fields.append(T.StructField(f.name, ft))
@@ -126,7 +157,7 @@ def _arrow_to_spark_type(t) -> T.DataType | None:
     return None
 
 
-# (path, mtime, size) -> (spark schema or None, nanos cols, ntz cols).
+# (path, mtime_ns, size) -> (spark schema or None, nanos cols, ntz cols).
 # SCHEMA metadata only — never rows, never results: every load still
 # scans the parquet file; the cache only skips re-deriving the static
 # footer recipe (Spark's schema inference is a per-call JOB — measured
@@ -137,26 +168,28 @@ _LOAD_RECIPE: dict[tuple[str, float, int], tuple] = {}
 
 
 def _load_recipe(path: str) -> tuple:
-    """One driver-side pyarrow footer read per distinct (path, mtime,
-    size): the Spark read schema plus which columns need the nanos→µs
-    and NTZ→LTZ normalizations. Falls back to (None, ns_cols, None) —
-    i.e. Spark-side inference — off local disk or for unmapped types."""
+    """One driver-side pyarrow footer read per distinct (path,
+    mtime_ns, size): the Spark read schema plus which columns need the
+    nanos→µs and NTZ→LTZ normalizations. Falls back to
+    (None, ns_cols, None) — i.e. Spark-side inference — off local
+    disk, for unmapped types, or whenever the footer read fails for
+    ANY reason (e.g. a directory-of-parts table with an unreadable
+    first part): declared schemas are an optimization, never a new
+    failure mode. Nanosecond mtime in the cache key so a same-size
+    rewrite within one coarse-mtime second cannot serve a stale
+    recipe."""
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime, st.st_size)
+        key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         return None, _nanos_timestamp_cols(path), None
     hit = _LOAD_RECIPE.get(key)
     if hit is not None:
         return hit
-    import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    try:
-        pa_schema = pq.read_schema(path)
-    except (OSError, FileNotFoundError, ValueError):
-        if os.path.exists(path):
-            raise
+    pa_schema = _footer_schema(path)
+    if pa_schema is None:
         return None, [], None
     ns_cols = [
         f.name for f in pa_schema

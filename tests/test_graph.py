@@ -56,3 +56,19 @@ def test_pagerank_persist_every_truncates_lineage(spark):
     b = {r.node: r.rank for r in persisted.collect()}
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_pagerank_checkpoint_bounds_plan_depth(spark):
+    """Round-11: the loop localCheckpoints every ``persist_every``
+    iterations, so the final plan's operator count must be BOUNDED by
+    the per-window shape — independent of total iteration count (the
+    old persist-only loop grew ~3 operators per iteration forever)."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    short = pagerank(df, iterations=6, damping=0.85, persist_every=5)
+    long = pagerank(df, iterations=21, damping=0.85, persist_every=5)
+    n_short = len(short._jdf.queryExecution().optimizedPlan().toString().splitlines())
+    n_long = len(long._jdf.queryExecution().optimizedPlan().toString().splitlines())
+    # both end exactly one iteration past their last checkpoint, so
+    # the trees must be the SAME shape (a scan of the checkpointed
+    # RDD + one iteration), not proportional to 6 vs 21
+    assert n_long <= n_short + 2, (n_short, n_long)
