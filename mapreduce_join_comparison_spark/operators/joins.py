@@ -534,13 +534,18 @@ def interval_overlap_join(
     r_lo, r_hi = F.col(right_lo), F.col(right_hi)
     lt = _with_tier(left, l_lo, l_hi)
     rt = _with_tier(right, r_lo, r_hi)
-    # bounded collect: occurring tiers per side — ≤ ~log2(max width)
-    l_tiers = sorted(
-        r[0] for r in lt.select("_ij_tier").distinct().collect()
-    ) or [0]
-    r_tiers = sorted(
-        r[0] for r in rt.select("_ij_tier").distinct().collect()
-    ) or [0]
+    # bounded collect: occurring tiers per side — ≤ ~log2(max width).
+    # ONE side-tagged union action instead of two per-side collects
+    # (guide §1: the probes were two full construction-time jobs; the
+    # union computes the identical two distinct sets in one)
+    tier_rows = (
+        lt.select(F.lit(0).alias("_s"), "_ij_tier")
+        .unionByName(rt.select(F.lit(1).alias("_s"), "_ij_tier"))
+        .distinct()
+        .collect()
+    )
+    l_tiers = sorted(r[1] for r in tier_rows if r[0] == 0) or [0]
+    r_tiers = sorted(r[1] for r in tier_rows if r[0] == 1) or [0]
     keys = ["_ij_tier", "_ij_cell"]
     cand1 = _replicated(lt, l_lo, l_hi, r_tiers, strict=False).join(
         _cells(rt, r_lo, r_hi), keys
@@ -749,9 +754,24 @@ def iejoin_pairs(
     rx, ry = F.col(right_x), F.col(right_y)
     lt = left.filter(lx.isNotNull() & ly.isNotNull())
     rt = right.filter(rx.isNotNull() & ry.isNotNull())
-    # bounded: 4 scalars per side fix the shared bucket domain
-    lb = lt.agg(F.min(lx), F.max(lx), F.min(ly), F.max(ly)).first()
-    rb = rt.agg(F.min(rx), F.max(rx), F.min(ry), F.max(ry)).first()
+    # bounded: 4 scalars per side fix the shared bucket domain — both
+    # sides' aggregates ride ONE side-tagged union action (guide §1:
+    # was two construction-time jobs for the same eight scalars)
+    def _bounds(df, xc, yc, side):
+        return df.agg(
+            F.lit(side).alias("_s"),
+            F.min(xc).alias("_x0"), F.max(xc).alias("_x1"),
+            F.min(yc).alias("_y0"), F.max(yc).alias("_y1"),
+        )
+
+    bound_rows = {
+        r[0]: r
+        for r in _bounds(lt, lx, ly, 0)
+        .unionByName(_bounds(rt, rx, ry, 1))
+        .collect()
+    }
+    lb = bound_rows[0][1:]
+    rb = bound_rows[1][1:]
     if lb[0] is None or rb[0] is None:
         # one side empty: empty result via a never-matching EQUI join
         # (a lit(False) join condition would plan as a nested loop)

@@ -105,6 +105,9 @@ IE_TABLE = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_iejoin_pairs_matches_naive_property(spark, edges, left, right, b):
     from mapreduce_join_comparison_spark.operators.joins import iejoin_pairs
 

@@ -173,6 +173,9 @@ def test_iejoin_pairs_matches_naive_and_avoids_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_iejoin_pairs_quantile_edges_identical_and_balanced(spark):
     """edges="quantile" (the clustered-domain upgrade path): bucket
     boundaries from per-axis union quantiles must yield the EXACT

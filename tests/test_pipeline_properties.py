@@ -6,6 +6,8 @@ Python reference implementation.
 
 from __future__ import annotations
 
+import pytest
+
 import collections
 
 from hypothesis import HealthCheck, given, settings
@@ -86,6 +88,9 @@ EVENT = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_resample_locf_matches_serial_reference(spark, events):
     from datetime import datetime, timedelta
 
@@ -168,6 +173,9 @@ def test_classifier_score_matches_md5_reference(spark, texts):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_bigram_fluency_matches_counter_reference(spark, texts):
     """Random corpora: transition milli-scores and known flags must
     equal a Counter-based python replay (floor division, corpus-wide

@@ -436,6 +436,9 @@ def sf1_dir(tmp_path_factory):
     return out
 
 
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_auto_lsh_planes_linear_one_tier_further(spark, sf1_dir):
     """Round-5 directive #5: the candidate-growth property extended to
     sf1 (20 000 vectors, 10× sf0.1). auto_lsh_planes steps 6 → 10 bits
@@ -449,6 +452,9 @@ def test_auto_lsh_planes_linear_one_tier_further(spark, sf1_dir):
     )
 
 
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_auto_semdedup_cells_one_tier_further(spark, sf1_dir):
     """SemDeDup at sf1: the catalog's seeded pool caps at 64 cells, so
     past the cap the mean cell population necessarily grows — the

@@ -126,6 +126,9 @@ def test_indivisible_bin_count_rejected(spark):
                  min_size=2, max_size=25),
     k=st.sampled_from([1, 2, 4, 8]),
 )
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_binned_equals_direct_property(spark, uss, k):
     rows = [
         (i, "a" if us % 3 else "b", us, float(us % 13) / 8)

@@ -89,6 +89,9 @@ def test_skyline_identical_x_everywhere(spark):
     ),
     bins=st.sampled_from([1, 2, 5, 32]),
 )
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_skyline_matches_bruteforce(spark, pts, bins):
     # small integer grid maximizes tie/duplicate collisions — exactly
     # where a strict/non-strict prefix-min mixup diverges

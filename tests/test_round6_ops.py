@@ -12,6 +12,8 @@ crafted ties."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -90,6 +92,9 @@ def test_wm_single_row_groups_and_mixed(spark):
     ),
     n_bins=st.sampled_from([1, 2, 5, 16]),
 )
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_wm_property_random(spark, data, n_bins):
     df = _wm_df(spark, data)
     direct = weighted_median(
@@ -141,6 +146,9 @@ def test_ks_binned_equals_direct(spark):
     ),
     n_bins=st.sampled_from([1, 3, 8]),
 )
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_ks_property_random(spark, data, n_bins):
     df = _ks_df(spark, data)
     direct = ks_two_sample(
@@ -363,6 +371,9 @@ def test_reward_normalize_groups(spark):
     assert by_e[6]["advantage"] is None
 
 
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_prefix_delta_probe_exact_vs_naive(spark):
     # incremental probe must equal the naive delta x corpus truth,
     # including delta docs whose vocabulary the index never saw

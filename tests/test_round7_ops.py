@@ -10,6 +10,8 @@ decompositions claim BIT-IDENTICAL output)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mapreduce_join_comparison_spark.operators.aggregates import (
@@ -292,6 +294,9 @@ def _bpe_rows(df):
     )
 
 
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_bpe_batched_equals_sequential(spark):
     # round-7 directive #6: the batched merge loop must be
     # BIT-IDENTICAL to sequential — same merges, same ranks, same

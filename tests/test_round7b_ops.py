@@ -14,6 +14,8 @@ and the ∝ √n token shape.
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 
@@ -372,6 +374,9 @@ from hypothesis import strategies as st
     k=st.sampled_from([1, 2, 4]),
     iters=st.sampled_from([1, 2]),
 )
+# soak lane (round 11): full-size property sweep — a smaller default-
+# lane twin (or the catalog oracle) keeps this property covered.
+@pytest.mark.soak
 def test_kmeans_trajectory_property(spark, vecs, k, iters):
     """Whatever the data (duplicates, collinear points, k > distinct
     points, clusters that empty out), the Spark trajectory equals the

@@ -27,6 +27,10 @@ from mapreduce_join_comparison_spark.streaming.events import (
     windowed_event_agg,
 )
 
+# soak lane (round 11): multi-minute streaming state-store soaks;
+# tests/test_streaming.py keeps the per-operator streaming coverage.
+pytestmark = pytest.mark.soak
+
 N_CHUNKS = 24
 ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
            "RocksDBStateStoreProvider")
