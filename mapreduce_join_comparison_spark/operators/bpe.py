@@ -232,10 +232,8 @@ def bpe_merges(
     :func:`_select_batch`.
     """
     spark = df.sparkSession
-    from ..sources.io import fan_out
-
     words = (
-        fan_out(df).select(
+        df.select(
             F.explode(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
             ).alias("w")
@@ -283,10 +281,8 @@ def bpe_word_segments(
     the snapshots only accelerate the driver-side argmax loop — the
     returned mapping recomputes its (vocab-sized) lineage instead of
     pinning executor storage the caller never asked for."""
-    from ..sources.io import fan_out
-
     words = (
-        fan_out(df).select(
+        df.select(
             F.explode(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
             ).alias("w")
@@ -318,11 +314,9 @@ def bpe_encode_stats(
     vocab fits, plain shuffle join when it doesn't — never forced),
     then one per-doc re-aggregate. Nothing is ever corpus × vocab.
     """
-    from ..sources.io import fan_out
-
     vocab = bpe_word_segments(df, n_merges=n_merges, text_col=text_col,
                               batch_k=batch_k)
-    doc_words = fan_out(df).select(
+    doc_words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")

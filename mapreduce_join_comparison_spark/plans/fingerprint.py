@@ -316,42 +316,43 @@ MANIFEST_NAME = "FINGERPRINTS.json"
 #     (FRONTLOAD_ROUND) and is dropped MECHANICALLY once the manifest
 #     contains a green from that round or later — i.e. the driver
 #     window the pins were aimed at has already run.
-FRONTLOAD_ROUND = 10
+FRONTLOAD_ROUND = 11
 FRONTLOAD: tuple[str, ...] = (
-    # round-10 semantic change: the prefix family's cold candidate
-    # path moved the PPJoin occurrence filters from the in-lambda
-    # form to a post-explode columnar WHERE (output proven identical,
-    # plans changed)
-    "dedup_prefix_filter",
+    # round-11 semantic-surface changes (output hashes proven
+    # identical locally at all three scales; plans structurally
+    # identical modulo generated lambda names — but these are the
+    # keys whose expression construction or eager-probe shape this
+    # round's optimization edits touched, so the driver re-proves
+    # them first):
+    # — dot/norm/cosine + PQ codebook folds rebuilt as parsed SQL,
+    #   session expression-parse cache (operators/similarity.py)
+    "similarity_bruteforce_topk",
+    "similarity_projected_rerank",
+    "similarity_ivf_ann",
+    "similarity_ivfpq_ann",
+    "similarity_lsh_ann",
+    "similarity_truncation_recall",
+    "similarity_hybrid_rrf",
+    "embedding_random_projection",
+    "embedding_pq_codes",
+    "embedding_topic_tag",
+    "embedding_kmeans",
+    "dedup_embedding_cosine",
+    "dedup_semdedup_cells",
+    # — build_prefix_index: prove-before-write + 3-way write overlap
     "dedup_prefix_filter_indexed",
     "dedup_prefix_filter_delta",
-    # round-10 verdict directive #6: the keys whose most recent
-    # driver check predates round 6 — five rounds of refactors since;
-    # parity_check covers them locally every round, but the driver's
-    # CORRECTNESS_r10 entry is the hard signal. Oldest first.
-    "generator_uniform",           # last driver-green r2
-    "agg_cube",                    # r4 …
-    "agg_groupby",
-    "agg_heavy_hitters",
-    "agg_pivot",
-    "agg_promo_revenue",
-    "agg_statistics",
-    "agg_summary_stats",
-    "array_functions",
-    "date_functions",
-    "filter_predicates",
-    "join_cross",
-    "join_range_bands",
-    "layout_compaction",
-    "scalar_functions",
-    "set_except_union",
-    "set_ops",
-    "source_schema_evolution",
-    "top_k_per_group",
-    "window_functions",
-    "events_variant_extract",      # r5 …
-    "join_null_safe",
-    "set_ops_multiset",
+    # — per-side probe fusion (tier collect / bounds aggregates)
+    "join_interval_overlap",
+    "join_theta_iejoin",
+    "join_theta_iejoin_quantile",
+    # — BPE fan_out revert (round-10's spread measured a local
+    #   regression; interleaved A/B in OPTIMIZATION_r11.md)
+    "pipeline_bpe_vocab",
+    "pipeline_bpe_encode",
+    # — pagerank localCheckpoint (headline plan unchanged at 3
+    #   iterations; re-prove anyway, the loop body changed)
+    "graph_pagerank",
 )
 
 

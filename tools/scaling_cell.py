@@ -31,11 +31,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "SCALING_r11.json")
 
-KEYS = [
-    "tpch_q1_pricing_summary",
-    "dedup_prefix_filter_indexed",
+KEYS = os.environ.get(
+    "SPARK_GRAFT_SCALE_KEYS",
+    "tpch_q1_pricing_summary,dedup_prefix_filter_indexed,"
     "similarity_projected_rerank",
-]
+).split(",")
 
 
 def main() -> None:
@@ -72,13 +72,15 @@ def main() -> None:
     if os.path.exists(OUT):
         with open(OUT) as f:
             merged = json.load(f)
+    prev = merged.get(str(cell["cpus"]), {})
+    cell["queries"] = {**prev.get("queries", {}), **cell["queries"]}
     merged[str(cell["cpus"])] = cell
     a, b = merged.get("8"), merged.get("32")
     if a and b:
+        common = set(a.get("queries", {})) & set(b.get("queries", {}))
         merged["speedup_8_to_32"] = {
             k: round(a["queries"][k]["median"] / b["queries"][k]["median"], 2)
-            for k in KEYS
-            if k in a.get("queries", {}) and k in b.get("queries", {})
+            for k in sorted(common)
         }
     with open(OUT, "w") as f:
         json.dump(merged, f, indent=1)
